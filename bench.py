@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the registered headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a noop write (full plan execution, no
+driver-side collect), so the numbers measure engine throughput, not
+result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wfc3_cte_monitor_spark.plans.registry import load_all
+from wfc3_cte_monitor_spark.session import get_spark
+
+# Headline queries: the flagship DAG + one representative per operator
+# family. Kept explicit so the bench is stable as the registry grows.
+HEADLINE = [
+    "cs01_cte_slope_pairs",
+    "a02_pricing_summary",
+    "a04_sigmaclip_mean",
+    "a05_regression",
+    "a06_overlapping_bins",
+    "a07_pivot_wide",
+    "a10_sessionize",
+    "j01_fanout_join",
+    "j02_pair_selfjoin",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("wfc3-cte-bench")
+
+    specs = load_all()
+    names = [n for n in HEADLINE if n in specs]
+
+    # Warm the JVM + parquet footer caches with the cheapest query once.
+    specs[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,318 @@
+"""Reference-parity queries (SURVEY.md §2) over the synthetic tables.
+
+Each entry pairs a Spark DataFrame plan with a DuckDB oracle SQL twin,
+following the FIXTURES.md §6 role analogies (orders/lineitem stand in for
+fileinfo/phot; events for the observation-date stream). Query IDs cite the
+SURVEY §2 operator they cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import davg, davg_sql, disc_price_sum, disc_price_sum_sql, dsum, dsum_sql
+from ..operators.bins import FLUX_BINS, bin_fanout, binspec_df, binspec_sql
+from ..operators.pairs import pair_self_join
+from ..operators.regression import linregress_agg, linregress_sql
+from ..operators.sessionize import sessionize
+from ..operators.sigma_clip import sigma_clip, sigma_clip_sql
+from ..sources.catalog import load_table
+from .cte_slopes import cte_slope_pairs, cte_slope_pairs_oracle
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship (§3.2 DAG): pair self-join → bin fan-out → σ-clip → regression.
+register(
+    "cs01_cte_slope_pairs",
+    oracle=cte_slope_pairs_oracle(),
+    tags=("flagship", "J2", "J5", "A4", "A5", "A6"),
+)(cte_slope_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Q1/A1 — project + distinct over dates (database_queries.py:87-107;
+# `query_for_all_dateobss` projects dateobs for one target).
+@register(
+    "q01_distinct_dates",
+    oracle="""
+    SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("Q1", "A1"),
+)
+def q01_distinct_dates(spark, sf_dir):
+    """Distinct observation dates for one mode filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.to_date("l_shipdate").alias("ship_date"))
+        .distinct()
+    )
+
+
+# Q2 — conjunctive equality filters → projection (database_queries.py:112-139).
+@register(
+    "q02_mode_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("Q2",),
+)
+def q02_mode_filter(spark, sf_dir):
+    """3-equality-filter projection (mode-key lookup)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+# Q3/J7/F6 — ±30-day band predicate around an epoch
+# (database_queries.py:176-180: `dateobs BETWEEN d-30 AND d+30`).
+@register(
+    "q03_epoch_band_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_orderstatus
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-15 00:00:00' - INTERVAL 30 DAY
+      AND o_orderdate <= TIMESTAMP '1997-06-15 00:00:00' + INTERVAL 30 DAY
+    """,
+    tags=("Q3", "J7"),
+)
+def q03_epoch_band_filter(spark, sf_dir):
+    """Epoch ±30-day range predicate."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1997-06-15 00:00:00").cast("timestamp")
+    return o.where(
+        (F.col("o_orderdate") >= epoch - F.expr("INTERVAL 30 DAYS"))
+        & (F.col("o_orderdate") <= epoch + F.expr("INTERVAL 30 DAYS"))
+    ).select("o_orderkey", "o_orderdate", "o_orderstatus")
+
+
+# J1 — FileInfo→Phot fan-out join (database_queries.py:291-310): filtered
+# header table joined to the per-source table, aggregated.
+@register(
+    "j01_fanout_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {dsum_sql('l.l_extendedprice')} AS sum_flux,
+           count(*)::BIGINT AS n_rows
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("J1",),
+)
+def j01_fanout_join(spark, sf_dir):
+    """Filtered dimension fan-out to the fact table (N+1 loop → one join)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum("l_extendedprice").alias("sum_flux"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# J2 — chip-pair self-join (database_queries.py:589-678).
+@register(
+    "j02_pair_selfjoin",
+    oracle="""
+    SELECT l1.l_orderkey,
+           l1.l_extendedprice AS flux_1,
+           l2.l_extendedprice AS flux_2,
+           round(l1.l_extendedprice / l2.l_extendedprice, 6) AS flux_ratio
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_linenumber = 1 AND l2.l_linenumber = 2
+    """,
+    tags=("J2",),
+)
+def j02_pair_selfjoin(spark, sf_dir):
+    """Two same-key scans split by side → one self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = pair_self_join(
+        li, keys=["l_orderkey"], side_col="l_linenumber", side_1=1, side_2=2,
+        payload=["l_extendedprice"],
+    )
+    return pairs.select(
+        "l_orderkey",
+        F.col("l_extendedprice_1").alias("flux_1"),
+        F.col("l_extendedprice_2").alias("flux_2"),
+        F.round(F.col("l_extendedprice_1") / F.col("l_extendedprice_2"), 6).alias("flux_ratio"),
+    )
+
+
+# A2/A3 — grouped mean/stddev/count pricing summary (TPC-H Q1 shape; the
+# reference's per-(epoch, exptime) flux means, uvis_external_cte_plots.py:1610-1633).
+@register(
+    "a02_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {disc_price_sum_sql('l_extendedprice', 'l_discount')} AS sum_disc_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "A3"),
+)
+def a02_pricing_summary(spark, sf_dir):
+    """Grouped aggregate suite (sum/avg/count) with exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            disc_price_sum("l_extendedprice", "l_discount").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# A4 — iterative sigma-clipped mean (scipy.stats.sigmaclip;
+# uvis_external_cte_plots.py:174-181 / 1610-1613).
+@register(
+    "a04_sigmaclip_mean",
+    oracle=f"""
+    SELECT l_returnflag,
+           {davg_sql('l_extendedprice')} AS clipped_mean,
+           count(*)::BIGINT AS n_kept
+    FROM ({sigma_clip_sql('lineitem', 'l_extendedprice', ['l_returnflag'], sigma=4.0, iterations=3)})
+    GROUP BY l_returnflag
+    """,
+    tags=("A4",),
+)
+def a04_sigmaclip_mean(spark, sf_dir):
+    """4σ sigma-clipped mean per group, 3 bounded iterations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    clipped = sigma_clip(li, "l_extendedprice", ["l_returnflag"], sigma=4.0, iterations=3)
+    return clipped.groupBy("l_returnflag").agg(
+        davg("l_extendedprice").alias("clipped_mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+
+
+# A5 — per-group linear regression (scipy.stats.linregress;
+# uvis_external_cte_plots.py:189-196).
+@register(
+    "a05_regression",
+    oracle=linregress_sql(
+        "SELECT * FROM lineitem", x="l_quantity", y="l_extendedprice",
+        group_cols=["l_returnflag", "l_linestatus"],
+    ),
+    tags=("A5",),
+)
+def a05_regression(spark, sf_dir):
+    """Closed-form OLS per group: slope/intercept/stderr/stddev/n."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return linregress_agg(
+        li, x="l_quantity", y="l_extendedprice", group_cols=["l_returnflag", "l_linestatus"]
+    )
+
+
+# A6 — overlapping flux-bin fan-out (config.py:14-16 bins;
+# uvis_external_cte_plots.py:160-169).
+@register(
+    "a06_overlapping_bins",
+    oracle=f"""
+    SELECT b.fluxbin,
+           count(*)::BIGINT AS n_in_bin,
+           {davg_sql('l.l_extendedprice')} AS mean_flux
+    FROM lineitem l
+    JOIN {binspec_sql(FLUX_BINS)} b
+      ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice <= b.bin_hi
+    GROUP BY b.fluxbin
+    """,
+    tags=("A6",),
+)
+def a06_overlapping_bins(spark, sf_dir):
+    """A value lands in EVERY overlapping bin containing it (fan-out join,
+    not a bucketed groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fan = bin_fanout(li, binspec_df(spark), ["l_extendedprice"])
+    return fan.groupBy("fluxbin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_bin"),
+        davg("l_extendedprice").alias("mean_flux"),
+    )
+
+
+# A7 — long→wide pivot by aperture radius (database_update.py:327-560).
+@register(
+    "a07_pivot_wide",
+    oracle="""
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS qty_1,
+           max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS qty_2,
+           max(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS qty_3,
+           max(CASE WHEN l_linenumber = 4 THEN l_quantity END) AS qty_4,
+           max(CASE WHEN l_linenumber = 5 THEN l_quantity END) AS qty_5,
+           max(CASE WHEN l_linenumber = 6 THEN l_quantity END) AS qty_6,
+           max(CASE WHEN l_linenumber = 7 THEN l_quantity END) AS qty_7
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("A7",),
+)
+def a07_pivot_wide(spark, sf_dir):
+    """Pivot the long per-(source, radius) layout to the wide per-source
+    layout (the Phot table construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_orderkey")
+        .pivot("l_linenumber", list(range(1, 8)))
+        .agg(F.max("l_quantity"))
+    )
+    return pivoted.select(
+        "l_orderkey", *[F.col(str(i)).alias(f"qty_{i}") for i in range(1, 8)]
+    )
+
+
+# A10/W1 — gap-based sessionization of the event stream
+# (`find_epochs` uvis_external_cte_plots.py:2173-2212; generalized form).
+@register(
+    "a10_sessionize",
+    oracle="""
+    SELECT user_id, session_id,
+           count(*)::BIGINT AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN _gap IS NULL OR _gap >= 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts,
+                   epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS _gap
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+    tags=("A10", "W1"),
+)
+def a10_sessionize(spark, sf_dir):
+    """Sessionize events per user with a 30-minute gap; emit session stats."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "ts", ["user_id"], gap=1800.0)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+conf set is cluster-safe — AQE, adaptive coalescing and skew-join handling
+are exactly the knobs a 1000-executor run over ~100 TB wants, and the
+shuffle-partition default is overridden per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs we also (re-)apply to externally provided sessions so query
+# results are independent of the caller's session defaults. Timezone pinning
+# matters for DuckDB-oracle comparison (DuckDB timestamps are UTC-naive).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "wfc3_cte_monitor_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or get) a tuned local SparkSession."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally provided session (driver contract:
+    queries receive an arbitrary SparkSession; results must not depend on its
+    timezone or adaptive settings)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only conf on some deployments; defaults are fine
+    return spark
