@@ -1,0 +1,659 @@
+"""Reference-parity queries, batch 2 (SURVEY.md §2 coverage widening):
+dynamic projections and point lookups (Q4-Q8), the full join family
+(J3-J9), remaining aggregations (A9, A11-A13), window/sort/set operators
+(W3, O1, U1-U3), the scalar-function suite (F1-F14), model fit/eval
+(N1/N2) and the natural-key upsert (S7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.model import poly2_eval, poly2_eval_sql, quadfit_agg, quadfit_sql
+from ..functions.scalars import davg, davg_sql, dsum, dsum_sql
+from ..operators.pairs import matching_lookup, rank_pairing
+from ..operators.sigma_clip import sigma_clip, sigma_clip_sql
+from ..operators.spatial import point_in_quad, point_in_quad_sql
+from ..operators.upsert import upsert
+from ..sources.catalog import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Q4 — dynamic column selection by parameter (database_queries.py:189-249:
+# flux/bkgrd column picked from a dict keyed by aperture). The engine form
+# is a parametrized projection; the registered entry pins one parameter.
+MEASURE_COLS = {
+    "qty": "l_quantity",
+    "price": "l_extendedprice",
+    "disc": "l_discount",
+}
+
+
+def flux_by_measure(spark, sf_dir, measure: str = "price", orderkey: int = 100):
+    li = load_table(spark, sf_dir, "lineitem")
+    col = MEASURE_COLS[measure]
+    return li.where(F.col("l_orderkey") == orderkey).select(
+        "l_orderkey", "l_linenumber", F.col(col).alias("measure_value")
+    )
+
+
+register(
+    "q04_dynamic_column",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice AS measure_value
+    FROM lineitem WHERE l_orderkey = 100
+    """,
+    tags=("Q4",),
+)(lambda spark, sf_dir: flux_by_measure(spark, sf_dir, "price", 100))
+
+
+# Q5 — point lookup by natural key (database_queries.py:496-522).
+@register(
+    "q05_point_lookup",
+    oracle="SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey = 100",
+    tags=("Q5",),
+)
+def q05_point_lookup(spark, sf_dir):
+    """Single-key lookup of a global scalar (mnclip_bkgrd analog)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") == 100).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+# Q6 — dynamic 3-column projection by fluxbin + 3 equality filters
+# (database_queries.py:745-819).
+@register(
+    "q06_slopes_lookup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_linenumber = 1
+    """,
+    tags=("Q6",),
+)
+def q06_slopes_lookup(spark, sf_dir):
+    """3 equality filters + parameterized multi-column projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]  # dict-selected triple
+    return li.where(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_linestatus") == "F")
+        & (F.col("l_linenumber") == 1)
+    ).select("l_orderkey", "l_linenumber", *cols)
+
+
+# Q7 — flux-range predicate (database_queries.py:415-417).
+@register(
+    "q07_flux_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_extendedprice BETWEEN 1000 AND 2000
+    """,
+    tags=("Q7",),
+)
+def q07_flux_range(spark, sf_dir):
+    """BETWEEN range predicate on the measurement column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_extendedprice").between(1000, 2000)).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# Q8 — y-position threshold predicate (database_queries.py:481-482).
+@register(
+    "q08_ypos_threshold",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 35
+    """,
+    tags=("Q8",),
+)
+def q08_ypos_threshold(spark, sf_dir):
+    """>= threshold predicate (ypix >= 1750 analog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_quantity") >= 35).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# J3 — matching-image lookup: one identified row → opposite-side partner
+# (database_queries.py:527-584; intended symmetric semantics, the
+# reference's chip2→chip1 path is broken by a `==`-for-`=` bug at :564).
+@register(
+    "j03_matching_lookup",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM lineitem l
+    JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+          WHERE l_orderkey = 206 AND l_linenumber = 1) p
+      ON l.l_orderkey = p.l_orderkey
+    WHERE l.l_linenumber <> p.l_linenumber AND l.l_linenumber = 2
+    """,
+    tags=("J3",),
+)
+def j03_matching_lookup(spark, sf_dir):
+    """Probe one row's keys, find the opposite-side row with the same keys."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber").isin(1, 2))
+    probe_side = li.withColumn("_ident", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    out = matching_lookup(
+        probe_side, keys=["l_orderkey"], side_col="l_linenumber",
+        ident_col="_ident", ident_value=2061,  # orderkey=206, side=1
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+# J4/W2/O1 — rank pairing: sort within group, split by a predicate on the
+# name, zip positionally (database_queries.py:683-740).
+@register(
+    "j04_rank_pairing",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_linestatus,
+               (l_linenumber <= 3) AS _side,
+               l_orderkey * 10 + l_linenumber AS uid,
+               row_number() OVER (PARTITION BY l_returnflag, l_linestatus, (l_linenumber <= 3)
+                                  ORDER BY l_orderkey * 10 + l_linenumber) AS pair_rank
+        FROM lineitem
+    )
+    SELECT a.l_returnflag, a.l_linestatus, a.pair_rank,
+           a.uid AS uid_1, b.uid AS uid_2
+    FROM ranked a JOIN ranked b
+      ON a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
+     AND a.pair_rank = b.pair_rank AND a._side AND NOT b._side
+    """,
+    tags=("J4", "W2", "O1"),
+)
+def j04_rank_pairing(spark, sf_dir):
+    """180°-visit positional pairing: row_number per (group, side) + equi-join."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "uid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    paired = rank_pairing(
+        li,
+        group_cols=["l_returnflag", "l_linestatus"],
+        side_col=F.col("l_linenumber") <= 3,
+        order_col="uid",
+        payload=["uid"],
+    )
+    return paired.select("l_returnflag", "l_linestatus", "pair_rank", "uid_1", "uid_2")
+
+
+# J5/U1 — master-id intersection across chips (uvis_external_cte_plots.py:2025-2057).
+@register(
+    "j05_key_intersection",
+    oracle="""
+    SELECT DISTINCT a.l_partkey AS master_id
+    FROM (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') a
+    JOIN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R') b
+      ON a.l_partkey = b.l_partkey
+    """,
+    tags=("J5", "U1"),
+)
+def j05_key_intersection(spark, sf_dir):
+    """Inner join on master_id aligning two chips' source sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    b = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.join(b, "l_partkey").select(F.col("l_partkey").alias("master_id")).distinct()
+
+
+# J6 — point-in-polygon spatial predicate (run_image_extraction.py:584-689).
+FOOTPRINT = [(1000.0, 200.0), (8000.0, 100.0), (9000.0, 1500.0), (1500.0, 1900.0)]
+
+
+@register(
+    "j06_point_in_polygon",
+    oracle=f"""
+    SELECT c_custkey, round(c_acctbal, 2) AS xpix, CAST(c_custkey % 2051 AS DOUBLE) AS ypix
+    FROM customer
+    WHERE {point_in_quad_sql('c_acctbal', 'CAST(c_custkey % 2051 AS DOUBLE)', FOOTPRINT)}
+    """,
+    tags=("J6",),
+)
+def j06_point_in_polygon(spark, sf_dir):
+    """Convex-quad half-plane containment as pure column math (no UDF)."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "ypix", (F.col("c_custkey") % 2051).cast("double")
+    )
+    return c.where(point_in_quad("c_acctbal", "ypix", FOOTPRINT)).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("xpix"), "ypix"
+    )
+
+
+# J7 — epoch band-join: observations matched to epochs within ±30 days
+# (database_queries.py:176-180, :369-371). Epoch dimension derived from the
+# fact table itself (month starts), broadcast to the fact side.
+@register(
+    "j07_epoch_band_join",
+    oracle=f"""
+    SELECT CAST(e.epoch AS DATE) AS epoch,
+           count(*)::BIGINT AS n_obs,
+           {dsum_sql('o.o_totalprice')} AS sum_price
+    FROM (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS epoch FROM orders) e
+    JOIN orders o
+      ON o.o_orderdate >= e.epoch - INTERVAL 30 DAY
+     AND o.o_orderdate <= e.epoch + INTERVAL 30 DAY
+    GROUP BY e.epoch
+    """,
+    tags=("J7",),
+)
+def j07_epoch_band_join(spark, sf_dir):
+    """Range join: facts to epoch dimension via |date - epoch| <= 30 days;
+    the tiny epoch dim is broadcast so the band join is map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    epochs = o.select(F.date_trunc("month", "o_orderdate").alias("epoch")).distinct()
+    joined = o.join(
+        F.broadcast(epochs),
+        (F.col("o_orderdate") >= F.col("epoch") - F.expr("INTERVAL 30 DAYS"))
+        & (F.col("o_orderdate") <= F.col("epoch") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return (
+        joined.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(F.to_date("epoch").alias("epoch"), "n_obs", "sum_price")
+    )
+
+
+# J8 — prefix→proposal broadcast lookup (database_reset.py:73-106 if-chain).
+@register(
+    "j08_prefix_lookup",
+    oracle="""
+    SELECT o.o_orderkey, m.label AS priority_class
+    FROM orders o
+    JOIN (VALUES ('1', 'urgent'), ('2', 'high'), ('3', 'medium'),
+                 ('4', 'unspecified'), ('5', 'low')) m(prefix, label)
+      ON substr(o.o_orderpriority, 1, 1) = m.prefix
+    """,
+    tags=("J8",),
+)
+def j08_prefix_lookup(spark, sf_dir):
+    """8-row mapping-table broadcast join replacing an if-chain."""
+    o = load_table(spark, sf_dir, "orders")
+    mapping = o.sparkSession.createDataFrame(
+        [("1", "urgent"), ("2", "high"), ("3", "medium"), ("4", "unspecified"), ("5", "low")],
+        schema="prefix string, label string",
+    )
+    return (
+        o.withColumn("prefix", F.substring("o_orderpriority", 1, 1))
+        .join(F.broadcast(mapping), "prefix")
+        .select("o_orderkey", F.col("label").alias("priority_class"))
+    )
+
+
+# J9/J1 — star-schema FK joins (phot↔fileinfo↔master analog):
+# lineitem↔orders↔customer↔nation↔region, revenue per region.
+@register(
+    "j09_star_join",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           {dsum_sql('l.l_extendedprice')} AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name
+    """,
+    tags=("J9", "J1", "J8"),
+)
+def j09_star_join(spark, sf_dir):
+    """Star join with broadcast dimensions (FK chain of the data model)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# A9 — background-bin profile: integer bucket + σ-clip + mean & σ/10
+# (uvis_external_cte_plots.py:829-853; 1.3σ variant :713-716).
+@register(
+    "a09_bkgrd_profile",
+    oracle=f"""
+    SELECT bkgrd_bin,
+           {davg_sql('l_extendedprice')} AS mean_flux,
+           round(stddev_pop(l_extendedprice) / 10, 6) AS sigma_tenth,
+           count(*)::BIGINT AS n_in_bin
+    FROM ({sigma_clip_sql(
+        "(SELECT floor(l_quantity / 10) AS bkgrd_bin, l_extendedprice FROM lineitem)",
+        "l_extendedprice", ["bkgrd_bin"], sigma=1.3, iterations=3)})
+    GROUP BY bkgrd_bin
+    """,
+    tags=("A9", "A3", "A4"),
+)
+def a09_bkgrd_profile(spark, sf_dir):
+    """Bucket by integer background level, 1.3σ-clip per bucket, report
+    mean and σ/10 (the reference's error-bar convention)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") / 10).alias("bkgrd_bin"), "l_extendedprice"
+    )
+    clipped = sigma_clip(li, "l_extendedprice", ["bkgrd_bin"], sigma=1.3, iterations=3)
+    return clipped.groupBy("bkgrd_bin").agg(
+        davg("l_extendedprice").alias("mean_flux"),
+        F.round(F.stddev_pop("l_extendedprice") / 10, 6).alias("sigma_tenth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_in_bin"),
+    )
+
+
+# A11 — last/max program selection (run_image_extraction.py:967-968).
+@register(
+    "a11_last_max",
+    oracle="""
+    SELECT o_orderpriority, max(o_orderkey) AS last_orderkey, max(o_orderdate) AS last_date
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("A11",),
+)
+def a11_last_max(spark, sf_dir):
+    """`program_list[-1]` → max per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+# A12 — fraction-recovered metric comparing two pipeline variants
+# (compare_idl_python.py:384: 100*(1-(n_ctecorr-n)/n_ctecorr)).
+@register(
+    "a12_fraction_recovered",
+    oracle="""
+    SELECT f.l_linenumber,
+           round(100.0 * (1.0 - (f.n_f - o.n_o) / f.n_f), 6) AS pct_recovered,
+           f.n_f AS n_flt, o.n_o AS n_flc
+    FROM (SELECT l_linenumber, count(*)::BIGINT AS n_f FROM lineitem
+          WHERE l_linestatus = 'F' GROUP BY l_linenumber) f
+    JOIN (SELECT l_linenumber, count(*)::BIGINT AS n_o FROM lineitem
+          WHERE l_linestatus = 'O' GROUP BY l_linenumber) o
+      ON f.l_linenumber = o.l_linenumber
+    """,
+    tags=("A12",),
+)
+def a12_fraction_recovered(spark, sf_dir):
+    """Join two variant counts per bin and compute percent recovered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = (
+        li.where(F.col("l_linestatus") == "F")
+        .groupBy("l_linenumber")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_flt"))
+    )
+    o = (
+        li.where(F.col("l_linestatus") == "O")
+        .groupBy("l_linenumber")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_flc"))
+    )
+    return f.join(o, "l_linenumber").select(
+        "l_linenumber",
+        F.round(
+            100.0 * (1.0 - (F.col("n_flt") - F.col("n_flc")) / F.col("n_flt")), 6
+        ).alias("pct_recovered"),
+        "n_flt",
+        "n_flc",
+    )
+
+
+# A13/U2 — stars absent from an image: anti-join (database_update.py:514-519).
+@register(
+    "a13_absent_antijoin",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tags=("A13", "U2"),
+)
+def a13_absent_antijoin(spark, sf_dir):
+    """Left-anti join finding master rows with no observation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+# W3 — latest-epoch value applied per group (plot_model_on_reality.py:282-294).
+@register(
+    "w03_latest_value",
+    oracle="""
+    SELECT DISTINCT o_orderpriority,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_price
+    FROM orders
+    """,
+    tags=("W3",),
+)
+def w03_latest_value(spark, sf_dir):
+    """last value over an unbounded window (coeff_dict_values[-1] analog)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderpriority", F.last("o_totalprice").over(w).alias("latest_price")
+    ).distinct()
+
+
+# O1 — deterministic top-k (sorted()[...] idiom).
+@register(
+    "o01_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("O1", "O3"),
+)
+def o01_topk(spark, sf_dir):
+    """Top-k with a total tiebreak (deterministic limit)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# U1 — INTERSECT proper (set semantics).
+@register(
+    "u01_intersect",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    """,
+    tags=("U1",),
+)
+def u01_intersect(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    n = li.where(F.col("l_returnflag") == "N").select("l_partkey")
+    return a.intersect(n)
+
+
+# U2 — EXCEPT / set difference (database_update.py:519): F-status orders
+# that never had a returned (R) line item.
+@register(
+    "u02_except",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("U2",),
+)
+def u02_except(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    b = li.where(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("o_orderkey"))
+    return a.subtract(b)  # EXCEPT (set semantics), not exceptAll
+
+
+# U3 — union of file lists (glob + glob).
+@register(
+    "u03_union",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("U3",),
+)
+def u03_union(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.union(b).distinct()
+
+
+# F1-F14 — scalar-function suite in one projection (SURVEY §2.8).
+@register(
+    "f01_scalar_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           concat(l_returnflag, '_', l_linestatus, '_', lpad(CAST(l_linenumber AS VARCHAR), 3, '0')) AS parsed_name,
+           lower(l_returnflag) AS flag_lower,
+           upper(l_linestatus) AS status_upper,
+           CASE WHEN l_quantity <= 25 THEN 's' ELSE 'l' END AS exp_length,
+           round(log10(l_extendedprice), 6) AS log_flux,
+           abs(l_discount - 0.05) <= 0.02 AS near_nominal,
+           date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS mjd_day,
+           l_extendedprice - l_quantity * 10 AS net_flux,
+           round((l_extendedprice / l_quantity) * 0.5 * 2048, 6) AS rescaled_ratio,
+           regexp_extract(concat('/data/', l_returnflag, '/', CAST(l_orderkey AS VARCHAR), '_flc.fits'), '[^/]+$') AS basename,
+           contains(concat(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)), '10') AS visit_flag
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    tags=("F1", "F2", "F3", "F4", "F5", "F6", "F8", "F9", "F10", "F11", "F12"),
+)
+def f01_scalar_suite(spark, sf_dir):
+    """String/date/math/conditional scalar surface in one projection —
+    each column cites its SURVEY §2.8 row."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    path = F.concat(
+        F.lit("/data/"), F.col("l_returnflag"), F.lit("/"),
+        F.col("l_orderkey").cast("string"), F.lit("_flc.fits"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            "_", "l_returnflag", "l_linestatus",
+            F.lpad(F.col("l_linenumber").cast("string"), 3, "0"),
+        ).alias("parsed_name"),  # F3/F5 format+zero-pad
+        F.lower("l_returnflag").alias("flag_lower"),  # F4
+        F.upper("l_linestatus").alias("status_upper"),  # F4
+        F.when(F.col("l_quantity") <= 25, "s").otherwise("l").alias("exp_length"),  # F8
+        F.round(F.log10("l_extendedprice"), 6).alias("log_flux"),  # F9
+        (F.abs(F.col("l_discount") - 0.05) <= 0.02).alias("near_nominal"),  # F12
+        F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")).alias("mjd_day"),  # F6
+        (F.col("l_extendedprice") - F.col("l_quantity") * 10).alias("net_flux"),  # F11
+        F.round((F.col("l_extendedprice") / F.col("l_quantity")) * 0.5 * 2048, 6).alias("rescaled_ratio"),  # F10
+        F.regexp_extract(path, r"[^/]+$", 0).alias("basename"),  # F2
+        F.concat(F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+        .contains("10")
+        .alias("visit_flag"),  # F1
+    )
+
+
+# N1 — per-group polynomial fit, closed-form (polyfit2d's 1-D core;
+# uvis_external_cte_plots.py:2216-2249). x centered/scaled so the normal-
+# equation moments stay O(1).
+@register(
+    "n01_quadratic_fit",
+    oracle=quadfit_sql(
+        """SELECT o_orderpriority,
+                  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) / 1000.0 - 1.2 AS x,
+                  o_totalprice / 100000.0 AS y
+           FROM orders""",
+        x="x", y="y", group_cols=["o_orderpriority"],
+    ),
+    tags=("N1",),
+)
+def n01_quadratic_fit(spark, sf_dir):
+    """Quadratic trend fit per group via Cramer closed form (no UDF)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")) / 1000.0
+            - 1.2
+        ).alias("x"),
+        (F.col("o_totalprice") / 100000.0).alias("y"),
+    )
+    return quadfit_agg(o, x="x", y="y", group_cols=["o_orderpriority"])
+
+
+# N2 — 9-coefficient model evaluation as a pure column expression
+# (plot_model_on_reality.py:48-113).
+MODEL_COEFFS = [
+    [1.2e-2, -3.4e-3, 5.6e-4],
+    [7.8e-5, -9.1e-6, 2.3e-6],
+    [-4.5e-8, 6.7e-9, -8.9e-10],
+]
+
+
+@register(
+    "n02_model_eval",
+    oracle=f"""
+    SELECT o_orderkey,
+           round({poly2_eval_sql(
+               "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) / 100.0",
+               "log10(o_totalprice)", MODEL_COEFFS)}, 6) AS model_slope
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("N2",),
+)
+def n02_model_eval(spark, sf_dir):
+    """Evaluate the 2-D polynomial CTE model slope(d, f) per row."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    d = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")) / 100.0
+    f = F.log10("o_totalprice")
+    return o.select(
+        "o_orderkey", F.round(poly2_eval(d, f, MODEL_COEFFS), 6).alias("model_slope")
+    )
+
+
+# S7 — insert-or-update by natural key (database_update.py:214-255):
+# latest-wins merge, idempotent on re-run.
+@register(
+    "s07_upsert_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, version FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC, _src DESC) AS _rn
+        FROM (
+            SELECT o_orderkey, o_totalprice, 1 AS version, 0 AS _src FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 2 AS version, 1 AS _src
+            FROM orders WHERE o_orderkey % 100 = 0
+        )
+    ) WHERE _rn = 1
+    """,
+    tags=("S7",),
+)
+def s07_upsert_merge(spark, sf_dir):
+    """MERGE-without-Delta: union + row_number latest-wins on the natural key."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.withColumn("version", F.lit(1))
+    updates = (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("version", F.lit(2))
+    )
+    return upsert(base, updates, keys=["o_orderkey"], version_col="version")

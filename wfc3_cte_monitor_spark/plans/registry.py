@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import parity_queries  # noqa: F401
 
     for mod in (
+        "parity_queries2",
         "trend_queries",
         "pipeline_queries",
         "dedup_queries",
