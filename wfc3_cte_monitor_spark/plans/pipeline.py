@@ -1,0 +1,198 @@
+"""Domain pipeline: the reference's query layer + Results computation as
+DataFrame transformations over the master/fileinfo/phot/results model.
+
+Every function mirrors one query function of
+wfc3_cte_monitor/database_queries.py (SURVEY.md §2.2-2.3) with intended
+(bug-free) semantics; the flagship ``compute_results`` is the §3.2 DAG
+producing the wide Results table directly — no slope-txt intermediate
+(the reference round-trips slopes through text files,
+uvis_external_cte_plots.py:295-305 → database_update.py:566-635).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.bins import FLUX_BINS, bin_fanout, binspec_df
+from ..operators.pairs import pair_self_join
+from ..operators.phot_layout import results_long_to_wide
+from ..operators.regression import linregress_agg
+from ..operators.sigma_clip import sigma_clip
+from ..schemas import PAIR_MODE_KEYS
+
+
+# --- query layer (database_queries.py parity) ------------------------------
+
+def query_for_all_dateobss(fileinfo: DataFrame, targname: str) -> DataFrame:
+    """database_queries.py:87-107."""
+    return fileinfo.where(F.col("targname") == targname).select("dateobs")
+
+
+def query_for_dateobss(fileinfo: DataFrame, targname: str, proposid: str,
+                       filt: str, exptime: float) -> DataFrame:
+    """database_queries.py:112-139."""
+    return fileinfo.where(
+        (F.col("targname") == targname)
+        & (F.col("proposid") == proposid)
+        & (F.col("filter") == filt)
+        & (F.col("exptime") == exptime)
+    ).select("dateobs")
+
+
+def query_for_exptimes(fileinfo: DataFrame, targname: str, filt: str,
+                       proposid: str | None = None, dateobs: int | None = None) -> DataFrame:
+    """database_queries.py:144-184 — optional proposid; optional ±30-day
+    dateobs band (:176-180)."""
+    out = fileinfo.where((F.col("targname") == targname) & (F.col("filter") == filt))
+    if proposid is not None:
+        out = out.where(F.col("proposid") == proposid)
+    if dateobs is not None:
+        out = out.where(F.col("dateobs").between(dateobs - 30, dateobs + 30))
+    return out.select("exptime")
+
+
+def query_for_flux_by_imagename(phot_long: DataFrame, imagename: str, aperture: int) -> DataFrame:
+    """database_queries.py:189-249 — dynamic column selection by aperture
+    becomes a filter on the long view."""
+    return phot_long.where(
+        (F.col("imagename") == imagename) & (F.col("radius") == aperture)
+    ).select("master_id", "xpix", "ypix", "flux", "mnbkgrd", "totbkgrd")
+
+
+def query_for_globalbkgrd(fileinfo: DataFrame, imagename: str) -> DataFrame:
+    """database_queries.py:496-522."""
+    return fileinfo.where(F.col("imagename") == imagename).select("mnclip_bkgrd")
+
+
+def query_for_flux_range(phot_long: DataFrame, aperture: int, lo: float, hi: float,
+                         subtract_background: bool = False) -> DataFrame:
+    """database_queries.py:317-422 (intended semantics — the reference's
+    per-image loop re-fetches the whole table, :414-417). The
+    subtract_background variant is the same scan with an expression, not
+    the reference's 2-3x-slower re-query (:353-355)."""
+    flux = (F.col("flux") - F.col("totbkgrd")) if subtract_background else F.col("flux")
+    return (
+        phot_long.where(F.col("radius") == aperture)
+        .withColumn("flux_eff", flux)
+        .where(F.col("flux_eff").between(lo, hi))
+        .select("master_id", "imagename", "ypix", "flux_eff")
+    )
+
+
+def query_for_fluxes_bkgrds_by_ypos(fileinfo: DataFrame, phot_long: DataFrame,
+                                    aperture: int, ypos: float = 1750.0) -> DataFrame:
+    """database_queries.py:464-489 — FileInfo filter fanned out to Phot
+    (J1) with the y-position threshold (Q8)."""
+    images = fileinfo.select("imagename", "mnclip_bkgrd")
+    return (
+        phot_long.where((F.col("radius") == aperture) & (F.col("ypix") >= ypos))
+        .join(F.broadcast(images), "imagename")
+        .select("imagename", "master_id", "ypix", "flux", "mnbkgrd", "totbkgrd", "mnclip_bkgrd")
+    )
+
+
+def query_for_pair(fileinfo: DataFrame) -> DataFrame:
+    """database_queries.py:589-678 — the chip-pair contract as ONE
+    self-join on the 8 mode keys instead of two filtered scans per mode.
+    ``targname`` joins too: the reference's tables are per-target
+    (database_interface.py:326-349), so its 8-key match is implicitly
+    per-target; our single-table model makes that explicit."""
+    return pair_self_join(
+        fileinfo, keys=["targname", *PAIR_MODE_KEYS], side_col="chip", side_1=1, side_2=2,
+        payload=["imagename"],
+    )
+
+
+def query_for_matching_imagename(fileinfo: DataFrame, imagename: str) -> DataFrame:
+    """database_queries.py:527-584, intended symmetric semantics (the
+    reference's chip2→chip1 direction is dead code via a `==`-for-`=` bug
+    at :564 and an undefined `results[7]` at :558)."""
+    probe = fileinfo.where(F.col("imagename") == imagename).select(
+        "targname", *PAIR_MODE_KEYS, F.col("chip").alias("_probe_chip")
+    )
+    return (
+        fileinfo.join(F.broadcast(probe), ["targname", *PAIR_MODE_KEYS])
+        .where(F.col("chip") != F.col("_probe_chip"))
+        .select("imagename")
+    )
+
+
+def query_for_180pair(fileinfo: DataFrame, filt: str, exptime: float,
+                      ctecorr: int, chip: int) -> DataFrame:
+    """database_queries.py:683-740 — 180°-rotated visit pairing: filter,
+    sort imagenames, split by visit substring ('10' vs '11'), zip
+    positionally (README.md:599-609)."""
+    from ..operators.pairs import rank_pairing
+
+    filtered = fileinfo.where(
+        (F.col("filter") == filt)
+        & (F.col("exptime") == exptime)
+        & (F.col("ctecorr") == ctecorr)
+        & (F.col("chip") == chip)
+    )
+    return rank_pairing(
+        filtered,
+        group_cols=["targname"],
+        side_col=F.substring("imagename", 5, 2) == "10",
+        order_col="imagename",
+        payload=["imagename"],
+    ).select("targname", "pair_rank", "imagename_1", "imagename_2")
+
+
+# --- flagship: Results computation (§3.2) ----------------------------------
+
+def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3,
+                    sigma: float = 4.0, iterations: int = 3) -> DataFrame:
+    """fileinfo + phot (long view) → wide Results rows, one per
+    (imagename_1, imagename_2, aperture).
+
+    The reference's per-pair loop of SQLite queries + scipy
+    (uvis_external_cte_plots.py:1119-1292) collapses into one DAG:
+    pair self-join (J2) → phot fan-in per side (J1) → master-id align
+    (J5) → background subtraction (F11) → overlapping-bin fan-out (A6,
+    both chips in bin) → σ-clip (A4) → regression (A5) → pivot to wide
+    (Results layout) with empty bins as zeros (:198-201).
+    """
+    spark = fileinfo.sparkSession
+    pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
+
+    p = phot_long.where(F.col("radius") == aperture).select(
+        "imagename", "master_id", "ypix",
+        (F.col("flux") - F.col("totbkgrd")).alias("net_flux"),
+    )
+    side1 = pairs.join(
+        p.select(
+            F.col("imagename").alias("imagename_1"),
+            "master_id",
+            F.col("ypix").alias("ypos"),
+            F.col("net_flux").alias("flux_1"),
+        ),
+        "imagename_1",
+    )
+    both = side1.join(
+        p.select(
+            F.col("imagename").alias("imagename_2"),
+            "master_id",
+            F.col("net_flux").alias("flux_2"),
+        ),
+        ["imagename_2", "master_id"],
+    ).withColumn("flux_ratio", F.col("flux_1") / F.col("flux_2"))
+
+    fan = bin_fanout(both, binspec_df(spark, FLUX_BINS), ["flux_1", "flux_2"])
+    group = ["targname", "imagename_1", "imagename_2", "fluxbin"]
+    clipped = sigma_clip(fan, "flux_ratio", group, sigma=sigma, iterations=iterations)
+    reg = linregress_agg(clipped, x="ypos", y="flux_ratio", group_cols=group)
+
+    all_bins = pairs.crossJoin(
+        F.broadcast(binspec_df(spark, FLUX_BINS).select("fluxbin"))
+    )
+    long = all_bins.join(reg, group, "left").select(
+        *group[:3],
+        "fluxbin",
+        F.coalesce("slope", F.lit(0.0)).alias("slope"),
+        F.coalesce("slopestdev", F.lit(0.0)).alias("slopestdev"),
+        F.coalesce("num_points", F.lit(0)).cast("int").alias("num_points"),
+    )
+    wide = results_long_to_wide(long, id_cols=["targname", "imagename_1", "imagename_2"])
+    return wide.withColumn("aperture", F.lit(float(aperture)))
