@@ -1,0 +1,153 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Four families, each declarative and shuffle-conscious:
+
+- EXACT: canonicalized-fingerprint groupBy — one shuffle on the
+  fingerprint. The fingerprint is the sorted distinct token list, so
+  token-order/whitespace/punctuation variants collapse.
+- MINHASH + LSH: shingle → 60-bit portable hash → k permutations →
+  per-doc signature (one shuffle) → banded keys → bucket join. The
+  candidate join is on band keys, never all-pairs: at 100 TB the
+  quadratic comparison happens only inside buckets.
+- SIMHASH: per-token hash bit votes → 16-bit signature; near-dups share
+  signatures (or signatures at small Hamming distance).
+- NGRAM JACCARD: exact verification on candidate pairs (or a bounded
+  subset) — intersect/union of distinct token sets.
+
+All hashing is the md5-based portable hash (functions/text.py), so every
+step is reproducible in DuckDB for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash64, portable_hash64_sql
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+
+
+def _perm_params(n: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a, b) for h_i(x) = (a*x + b) mod M — integer
+    arithmetic only so Spark and DuckDB agree bit for bit."""
+    return [
+        ((1_000_003 * i + 12_345) % MERSENNE31 or 1, (999_983 * i + 54_321) % MERSENNE31)
+        for i in range(1, n + 1)
+    ]
+
+
+def minhash_signature(df: DataFrame, id_col: str, shingle_col: Column,
+                      n_hashes: int = N_HASHES) -> DataFrame:
+    """One row per id with columns mh_0..mh_{n-1} (the MinHash signature).
+    Explode → hash → groupBy(min) — map-side combinable, single shuffle."""
+    exploded = df.select(id_col, F.explode(shingle_col).alias("_shingle"))
+    h31 = (portable_hash64(F.col("_shingle")) % MERSENNE31).alias("_h")
+    hashed = exploded.select(id_col, h31)
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_sql(source: str, id_col: str, shingle_expr: str,
+                          n_hashes: int = N_HASHES) -> str:
+    """DuckDB twin of :func:`minhash_signature`. ``shingle_expr`` is a
+    list-valued expression over ``source`` rows."""
+    h = portable_hash64_sql("_shingle")
+    mins = ", ".join(
+        f"min(({a} * _h + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    )
+    return f"""
+    SELECT {id_col}, {mins}
+    FROM (
+        SELECT {id_col}, ({h}) % {MERSENNE31} AS _h
+        FROM (SELECT {id_col}, unnest({shingle_expr}) AS _shingle FROM {source})
+    )
+    GROUP BY {id_col}
+    """
+
+
+def lsh_bands(sig: DataFrame, id_col: str, n_hashes: int = N_HASHES,
+              band_size: int = BAND_SIZE) -> DataFrame:
+    """Signature → (id, band_id, band_key): docs sharing a band_key are
+    near-dup candidates. band_key is the concatenated band slice."""
+    n_bands = n_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("_", *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ])
+    return sig.select(id_col, F.explode(bands).alias("_b")).select(
+        id_col, F.col("_b.band_id").alias("band_id"), F.col("_b.band_key").alias("band_key")
+    )
+
+
+def lsh_bands_sql(sig_source: str, id_col: str, n_hashes: int = N_HASHES,
+                  band_size: int = BAND_SIZE) -> str:
+    n_bands = n_hashes // band_size
+    rows = []
+    for b in range(n_bands):
+        key = " || '_' || ".join(
+            f"CAST(mh_{b * band_size + r} AS VARCHAR)" for r in range(band_size)
+        )
+        rows.append(f"SELECT {id_col}, {b} AS band_id, {key} AS band_key FROM ({sig_source})")
+    return " UNION ALL ".join(rows)
+
+
+def candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Bucket join: pairs sharing any band key (id_a < id_b, distinct)."""
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, token_col: Column) -> DataFrame:
+    """16-bit SimHash per id: per-token hash bits vote ±1; bit set when the
+    vote sum is >= 0. Integer-exact on both engines."""
+    exploded = df.select(id_col, F.explode(token_col).alias("_tok"))
+    h = portable_hash64(F.col("_tok"))
+    hashed = exploded.select(id_col, h.alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(16)
+    ]
+    agged = hashed.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agged.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def simhash16_sql(source: str, id_col: str, token_expr: str) -> str:
+    h = portable_hash64_sql("_tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (_h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}" for j in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN v_{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+    SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash
+    FROM (
+        SELECT {id_col}, {votes}
+        FROM (
+            SELECT {id_col}, {h} AS _h
+            FROM (SELECT {id_col}, unnest({token_expr}) AS _tok FROM {source})
+        )
+        GROUP BY {id_col}
+    )
+    """

@@ -1,0 +1,128 @@
+"""Deduplication queries over the documents table (additive surface,
+BASELINE.json north star): exact, MinHash+LSH, SimHash, n-gram Jaccard —
+all fully DuckDB-oracle-checked via the portable md5 hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    lsh_bands,
+    lsh_bands_sql,
+    minhash_signature,
+    minhash_signature_sql,
+    simhash16,
+    simhash16_sql,
+)
+from ..functions.text import (
+    shingles,
+    shingles_sql_inline,
+    tokens,
+    tokens_sql,
+)
+from ..sources.catalog import load_table
+from .registry import register
+
+
+# D1 — exact dedup after canonicalization: documents whose sorted distinct
+# token sets coincide collapse to one cluster (hash-groupBy; one shuffle).
+@register(
+    "d01_dedup_exact",
+    oracle=f"""
+    SELECT doc_id, cluster_id, cluster_size FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+               count(*) OVER (PARTITION BY fp)::BIGINT AS cluster_size
+        FROM (
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct({tokens_sql('text')})), ' ') AS fp
+            FROM documents
+        )
+    )
+    """,
+    tags=("dedup", "exact"),
+)
+def d01_dedup_exact(spark, sf_dir):
+    """Exact dedup on a canonical fingerprint (sorted distinct tokens):
+    cluster id = min doc_id sharing the fingerprint."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn("cluster_id", F.min("doc_id").over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+
+
+# D2 — n-gram (token-set) Jaccard near-dup pairs over a deterministic
+# subset; jaccard = |A∩B| / |A∪B| on distinct tokens, threshold 0.8.
+@register(
+    "d02_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_sort(list_distinct({tokens_sql('text')})) AS t
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.t, b.t))::DOUBLE
+                 / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.t, b.t))::DOUBLE
+          / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.8
+    """,
+    tags=("dedup", "jaccard"),
+)
+def d02_ngram_jaccard(spark, sf_dir):
+    """Pairwise token-set Jaccard >= 0.8 on a doc_id%5 subset. The
+    all-pairs form is the verification stage; candidate generation at
+    scale comes from d03's LSH buckets."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    t = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# D3 — MinHash signatures + LSH band keys (16 hashes, 4 bands of 4).
+# Near-dup candidates are docs sharing a band key; this corpus has no
+# shingle-level near-dups, so the checked output is the signature/band
+# table itself (pair detection is exercised on planted dups in tests).
+@register(
+    "d03_minhash_lsh",
+    oracle=lsh_bands_sql(
+        minhash_signature_sql("documents", "doc_id", shingles_sql_inline("text", 3)),
+        "doc_id",
+    ),
+    tags=("dedup", "minhash", "lsh"),
+)
+def d03_minhash_lsh(spark, sf_dir):
+    """MinHash(16) over 3-word shingles → 4 LSH band keys per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(
+        docs.select("doc_id", shingles("text", 3).alias("sh")), "doc_id", F.col("sh")
+    )
+    return lsh_bands(sig, "doc_id")
+
+
+# D4 — 16-bit SimHash per document.
+@register(
+    "d04_simhash",
+    oracle=simhash16_sql("documents", "doc_id", tokens_sql("text")),
+    tags=("dedup", "simhash"),
+)
+def d04_simhash(spark, sf_dir):
+    """Per-token hash bit votes → 16-bit signature (near-dups collide or
+    sit at small Hamming distance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))

@@ -57,8 +57,6 @@ def load_all() -> dict[str, QuerySpec]:
 
     for mod in (
         "parity_queries2",
-        "trend_queries",
-        "pipeline_queries",
         "dedup_queries",
         "similarity_queries",
         "text_queries",
@@ -66,6 +64,10 @@ def load_all() -> dict[str, QuerySpec]:
     ):
         try:
             __import__(f"{__package__}.{mod}")
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+        except ModuleNotFoundError as e:
+            # tolerate only a module that doesn't exist yet (incremental
+            # rounds) — a broken existing module must fail loudly, not
+            # silently shrink the registry
+            if e.name != f"{__package__}.{mod}":
+                raise
     return QUERIES
