@@ -1,0 +1,96 @@
+"""Dedup + ANN library behavior on PLANTED near-duplicates (the synthetic
+documents corpus has none at shingle level, so these tests inject them)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wfc3_cte_monitor_spark.functions.dedup import (
+    candidate_pairs,
+    lsh_bands,
+    minhash_signature,
+    simhash16,
+)
+from wfc3_cte_monitor_spark.functions.similarity import cosine_topk
+from wfc3_cte_monitor_spark.functions.text import shingles, tokens
+from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(spark, sf_smoke):
+    """documents + near-dup copies of docs 0..4 (one word changed) and an
+    exact dup of doc 5."""
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    near = (
+        docs.where(F.col("doc_id") < 5)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+        )
+    )
+    exact = docs.where(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact).cache()
+
+
+def test_minhash_lsh_finds_planted_dups(corpus_with_dups):
+    sig = minhash_signature(
+        corpus_with_dups.select("doc_id", shingles("text", 3).alias("sh")), "doc_id", F.col("sh")
+    )
+    pairs = {(r.id_a, r.id_b) for r in candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id").collect()}
+    # every planted near-dup pair must be a candidate
+    for d in range(5):
+        assert (d, d + 100000) in pairs, f"missed near-dup of doc {d}"
+    assert (5, 200005) in pairs
+    # and candidates stay sparse (no all-pairs explosion on unrelated docs)
+    assert len(pairs) < 100
+
+
+def test_simhash_exact_dup_collides(corpus_with_dups):
+    sims = {r.doc_id: r.simhash for r in simhash16(
+        corpus_with_dups.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t")
+    ).collect()}
+    assert sims[5] == sims[200005]  # identical text -> identical signature
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dups must be markedly closer than unrelated docs (16-bit
+    # simhash on ~40-token docs is noisy; compare against the unrelated
+    # baseline rather than an absolute bit count)
+    near = [hamming(sims[d], sims[d + 100000]) for d in range(5)]
+    unrelated = [hamming(sims[d], sims[d + 10]) for d in range(5)]
+    assert sum(near) < sum(unrelated), (near, unrelated)
+    assert max(near) <= 6, near  # far below the random-pair expectation of 8
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_smoke):
+    from wfc3_cte_monitor_spark.plans.registry import load_all
+
+    brute = load_all()["e01_cosine_topk"].fn(spark, sf_smoke)
+    ann = load_all()["e02_lsh_ann"].fn(spark, sf_smoke)
+    top1 = {r.query_id: r.neighbor_id for r in brute.where(F.col("rank") == 1).collect()}
+    ann_sets = {}
+    for r in ann.collect():
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # multi-table LSH (8 tables x 2 planes) should recover nearly all
+    # true top-1 neighbors: expected recall 1-(1-p^2)^8 ~ 0.97 at p~0.6
+    hits = sum(1 for q, n in top1.items() if n in ann_sets.get(q, set()))
+    assert hits >= 8, f"ANN recall too low: {hits}/{len(top1)}"
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 3).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.sim))
+    for q, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]

@@ -1,0 +1,60 @@
+"""Structured Streaming surface: the streaming window plans must agree
+with their batch twins (same logical plan, different source/trigger)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wfc3_cte_monitor_spark.plans.registry import load_all
+from wfc3_cte_monitor_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    sessionized_stream,
+    stream_dedup,
+    windowed_counts_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_smoke):
+    return read_events_stream(spark, sf_smoke)
+
+
+def _rows(spark, name):
+    return {tuple(str(v) for v in r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_stream_tumbling_matches_batch(spark, sf_smoke, events_stream):
+    q = run_to_memory(windowed_counts_stream(events_stream), "stream_tumbling", "complete")
+    try:
+        got = _rows(spark, "stream_tumbling")
+        batch = {
+            tuple(str(v) for v in r)
+            for r in load_all()["ev01_tumbling_window"].fn(spark, sf_smoke).collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
+def test_stream_sessions_match_batch(spark, sf_smoke, events_stream):
+    q = run_to_memory(sessionized_stream(events_stream), "stream_sessions", "complete")
+    try:
+        got = _rows(spark, "stream_sessions")
+        batch = {
+            tuple(str(v) for v in r)
+            for r in load_all()["ev03_session_window"].fn(spark, sf_smoke).collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
+def test_stream_dedup_drops_duplicate_keys(spark, events_stream):
+    q = run_to_memory(stream_dedup(events_stream), "stream_dedup", "append")
+    try:
+        n = spark.sql("SELECT count(*) FROM stream_dedup").collect()[0][0]
+        ids = spark.sql("SELECT count(DISTINCT event_id) FROM stream_dedup").collect()[0][0]
+        assert n == ids > 0
+    finally:
+        q.stop()

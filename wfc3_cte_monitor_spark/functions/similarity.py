@@ -7,10 +7,18 @@ Two paths, mirroring what a production corpus needs:
   built-in fold (`zip_with` + `aggregate`), JVM-side. At 100 TB you run
   this only for small query batches — which is exactly its shape: the
   corpus side streams, nothing shuffles but the tiny query table.
-- LSH-BUCKETED ANN (random-hyperplane signs): integer hyperplanes from a
-  deterministic formula (portable to the DuckDB oracle), bucket =
-  sign-bit vector; candidate generation is an equi-join on bucket id, so
-  the quadratic work is confined to buckets. The scale path.
+- LSH-BUCKETED ANN (random-hyperplane signs, MULTI-TABLE): L independent
+  hash tables of r hyperplanes each; a corpus vector is a candidate for a
+  query if they share ANY table's bucket. With per-plane agreement
+  probability p = 1 - θ/π, recall is 1-(1-p^r)^L — the table count L buys
+  recall, the planes-per-table r buys selectivity. Candidate generation
+  is an equi-join on (table_id, bucket), so the quadratic work is
+  confined to buckets; the corpus side is materialized L× (the standard
+  LSH index layout) while the query side is broadcast.
+
+The hyperplanes are fixed Gaussian draws embedded as identical literals
+in the Spark plan and the DuckDB oracle — LSH structure is a constant,
+not a runtime random, so the whole ANN path is oracle-checkable.
 
 Floating policy: float32 embeddings are widened to float64 (exact), both
 engines fold the dot product sequentially, outputs round to 6 decimals.
@@ -18,10 +26,14 @@ engines fold the dot product sequentially, outputs round to 6 decimals.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-N_PLANES = 4  # 16 buckets — sized for the synthetic corpus; parameter at scale
+N_TABLES = 8   # L
+N_PLANES = 2   # r (per table)
+_PLANE_SEED = 12345
 
 
 def _as_double(col: Column) -> Column:
@@ -43,30 +55,65 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
-def hyperplane(j: int, dim: int = 64) -> list[int]:
-    """Deterministic integer hyperplane — identical literal on both engines."""
-    return [((j * 131 + k * 17) % 13) - 6 for k in range(dim)]
+def hyperplanes(dim: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES):
+    """Fixed Gaussian hyperplanes, rounded to 6 decimals so the literal
+    text (and therefore the parsed double) is identical on both engines.
+    Shape: [table][plane][dim]."""
+    rng = np.random.default_rng(_PLANE_SEED)
+    return [
+        [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
 
 
-def bucket_expr(emb: Column, n_planes: int = N_PLANES, dim: int = 64) -> Column:
-    """LSH bucket id: bit j = (emb · hyperplane_j >= 0)."""
+def bucket_expr(emb: Column, table: int, dim: int = 64) -> Column:
+    """Bucket id within one LSH table: bit j = (emb · plane_j >= 0)."""
+    planes = hyperplanes(dim)[table]
     acc = F.lit(0)
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in hyperplane(j, dim)])
+    for j, plane_vals in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in plane_vals])
         bit = F.when(dot(_as_double(emb), plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         acc = acc + bit
     return acc.cast("int")
 
 
-def bucket_expr_sql(emb: str, n_planes: int = N_PLANES, dim: int = 64) -> str:
+def bucket_expr_sql(emb: str, table: int, dim: int = 64) -> str:
+    planes = hyperplanes(dim)[table]
     parts = []
-    for j in range(n_planes):
-        plane = "[" + ", ".join(f"{float(v)!r}" for v in hyperplane(j, dim)) + "]::DOUBLE[]"
+    for j, plane_vals in enumerate(planes):
+        plane = "[" + ", ".join(f"{v!r}" for v in plane_vals) + "]::DOUBLE[]"
         parts.append(
             f"CASE WHEN list_dot_product(CAST({emb} AS DOUBLE[]), {plane}) >= 0 "
             f"THEN {1 << j} ELSE 0 END"
         )
     return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
+def lsh_index(embeddings: DataFrame, id_col: str = "vec_id",
+              emb_col: str = "embedding", dim: int = 64,
+              n_tables: int = N_TABLES) -> DataFrame:
+    """Corpus → (id, v, table_id, bucket): the L-fold LSH index layout.
+    One projection, no shuffle; at scale this is written bucketed by
+    (table_id, bucket) so probes are partition-pruned scans."""
+    entries = F.array(*[
+        F.struct(F.lit(t).alias("table_id"), bucket_expr(F.col(emb_col), t, dim).alias("bucket"))
+        for t in range(n_tables)
+    ])
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("v"),
+        F.explode(entries).alias("_e"),
+    ).select("vec_id", "v", F.col("_e.table_id").alias("table_id"), F.col("_e.bucket").alias("bucket"))
+
+
+def lsh_index_sql(source: str, id_col: str = "vec_id", emb_col: str = "embedding",
+                  dim: int = 64, n_tables: int = N_TABLES) -> str:
+    rows = [
+        f"SELECT {id_col} AS vec_id, CAST({emb_col} AS DOUBLE[]) AS v,"
+        f" {t} AS table_id, {bucket_expr_sql(emb_col, t, dim)} AS bucket FROM {source}"
+        for t in range(n_tables)
+    ]
+    return " UNION ALL ".join(rows)
 
 
 def cosine_topk(embeddings: DataFrame, query_ids: list[int] | None = None,

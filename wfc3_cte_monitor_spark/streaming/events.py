@@ -1,0 +1,92 @@
+"""Structured Streaming surface over the events table (SURVEY §2.10).
+
+The reference is batch-only; "incremental" means re-running with upsert
+idempotency (run_uvis_external_cte.py:66-85). The streaming surface is
+additive: the SAME window plans registered as batch queries
+(plans/window_queries.py) run here under ``readStream`` with watermarks —
+DataFrame-first design means the logical plan is shared, only the source
+and trigger differ.
+
+Local testing drives the file source with ``processAllAvailable()`` and a
+memory sink; in production the source line becomes Kafka and the sink a
+``foreachBatch`` upsert (operators/upsert.py) for exactly-once MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events parquet physical schema (ts stored as TIMESTAMP(NANOS) → long).
+_EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns → µs truncation as in
+    sources/catalog.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows with late-data watermark — the
+    streaming twin of ev01_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (streaming twin of ev03_session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful natural-key dedup within the watermark — the streaming
+    form of the reference's insert-or-update idempotency (S7)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion against the memory sink
+    (local verification harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
