@@ -33,6 +33,17 @@ HEADLINE = [
     "a10_sessionize",
     "j01_fanout_join",
     "j02_pair_selfjoin",
+    "j07_epoch_band_join",
+    "j09_star_join",
+    "s07_upsert_merge",
+    "n01_quadratic_fit",
+    "d01_dedup_exact",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "e01_cosine_topk",
+    "e02_lsh_ann",
+    "t03_quality_score",
+    "ev03_session_window",
 ]
 
 

@@ -44,9 +44,17 @@ def minhash_signature(df: DataFrame, id_col: str, shingle_col: Column,
                       n_hashes: int = N_HASHES) -> DataFrame:
     """One row per id with columns mh_0..mh_{n-1} (the MinHash signature).
     Explode → hash → groupBy(min) — map-side combinable, single shuffle."""
-    exploded = df.select(id_col, F.explode(shingle_col).alias("_shingle"))
-    h31 = (portable_hash64(F.col("_shingle")) % MERSENNE31).alias("_h")
-    hashed = exploded.select(id_col, h31)
+    exploded = df.select(id_col, F.explode(shingle_col).alias("shingle"))
+    return minhash_signature_pairs(exploded, id_col, "shingle", n_hashes)
+
+
+def minhash_signature_pairs(pairs: DataFrame, id_col: str, shingle_col: str = "shingle",
+                            n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash from pre-exploded (id, shingle) rows — the hot path used
+    with text.exploded_shingles (codegen shingling, no per-element
+    lambda)."""
+    h31 = (portable_hash64(F.col(shingle_col)) % MERSENNE31).alias("_h")
+    hashed = pairs.select(id_col, h31)
     aggs = [
         F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_params(n_hashes))

@@ -107,11 +107,15 @@ def d02_ngram_jaccard(spark, sf_dir):
     tags=("dedup", "minhash", "lsh"),
 )
 def d03_minhash_lsh(spark, sf_dir):
-    """MinHash(16) over 3-word shingles → 4 LSH band keys per doc."""
+    """MinHash(16) over 3-word shingles → 4 LSH band keys per doc.
+    Shingling via posexplode + window lead (codegen) — the array-lambda
+    form runs interpreted and costs ~50× more per row."""
+    from ..functions.dedup import minhash_signature_pairs
+    from ..functions.text import exploded_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(
-        docs.select("doc_id", shingles("text", 3).alias("sh")), "doc_id", F.col("sh")
-    )
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sig = minhash_signature_pairs(sh, "doc_id")
     return lsh_bands(sig, "doc_id")
 
 

@@ -240,14 +240,21 @@ def j06_point_in_polygon(spark, sf_dir):
     tags=("J7",),
 )
 def j07_epoch_band_join(spark, sf_dir):
-    """Range join: facts to epoch dimension via |date - epoch| <= 30 days;
-    the tiny epoch dim is broadcast so the band join is map-side."""
+    """Range join: facts to epoch dimension via |date - epoch| <= 30 days.
+    Uses the banded equi-join rewrite (operators/band_join.py) — a naive
+    range condition plans as a BroadcastNestedLoopJoin, O(|facts|·|epochs|)."""
+    from ..operators.band_join import band_join
+
     o = load_table(spark, sf_dir, "orders")
     epochs = o.select(F.date_trunc("month", "o_orderdate").alias("epoch")).distinct()
-    joined = o.join(
+    zero = F.lit("1970-01-01").cast("date")
+    joined = band_join(
+        o,
         F.broadcast(epochs),
-        (F.col("o_orderdate") >= F.col("epoch") - F.expr("INTERVAL 30 DAYS"))
-        & (F.col("o_orderdate") <= F.col("epoch") + F.expr("INTERVAL 30 DAYS")),
+        left_val=F.datediff(F.to_date("o_orderdate"), zero).cast("double"),
+        right_val=F.datediff(F.to_date("epoch"), zero).cast("double"),
+        band=30.0,
+        fan_side="right",
     )
     return (
         joined.groupBy("epoch")
