@@ -636,6 +636,28 @@ def n02_model_eval(spark, sf_dir):
     )
 
 
+# F-json — JSON scalar surface (additive; the reference has no JSON, but
+# the events.props column exercises Spark's JSON path expressions).
+@register(
+    "f02_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_value,
+           event_type,
+           CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("F-json",),
+)
+def f02_json_extract(spark, sf_dir):
+    """JSON field extraction from the props column (get_json_object)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id", k.alias("k_value"), "event_type", (k % 10).alias("k_bucket")
+    )
+
+
 # S7 — insert-or-update by natural key (database_update.py:214-255):
 # latest-wins merge, idempotent on re-run.
 @register(

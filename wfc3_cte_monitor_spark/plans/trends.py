@@ -1,0 +1,145 @@
+"""Trend/model layer (SURVEY.md §3.3): epoch-banded slope retrieval and
+the empirical-model fit over the domain tables.
+
+Mirrors ``plot_cteslope_vs_time_setup`` / ``plot_cteslope_vs_logflux_setup``
+(wfc3_cte_monitor/uvis_external_cte_plots.py:1297-1445, :1450-1674): the
+reference loops targets × proposals × exptimes × dateobs issuing per-cell
+queries; here each layer is one DataFrame plan —
+
+  epochs   = pairwise-merged session dimension (find_epochs quirk intact)
+  banded   = observations band-joined to epochs (±30 days)
+  slopes   = Results (long view) joined to the banded pair modes
+  fit      = 9-coefficient polyfit2d per mode group (applyInPandas)
+  eval     = closed-form model evaluation column (N2)
+
+Stderr conventions preserved per query (SURVEY §2 F13): cte-vs-time uses
+stdev/n (uvis_external_cte_plots.py:1413), logflux uses stdev/sqrt(n)
+(:1633) — an intentional reference inconsistency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.band_join import band_join
+from ..operators.phot_layout import phot_wide_to_long  # noqa: F401  (re-export convenience)
+from ..operators.polyfit import polyfit2d
+from ..operators.sessionize import find_epochs_pairwise
+
+
+def epoch_dimension(fileinfo: DataFrame, gap: float = 30.0) -> DataFrame:
+    """Distinct observation dates → pairwise-merged epochs per target
+    (find_epochs, uvis_external_cte_plots.py:2173-2212)."""
+    return find_epochs_pairwise(fileinfo, "dateobs", ["targname"], gap=gap)
+
+
+def observations_by_epoch(fileinfo: DataFrame, epochs: DataFrame, band: float = 30.0) -> DataFrame:
+    """Band-join exposures to their epoch (J7): |dateobs - epoch| <= band.
+    The epoch dimension is tiny → broadcast fan-out side."""
+    return band_join(
+        fileinfo,
+        F.broadcast(epochs.withColumnRenamed("targname", "epoch_targname")),
+        left_val=F.col("dateobs").cast("double"),
+        right_val=F.col("epoch"),
+        band=band,
+        fan_side="right",
+    ).where(F.col("targname") == F.col("epoch_targname")).drop("epoch_targname")
+
+
+def results_long_view(results_wide: DataFrame) -> DataFrame:
+    """Wide Results → long (pair, aperture, fluxbin, slope, stdev, n) via
+    one stack projection."""
+    from ..schemas import FLUXBIN_LABELS
+
+    triples = ", ".join(
+        f"'{b}', slope_{b}, slopestdev_{b}, numpoints_{b}" for b in FLUXBIN_LABELS
+    )
+    stack = (
+        f"stack({len(FLUXBIN_LABELS)}, {triples})"
+        " AS (fluxbin, slope, slopestdev, num_points)"
+    )
+    return results_wide.selectExpr(
+        "targname", "imagename_1", "imagename_2", "aperture", stack
+    )
+
+
+def cte_slope_vs_time(fileinfo: DataFrame, results_wide: DataFrame,
+                      epochs: DataFrame) -> DataFrame:
+    """Slope trend per (target, epoch, fluxbin): pair modes band-joined to
+    epochs, slopes pulled from Results; stderr = stdev / n (:1413)."""
+    from .pipeline import query_for_pair
+
+    pairs = query_for_pair(fileinfo).select(
+        "targname", "dateobs", "exptime", "ctecorr", "imagename_1", "imagename_2"
+    )
+    obs = band_join(
+        pairs,
+        F.broadcast(epochs.withColumnRenamed("targname", "epoch_targname")),
+        left_val=F.col("dateobs").cast("double"),
+        right_val=F.col("epoch"),
+        band=30.0,
+        fan_side="right",
+    ).where(F.col("targname") == F.col("epoch_targname"))
+    slopes = results_long_view(results_wide)
+    joined = obs.join(slopes, ["targname", "imagename_1", "imagename_2"])
+    return (
+        joined.where(F.col("num_points") > 0)
+        .groupBy("targname", "epoch", "fluxbin")
+        .agg(
+            F.avg("slope").alias("mean_slope"),
+            F.avg(F.col("slopestdev") / F.col("num_points")).alias("mean_stderr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
+                         results_wide: DataFrame, epochs: DataFrame,
+                         aperture: int = 3) -> DataFrame:
+    """Slope vs log-flux per epoch: per (epoch, fluxbin) the mean log10
+    net flux (A2/A4 path, :1610-1613) against the stored slope;
+    stderr = stdev / sqrt(n) (:1633)."""
+    from .pipeline import query_for_pair
+
+    pairs = query_for_pair(fileinfo).select("targname", "dateobs", "imagename_1", "imagename_2")
+    obs = band_join(
+        pairs,
+        F.broadcast(epochs.withColumnRenamed("targname", "epoch_targname")),
+        left_val=F.col("dateobs").cast("double"),
+        right_val=F.col("epoch"),
+        band=30.0,
+        fan_side="right",
+    ).where(F.col("targname") == F.col("epoch_targname"))
+
+    p = phot_long.where(F.col("radius") == aperture).select(
+        F.col("imagename").alias("imagename_1"),
+        (F.col("flux") - F.col("totbkgrd")).alias("net_flux"),
+    )
+    flux_per_pair = obs.join(p, "imagename_1").groupBy(
+        "targname", "epoch", "imagename_1", "imagename_2"
+    ).agg(F.avg("net_flux").alias("mean_flux"))
+
+    slopes = results_long_view(results_wide)
+    joined = flux_per_pair.join(slopes, ["targname", "imagename_1", "imagename_2"])
+    return (
+        joined.where(F.col("num_points") > 0)
+        .groupBy("targname", "epoch", "fluxbin")
+        .agg(
+            F.avg(F.log10("mean_flux")).alias("mean_logflux"),
+            F.avg("slope").alias("mean_slope"),
+            F.avg(F.col("slopestdev") / F.sqrt(F.col("num_points"))).alias("mean_stderr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+def fit_empirical_model(trend: DataFrame, d_col: str = "epoch",
+                        f_col: str = "mean_logflux", s_col: str = "mean_slope",
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """9-coefficient 2-D polynomial fit per group (N1;
+    fit_empirical_model uvis_external_cte_plots.py:596-778) — the
+    coefficients DataFrame replaces the reference's loose coeff txt files
+    (S6)."""
+    d = trend.withColumn("_d", F.col(d_col) - 55400.0)  # MJD offset (:605-609)
+    return polyfit2d(d, "_d", f_col, s_col, group_cols or ["targname"])
