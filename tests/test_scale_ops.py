@@ -1,0 +1,105 @@
+"""Scale-posture operators: header derivations, salting, bucketed writes,
+band join correctness on random data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from wfc3_cte_monitor_spark.operators.band_join import band_join
+from wfc3_cte_monitor_spark.operators.salting import salted_join
+from wfc3_cte_monitor_spark.sources.header_derive import derive_fileinfo_columns, totbkgrd_expr
+
+
+def test_header_derivations(spark):
+    headers = spark.createDataFrame(
+        [
+            ("iabc01x_flc.fits", 56123.77, 0.0, 360.0, "012", "NGC104", "NO"),
+            ("iabc01y_flt.fits", 56123.88, 82.06, 30.0, "000", "NGC104", "NO"),
+            ("iabc01z_flt.fits", 56200.10, 0.0, 360.0, "000", "NGC104", "CONT"),
+        ],
+        "imagename string, expstart double, postarg2 double, exptime double,"
+        " flashlvl string, targname string, chinject string",
+    )
+    out = {r.imagename: r for r in derive_fileinfo_columns(headers, flashlvl_desired=0).collect()}
+    r1 = out["iabc01x_flc.fits"]
+    assert (r1.dateobs, r1.chip, r1.ctecorr, r1.exp_length) == (56123, 1, 1, "l")
+    assert r1.skip_reason == "false_flashlvl"  # flashlvl 12 != desired 0
+    r2 = out["iabc01y_flt.fits"]
+    assert (r2.dateobs, r2.chip, r2.ctecorr, r2.exp_length) == (56123, 2, 0, "s")
+    assert r2.skip_reason is None and r2.flashlvl == 0
+    r3 = out["iabc01z_flt.fits"]
+    assert r3.skip_reason == "false_chinject"
+    assert r3.targname == "ngc104"
+
+
+def test_totbkgrd_expr(spark):
+    import math
+
+    df = spark.createDataFrame([(2.0, 3.0)], "mnbkgrd double, radius double")
+    got = df.select(totbkgrd_expr(F.col("mnbkgrd"), F.col("radius")).alias("t")).first().t
+    assert abs(got - 2.0 * math.pi * 9.0) < 1e-9
+
+
+def test_salted_join_equals_plain_join(spark):
+    rng = np.random.default_rng(5)
+    # skewed big side: key 1 is 100x hotter
+    big_rows = [(int(k), float(v)) for k, v in zip(
+        np.concatenate([np.ones(1000), rng.integers(2, 50, 200)]),
+        rng.normal(0, 1, 1200),
+    )]
+    big = spark.createDataFrame(big_rows, "k int, v double")
+    small = spark.createDataFrame([(i, f"dim_{i}") for i in range(50)], "k int, name string")
+    plain = {(r.k, r.v, r.name) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(big, small, ["k"], n_salts=4).collect()}
+    assert plain == salted
+    assert len(salted) == 1200
+
+
+def test_salted_join_deterministic(spark):
+    big = spark.createDataFrame([(1, float(i)) for i in range(100)], "k int, v double")
+    small = spark.createDataFrame([(1, "x")], "k int, name string")
+    a = sorted(salted_join(big, small, ["k"]).collect())
+    b = sorted(salted_join(big, small, ["k"]).collect())
+    assert a == b  # deterministic salt (hash, not rand) — safe under retries
+
+
+def test_band_join_equals_naive(spark):
+    rng = np.random.default_rng(11)
+    left = spark.createDataFrame([(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 1000, 300))], "lid int, lv double")
+    right = spark.createDataFrame([(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 1000, 40))], "rid int, rv double")
+    band = 37.5
+    naive = {(r.lid, r.rid) for r in left.join(right, F.abs(F.col("lv") - F.col("rv")) <= band).collect()}
+    banded = {(r.lid, r.rid) for r in band_join(left, right, F.col("lv"), F.col("rv"), band).collect()}
+    assert naive == banded and naive
+
+
+def test_bucketed_write_avoids_join_shuffle(spark, tmp_path):
+    """Bucketing posture: co-located join via bucketBy — at 100 TB this is
+    how the phot<->fileinfo join avoids re-shuffling every query."""
+    import shutil
+    import uuid
+
+    # no persistent metastore across sessions: a stale warehouse dir from a
+    # prior run would collide — unique table names + cleanup
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"t_bucketed_a_{suffix}", f"t_bucketed_b_{suffix}"
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(ta)
+    df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(tb)
+    # small tables would auto-broadcast (which also skips the shuffle);
+    # disable it to show the bucketed sort-merge path a 100 TB join takes
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(ta).join(spark.table(tb), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # bucketed join: no shuffle
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

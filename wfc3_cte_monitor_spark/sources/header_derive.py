@@ -1,0 +1,61 @@
+"""FITS-header → FileInfo column derivations (S1).
+
+Reference: ``create_param_dict`` walks ~20 header keywords per exposure
+and derives the observation-mode keys imperatively
+(wfc3_cte_monitor/run_image_extraction.py:148-443). The derivations are
+pure functions of header values, so here they're `withColumn`
+expressions over a header table — per-exposure Python becomes one
+vectorized projection that Catalyst folds into the scan:
+
+- ``dateobs``  = first 5 digits of EXPSTART (MJD day)      (:308-310)
+- ``chip``     = 2 if |POSTARG2| <= 0.1 else 1 (dither)    (:358-375)
+- ``ctecorr``  = 1 for *_flc.fits, 0 for *_flt.fits        (:378-381)
+- ``exp_length`` = 's' if EXPTIME <= 60 else 'l'           (:384-387)
+- ``flashlvl`` = int (the reference zero-pads into a Float column,
+  :421 — normalized per SURVEY §1.2)
+- ``targname`` = lowercased                                 (:1054)
+
+Skip-sentinels: the reference returns ``'false_*'`` strings to mark
+unusable exposures (:274-340); here that's a ``skip_reason`` column —
+NULL means usable — so downstream filters are explicit predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def derive_fileinfo_columns(headers: DataFrame,
+                            flashlvl_desired: float | None = None) -> DataFrame:
+    """headers(imagename, expstart, postarg2, exptime, flashlvl, targname,
+    chinject, ...) → + (dateobs, chip, ctecorr, exp_length, skip_reason)."""
+    dateobs = F.substring(F.col("expstart").cast("string"), 1, 5).cast("int")
+    chip = F.when(F.abs(F.col("postarg2")) <= 0.1, 1).otherwise(2)
+    ctecorr = F.when(F.col("imagename").contains("_flc"), 1).otherwise(0)
+    exp_length = F.when(F.col("exptime") <= 60, "s").otherwise("l")
+
+    skip = F.lit(None).cast("string")
+    if flashlvl_desired is not None:
+        skip = F.when(
+            F.col("flashlvl").cast("int") != int(flashlvl_desired), "false_flashlvl"
+        ).otherwise(skip)
+    skip = F.when(F.col("chinject") != "NO", "false_chinject").otherwise(skip)
+
+    return (
+        headers.withColumn("dateobs", dateobs)
+        .withColumn("chip", chip)
+        .withColumn("ctecorr", ctecorr)
+        .withColumn("exp_length", exp_length)
+        .withColumn("flashlvl", F.col("flashlvl").cast("int"))
+        .withColumn("targname", F.lower("targname"))
+        .withColumn("skip_reason", skip)
+    )
+
+
+def totbkgrd_expr(mnbkgrd: Column, radius: Column) -> Column:
+    """A8: totbkgrd = mnbkgrd × circular-aperture area (π r²)
+    (wfc3_cte_monitor/database_update.py:506-509, IRAF path)."""
+    import math
+
+    return mnbkgrd * (F.lit(math.pi) * radius * radius)
