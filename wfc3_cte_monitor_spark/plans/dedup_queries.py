@@ -119,6 +119,75 @@ def d03_minhash_lsh(spark, sf_dir):
     return lsh_bands(sig, "doc_id")
 
 
+# D5 — MinHash accuracy: estimated vs exact Jaccard on high-overlap pairs
+# (unigram signatures so the estimate targets the same token-set Jaccard
+# d02 computes exactly).
+def _d05_sql() -> str:
+    from ..functions.dedup import N_HASHES
+
+    sig = minhash_signature_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)", "doc_id",
+        f"list_distinct({tokens_sql('text')})",
+    )
+    agree = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    return f"""
+    WITH sig AS ({sig}),
+    toks AS (
+        SELECT doc_id, list_sort(list_distinct({tokens_sql('text')})) AS t
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.t, b.t))::DOUBLE
+                   / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.jaccard, 6) AS jaccard,
+           round(({agree}) / {float(N_HASHES)}, 6) AS minhash_est
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    WHERE p.jaccard >= 0.8
+    """
+
+
+@register("d05_minhash_accuracy", oracle=_d05_sql(), tags=("dedup", "minhash"))
+def d05_minhash_accuracy(spark, sf_dir):
+    """Estimated (signature-agreement) vs exact Jaccard side by side for
+    high-overlap pairs — the quality check a production dedup pipeline
+    runs on a sample before trusting LSH at full scale."""
+    from ..functions.dedup import N_HASHES, minhash_signature
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    toks = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
+    sig = minhash_signature(toks, "doc_id", F.col("t"))
+
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(N_HASHES)])
+    est = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(N_HASHES)
+    ) / float(N_HASHES)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round(est, 6).alias("minhash_est"),
+        )
+    )
+
+
 # D4 — 16-bit SimHash per document.
 @register(
     "d04_simhash",

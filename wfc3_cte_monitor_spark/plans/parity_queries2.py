@@ -636,6 +636,63 @@ def n02_model_eval(spark, sf_dir):
     )
 
 
+# A14 — rollup aggregation (free-from-Spark surface noted in SURVEY §2.4:
+# the reference has no grouping sets; Catalyst provides them).
+@register(
+    "a14_rollup",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A14", "rollup"),
+)
+def a14_rollup(spark, sf_dir):
+    """Hierarchical totals via rollup (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+# W4 — running cumulative total per group (window frame surface).
+@register(
+    "w04_running_total",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_revenue
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("W4",),
+)
+def w04_running_total(spark, sf_dir):
+    """Cumulative revenue per priority (exact decimal running sum)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select("o_orderpriority", "o_orderkey", running.alias("running_revenue"))
+
+
 # F-json — JSON scalar surface (additive; the reference has no JSON, but
 # the events.props column exercises Spark's JSON path expressions).
 @register(
