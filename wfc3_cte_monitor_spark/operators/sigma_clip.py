@@ -47,6 +47,39 @@ def sigma_clip(
     return df
 
 
+def sigma_clip_fixpoint(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    sigma: float = 4.0,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Exact scipy-fixpoint semantics (iterate until no row is removed) as
+    a grouped pandas UDF — the fallback SURVEY §7.3 names for groups where
+    the bounded unrolling might not have converged. The declarative
+    :func:`sigma_clip` is preferred (oracle-expressible, no Python); this
+    variant exists for strict scipy.stats.sigmaclip parity
+    (uvis_external_cte_plots.py:174-181)."""
+    import pandas as pd
+
+    schema = df.schema
+
+    def clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = pdf
+        for _ in range(max_iters):
+            v = keep[value_col].to_numpy(dtype=float)
+            mu, sd = v.mean(), v.std()
+            mask = (v > mu - sigma * sd) & (v < mu + sigma * sd)
+            if mask.all():
+                break
+            keep = keep[mask]
+            if keep.empty:
+                break
+        return keep
+
+    return df.groupBy(*group_cols).applyInPandas(clip, schema=schema)
+
+
 def sigma_clip_sql(
     source: str,
     value_col: str,
