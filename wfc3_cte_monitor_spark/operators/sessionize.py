@@ -43,11 +43,22 @@ def sessionize(
     partitioning/ordering so they pipeline into a single sort.
     """
     w = Window.partitionBy(*group_cols).orderBy(ts_col)
-    prev = F.lag(ts_col).over(w)
     if gap_expr is None:
-        gap_expr = F.col(ts_col).cast("double") - prev.cast("double")
+        dt = dict(df.dtypes).get(ts_col, "")
+        # TIMESTAMP_NTZ has no direct double cast; hop through ltz (session
+        # timezone is pinned UTC by session.prepare, so the hop is exact)
+        secs = (
+            F.col(ts_col).cast("timestamp").cast("double")
+            if dt.startswith("timestamp")
+            else F.col(ts_col).cast("double")
+        )
+        gap_expr = secs - F.lag(secs).over(w)
+    prev = F.lag(ts_col).over(w)
     is_new = F.when(prev.isNull() | (gap_expr >= gap), 1).otherwise(0)
-    return df.withColumn("session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
 
 
 def sessionize_sql(source: str, ts_col: str, group_cols: Sequence[str], gap_seconds: float) -> str:

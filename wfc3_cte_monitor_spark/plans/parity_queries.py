@@ -288,7 +288,7 @@ def a07_pivot_wide(spark, sf_dir):
 @register(
     "a10_sessionize",
     oracle="""
-    SELECT user_id, session_id,
+    SELECT user_id, session_id::BIGINT AS session_id,
            count(*)::BIGINT AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end

@@ -157,7 +157,7 @@ def j03_matching_lookup(spark, sf_dir):
                                   ORDER BY l_orderkey * 10 + l_linenumber) AS pair_rank
         FROM lineitem
     )
-    SELECT a.l_returnflag, a.l_linestatus, a.pair_rank,
+    SELECT a.l_returnflag, a.l_linestatus, a.pair_rank::INT AS pair_rank,
            a.uid AS uid_1, b.uid AS uid_2
     FROM ranked a JOIN ranked b
       ON a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
@@ -335,14 +335,14 @@ def j09_star_join(spark, sf_dir):
 @register(
     "a09_bkgrd_profile",
     oracle=f"""
-    SELECT bkgrd_bin,
+    SELECT CAST(bkgrd_bin AS BIGINT) AS bkgrd_bin,
            {davg_sql('l_extendedprice')} AS mean_flux,
            round(stddev_pop(l_extendedprice) / 10, 6) AS sigma_tenth,
            count(*)::BIGINT AS n_in_bin
     FROM ({sigma_clip_sql(
         "(SELECT floor(l_quantity / 10) AS bkgrd_bin, l_extendedprice FROM lineitem)",
         "l_extendedprice", ["bkgrd_bin"], sigma=1.3, iterations=3)})
-    GROUP BY bkgrd_bin
+    GROUP BY CAST(bkgrd_bin AS BIGINT)
     """,
     tags=("A9", "A3", "A4"),
 )
@@ -539,7 +539,7 @@ def u03_union(spark, sf_dir):
            CASE WHEN l_quantity <= 25 THEN 's' ELSE 'l' END AS exp_length,
            round(log10(l_extendedprice), 6) AS log_flux,
            abs(l_discount - 0.05) <= 0.02 AS near_nominal,
-           date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS mjd_day,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS mjd_day,
            l_extendedprice - l_quantity * 10 AS net_flux,
            round((l_extendedprice / l_quantity) * 0.5 * 2048, 6) AS rescaled_ratio,
            regexp_extract(concat('/data/', l_returnflag, '/', CAST(l_orderkey AS VARCHAR), '_flc.fits'), '[^/]+$') AS basename,

@@ -46,7 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # → TIMESTAMP_NTZ to match the other tables' parquet timestamps
+            # and DuckDB's naive TIMESTAMP (session TZ pinned to UTC by
+            # session.prepare, so the ltz→ntz hop is deterministic)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
