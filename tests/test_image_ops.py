@@ -15,6 +15,16 @@ from wfc3_cte_monitor_spark.operators.image_ops import (
 from wfc3_cte_monitor_spark.operators.sigma_clip import sigma_clip, sigma_clip_fixpoint
 
 
+def test_apply_pam(spark):
+    from wfc3_cte_monitor_spark.operators.image_ops import apply_pam
+
+    df = spark.createDataFrame(
+        [([10.0, 20.0, 30.0], [1.0, 0.5, 2.0])], "pix array<double>, pam array<double>"
+    )
+    got = df.select(apply_pam(F.col("pix"), F.col("pam")).alias("c")).first().c
+    assert got == [10.0, 10.0, 60.0]
+
+
 def test_rd2xy_affine(spark):
     wcs = spark.createDataFrame(
         [("im1", 6.0, -72.0, 100.0, 0.0, 2048.0, 0.0, -100.0, 1024.0)],

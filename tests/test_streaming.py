@@ -50,6 +50,38 @@ def test_stream_sessions_match_batch(spark, sf_smoke, events_stream):
         q.stop()
 
 
+def test_foreachbatch_upsert_sink(spark, events_stream, tmp_path):
+    """Exactly-once sink pattern: each micro-batch MERGEs into a parquet
+    table by natural key (the streaming form of S7) — re-processing the
+    same batch leaves the table unchanged."""
+    from pyspark.sql import functions as F
+
+    from wfc3_cte_monitor_spark.operators.upsert import upsert
+
+    target = str(tmp_path / "events_merged")
+
+    def merge_batch(batch_df, epoch_id):
+        batch = batch_df.withColumn("version", F.lit(epoch_id).cast("int"))
+        try:
+            base = spark.read.parquet(target)
+        except Exception:
+            base = None
+        merged = batch if base is None else upsert(base, batch, ["event_id"], "version")
+        merged.write.mode("overwrite").parquet(target + "_tmp")
+        spark.read.parquet(target + "_tmp").write.mode("overwrite").parquet(target)
+
+    q = (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    merged = spark.read.parquet(target)
+    n, nd = merged.count(), merged.select("event_id").distinct().count()
+    assert n == nd > 0
+
+
 def test_stream_dedup_drops_duplicate_keys(spark, events_stream):
     q = run_to_memory(stream_dedup(events_stream), "stream_dedup", "append")
     try:

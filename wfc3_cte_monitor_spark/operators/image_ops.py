@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 GOOD_DQ = (0, 32)
 
 
+def apply_pam(pixels: Column, pam: Column) -> Column:
+    """S2: pixel-area-map correction — elementwise multiply of the chip
+    array by the PAM array (run_image_extraction.py:93-143). One
+    ``zip_with`` pass; the reference loads both as full numpy arrays per
+    image and multiplies in driver memory."""
+    return F.zip_with(pixels, pam, lambda p, a: p * a)
+
+
 def rd2xy(sources: DataFrame, wcs: DataFrame, ra: str = "ra", dec: str = "dec") -> DataFrame:
     """Sky→pixel for every (source, image) via per-image affine WCS:
     x = ax·(ra-ra0) + bx·(dec-dec0) + x0 ; y analogous.

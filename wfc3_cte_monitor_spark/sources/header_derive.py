@@ -43,7 +43,8 @@ def derive_fileinfo_columns(headers: DataFrame,
     skip = F.when(F.col("chinject") != "NO", "false_chinject").otherwise(skip)
 
     return (
-        headers.withColumn("dateobs", dateobs)
+        headers.withColumn("ingest_date", F.current_date())  # F7 (database_update.py:298)
+        .withColumn("dateobs", dateobs)
         .withColumn("chip", chip)
         .withColumn("ctecorr", ctecorr)
         .withColumn("exp_length", exp_length)
