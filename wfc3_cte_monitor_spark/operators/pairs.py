@@ -71,18 +71,24 @@ def rank_pairing(
     df: DataFrame,
     group_cols: Sequence[str],
     side_col: str | Column,
-    order_col: str,
+    order_col: str | Sequence[str],
     payload: Sequence[str],
 ) -> DataFrame:
     """Positional pairing: rank rows by ``order_col`` within
     (group, side) and inner-join side TRUE to side FALSE on
     (group, rank). ``side_col`` may be a boolean Column expression (the
     reference splits on a visit-substring test, database_queries.py:736-737).
+
+    ``order_col`` accepts a composite (list) — it must be a TOTAL order
+    within each (group, side): row_number breaks ties arbitrarily, so a
+    non-unique order makes the pairing nondeterministic (and
+    engine-dependent).
     """
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
     side = F.col(side_col) if isinstance(side_col, str) else side_col
     ranked = df.withColumn("_side", side).withColumn(
         "pair_rank",
-        F.row_number().over(Window.partitionBy(*group_cols, "_side").orderBy(order_col)),
+        F.row_number().over(Window.partitionBy(*group_cols, "_side").orderBy(*order)),
     )
     left = ranked.where(F.col("_side")).select(
         *group_cols, "pair_rank", *[F.col(c).alias(f"{c}_1") for c in payload]

@@ -29,6 +29,14 @@ register(
     tags=("flagship", "J2", "J5", "A4", "A5", "A6"),
 )(cte_slope_pairs)
 
+from .cte_slopes_180 import cte_slope_180pairs, cte_slope_180pairs_oracle  # noqa: E402
+
+register(
+    "cs02_cte_slope_180pairs",
+    oracle=cte_slope_180pairs_oracle(),
+    tags=("flagship", "J4", "W2", "A4", "A5", "A6"),
+)(cte_slope_180pairs)
+
 
 # ---------------------------------------------------------------------------
 # Q1/A1 — project + distinct over dates (database_queries.py:87-107;
