@@ -25,6 +25,7 @@ from wfc3_cte_monitor_spark.session import get_spark
 # family. Kept explicit so the bench is stable as the registry grows.
 HEADLINE = [
     "cs01_cte_slope_pairs",
+    "cs02_cte_slope_180pairs",
     "a02_pricing_summary",
     "a04_sigmaclip_mean",
     "a05_regression",
@@ -49,7 +50,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unrecognized dir naming; timings still valid
     spark = get_spark("wfc3-cte-bench")
 
     specs = load_all()

@@ -84,13 +84,17 @@ def d02_ngram_jaccard(spark, sf_dir):
     t = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
     a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     b = t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.size("ta") + F.size("tb") - inter
-    jac = inter.cast("double") / union
+    # materialize the intersection size once per pair — re-inlining it in
+    # the filter AND the projection triples the array work (measured 16s
+    # → ~6s at sf0.1)
+    joined = a.join(b, F.col("doc_a") < F.col("doc_b")).withColumn(
+        "_inter", F.size(F.array_intersect("ta", "tb"))
+    )
+    jac = F.col("_inter").cast("double") / (F.size("ta") + F.size("tb") - F.col("_inter"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        joined.withColumn("_jac", jac)
+        .where(F.col("_jac") >= 0.8)
+        .select("doc_a", "doc_b", F.round("_jac", 6).alias("jaccard"))
     )
 
 
@@ -165,12 +169,14 @@ def d05_minhash_accuracy(spark, sf_dir):
 
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    jac = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    joined = a.join(b, F.col("doc_a") < F.col("doc_b")).withColumn(
+        "_inter", F.size(F.array_intersect("ta", "tb"))
+    )
+    jac = F.col("_inter").cast("double") / (F.size("ta") + F.size("tb") - F.col("_inter"))
     pairs = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(jac >= 0.8)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(N_HASHES)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(N_HASHES)])
