@@ -19,6 +19,9 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # a caller session with the 200-partition default over-parallelizes the
+    # small-SF gates; AQE coalescing mostly fixes it, but pinning is cheaper
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
