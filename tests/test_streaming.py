@@ -82,6 +82,38 @@ def test_foreachbatch_upsert_sink(spark, events_stream, tmp_path):
     assert n == nd > 0
 
 
+def test_stateful_running_profile(spark, sf_smoke, events_stream):
+    """applyInPandasWithState: per-user running totals must equal the
+    batch aggregation after one pass over the data."""
+    from pyspark.sql import functions as F
+
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+    from wfc3_cte_monitor_spark.streaming.stateful import running_user_profile
+
+    q = run_to_memory(running_user_profile(events_stream), "stream_profile", "update")
+    try:
+        got = {
+            r.user_id: (r.n_events, round(r.sum_value, 6))
+            for r in spark.sql(
+                # latest emission per user (one per micro-batch)
+                """SELECT user_id, n_events, sum_value FROM (
+                       SELECT *, row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY n_events DESC) rn
+                       FROM stream_profile) WHERE rn = 1"""
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.n, round(r.s, 6))
+            for r in load_table(spark, sf_smoke, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
 def test_stream_dedup_drops_duplicate_keys(spark, events_stream):
     q = run_to_memory(stream_dedup(events_stream), "stream_dedup", "append")
     try:
