@@ -693,6 +693,31 @@ def w04_running_total(spark, sf_dir):
     return o.select("o_orderpriority", "o_orderkey", running.alias("running_revenue"))
 
 
+# O2 — exact interpolated percentiles per group (additive; both engines
+# implement the same linear-interpolation definition).
+@register(
+    "o02_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max
+    FROM events GROUP BY event_type
+    """,
+    tags=("O2", "percentile"),
+)
+def o02_percentiles(spark, sf_dir):
+    """Exact (interpolated) p50/p90 per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+
+
 # F-json — JSON scalar surface (additive; the reference has no JSON, but
 # the events.props column exercises Spark's JSON path expressions).
 @register(
