@@ -30,8 +30,13 @@ CLIP_ITERS = 3
 def cte_slope_180pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (mode, fluxbin): σ-clipped regression slope of the visit1/visit2
     flux ratio vs y-position, pairs formed by rank within side."""
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "uid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        # project BEFORE the rank window: the sort shuffles every carried
+        # column, and only these survive to the output
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice", "l_quantity", "l_partkey", "l_suppkey")
+        .withColumn("uid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
     )
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
     # the order must be total or the pairing is engine-dependent
