@@ -69,12 +69,12 @@ def test_results_recovers_planted_slope(spark, fixtures):
 
 def _sigmaclip_reference(vals: np.ndarray, n_sigma: float, iters: int) -> np.ndarray:
     """Literal numpy port of the scipy.stats.sigmaclip loop the reference
-    relies on (uvis_external_cte_plots.py:174-181): strict bounds
+    relies on (uvis_external_cte_plots.py:174-181): INCLUSIVE keep bounds
     mean ± n·std (population std), re-evaluated each pass."""
     c = vals.astype(float)
     for _ in range(iters):
         mu, sd = c.mean(), c.std()
-        kept = c[(c > mu - n_sigma * sd) & (c < mu + n_sigma * sd)]
+        kept = c[(c >= mu - n_sigma * sd) & (c <= mu + n_sigma * sd)]
         if kept.size == c.size:
             break
         c = kept

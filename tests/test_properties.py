@@ -27,7 +27,8 @@ def _sigmaclip_ref(vals, n_sigma, iters):
     c = np.asarray(vals, dtype=float)
     for _ in range(iters):
         mu, sd = c.mean(), c.std()
-        kept = c[(c > mu - n_sigma * sd) & (c < mu + n_sigma * sd)]
+        # scipy.stats.sigmaclip keeps with INCLUSIVE bounds
+        kept = c[(c >= mu - n_sigma * sd) & (c <= mu + n_sigma * sd)]
         if kept.size == c.size:
             break
         c = kept

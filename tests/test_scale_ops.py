@@ -19,20 +19,30 @@ def test_header_derivations(spark):
             ("iabc01x_flc.fits", 56123.77, 0.0, 360.0, "012", "NGC104", "NO"),
             ("iabc01y_flt.fits", 56123.88, 82.06, 30.0, "000", "NGC104", "NO"),
             ("iabc01z_flt.fits", 56200.10, 0.0, 360.0, "000", "NGC104", "CONT"),
+            ("iabc01w_flt.fits", 56200.10, 5.0, 360.0, "000", "NGC104", "NO"),
+            ("ixsq01a_flt.fits", 56300.20, 5.0, 360.0, "000", "NGC6583-X", "NO"),
         ],
         "imagename string, expstart double, postarg2 double, exptime double,"
         " flashlvl string, targname string, chinject string",
     )
     out = {r.imagename: r for r in derive_fileinfo_columns(headers, flashlvl_desired=0).collect()}
+    # run_image_extraction.py:358-375: |postarg2| <= 0.1 → chip 2 (NOT
+    # y-dithered); |postarg2| >= 80 → chip 1 (dithered by a chip length)
     r1 = out["iabc01x_flc.fits"]
-    assert (r1.dateobs, r1.chip, r1.ctecorr, r1.exp_length) == (56123, 1, 1, "l")
+    assert (r1.dateobs, r1.chip, r1.ctecorr, r1.exp_length) == (56123, 2, 1, "l")
     assert r1.skip_reason == "false_flashlvl"  # flashlvl 12 != desired 0
     r2 = out["iabc01y_flt.fits"]
-    assert (r2.dateobs, r2.chip, r2.ctecorr, r2.exp_length) == (56123, 2, 0, "s")
+    assert (r2.dateobs, r2.chip, r2.ctecorr, r2.exp_length) == (56123, 1, 0, "s")
     assert r2.skip_reason is None and r2.flashlvl == 0
     r3 = out["iabc01z_flt.fits"]
     assert r3.skip_reason == "false_chinject"
     assert r3.targname == "ngc104"
+    # 0.1 < |postarg2| < 80 subdither range is unusable (:368-369)
+    r4 = out["iabc01w_flt.fits"]
+    assert r4.skip_reason == "false_subdither" and r4.chip is None
+    # 180° dataset ('6583'): chip hardcoded by imagename code (:348-356)
+    r5 = out["ixsq01a_flt.fits"]
+    assert r5.chip == 1 and r5.skip_reason is None
 
 
 def test_totbkgrd_expr(spark):

@@ -43,18 +43,30 @@ def bin_fanout(
     df: DataFrame,
     binspec: DataFrame,
     value_cols: Sequence[str],
-    inclusive_hi: bool = True,
+    strict: bool = True,
 ) -> DataFrame:
     """Broadcast cross-join ``df`` against the bin spec, keeping rows where
     EVERY column in ``value_cols`` falls inside the bin (the reference's
-    both-chips-in-bin rule). Reference indexes with ``lo <= x <= hi``
-    on numpy arrays (uvis_external_cte_plots.py:162-165)."""
+    both-chips-in-bin rule). Reference bins with STRICT inequalities —
+    ``x > fluxbins_lo[k] and x < fluxbins_hi[k]``
+    (uvis_external_cte_plots.py:162-165) — so a flux exactly on a shared
+    edge (500/1000/2000/4000/8000) belongs to NO bin; ``strict=False``
+    gives the inclusive variant."""
     cond = F.lit(True)
     for c in value_cols:
-        lo_ok = F.col(c) >= F.col("bin_lo")
-        hi_ok = (F.col(c) <= F.col("bin_hi")) if inclusive_hi else (F.col(c) < F.col("bin_hi"))
+        lo_ok = (F.col(c) > F.col("bin_lo")) if strict else (F.col(c) >= F.col("bin_lo"))
+        hi_ok = (F.col(c) < F.col("bin_hi")) if strict else (F.col(c) <= F.col("bin_hi"))
         cond = cond & lo_ok & hi_ok
     return df.join(F.broadcast(binspec), on=cond, how="inner")
+
+
+def bin_pred_sql(col: str, strict: bool = True) -> str:
+    """SQL twin of one column's bin-membership predicate."""
+    return (
+        f"{col} > b.bin_lo AND {col} < b.bin_hi"
+        if strict
+        else f"{col} >= b.bin_lo AND {col} <= b.bin_hi"
+    )
 
 
 def binspec_sql(bins: Sequence[tuple[float, float]] = FLUX_BINS) -> str:

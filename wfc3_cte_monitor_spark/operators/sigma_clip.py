@@ -1,8 +1,9 @@
 """Iterative sigma-clipping as a declarative DataFrame transform.
 
 Reference semantics: ``scipy.stats.sigmaclip(x, low=N, high=N)`` — keep
-``mean - N*std < x < mean + N*std`` (strict, population std), recompute and
-repeat until fixpoint (reference: wfc3_cte_monitor/uvis_external_cte_plots.py:174-181
+``mean - N*std <= x <= mean + N*std`` (INCLUSIVE bounds, population std;
+scipy removes only points strictly outside, so a zero-variance group is
+kept whole), recompute and repeat until fixpoint (reference: wfc3_cte_monitor/uvis_external_cte_plots.py:174-181
 at 4 sigma, :713-716 at 1.3 sigma). For a distributed, oracle-expressible
 operator we bound the iteration count (the reference data converges in <=3
 passes); the oracle SQL unrolls the same number of passes.
@@ -31,7 +32,7 @@ def sigma_clip(
 ) -> DataFrame:
     """Return ``df`` with rows outside ``mean ± sigma*stddev_pop`` of their
     group removed, re-evaluated ``iterations`` times (fixed count for
-    determinism; matches scipy's strict-inequality clip bounds)."""
+    determinism; matches scipy's inclusive keep condition)."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     w = Window.partitionBy(*group_cols)
     for _ in range(iterations):
@@ -39,8 +40,8 @@ def sigma_clip(
             df.withColumn("_mu", F.avg(value).over(w))
             .withColumn("_sd", F.stddev_pop(value).over(w))
             .where(
-                (value > F.col("_mu") - sigma * F.col("_sd"))
-                & (value < F.col("_mu") + sigma * F.col("_sd"))
+                (value >= F.col("_mu") - sigma * F.col("_sd"))
+                & (value <= F.col("_mu") + sigma * F.col("_sd"))
             )
             .drop("_mu", "_sd")
         )
@@ -69,7 +70,7 @@ def sigma_clip_fixpoint(
         for _ in range(max_iters):
             v = keep[value_col].to_numpy(dtype=float)
             mu, sd = v.mean(), v.std()
-            mask = (v > mu - sigma * sd) & (v < mu + sigma * sd)
+            mask = (v >= mu - sigma * sd) & (v <= mu + sigma * sd)
             if mask.all():
                 break
             keep = keep[mask]
@@ -100,7 +101,7 @@ def sigma_clip_sql(
                    stddev_pop({value_col}) OVER (PARTITION BY {part}) AS _sd{i}
             FROM ({body})
         )
-        WHERE {value_col} > _mu{i} - {sigma} * _sd{i}
-          AND {value_col} < _mu{i} + {sigma} * _sd{i}
+        WHERE {value_col} >= _mu{i} - {sigma} * _sd{i}
+          AND {value_col} <= _mu{i} + {sigma} * _sd{i}
         """
     return body

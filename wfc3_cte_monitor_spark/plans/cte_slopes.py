@@ -60,12 +60,21 @@ def cte_slope_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_groups = (
         pairs.select("mode").distinct().crossJoin(F.broadcast(spec.select("fluxbin")))
     )
+    # Zero-fill convention: the reference writes (0, 0, 0) for empty bins
+    # (uvis_external_cte_plots.py:198-201). Bins whose fit is invalid
+    # (n <= 2 or zero x-variance → NULL slope) are treated the same way —
+    # num_points is zeroed together with slope/slopestdev so rows are
+    # internally consistent (documented deviation: the reference would
+    # attempt linregress on n in {1,2} and emit nan).
     return all_groups.join(reg, ["mode", "fluxbin"], "left").select(
         "mode",
         "fluxbin",
         F.coalesce("slope", F.lit(0.0)).alias("slope"),
         F.coalesce("slopestdev", F.lit(0.0)).alias("slopestdev"),
-        F.coalesce(F.col("num_points"), F.lit(0)).cast("bigint").alias("num_points"),
+        F.when(F.col("slope").isNotNull(), F.col("num_points"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("num_points"),
     )
 
 
@@ -87,15 +96,15 @@ def cte_slope_pairs_oracle() -> str:
         SELECT p.*, b.fluxbin
         FROM pairs p
         JOIN {binspec_sql(FLUX_BINS)} b
-          ON p.flux_1 >= b.bin_lo AND p.flux_1 <= b.bin_hi
-         AND p.flux_2 >= b.bin_lo AND p.flux_2 <= b.bin_hi
+          ON p.flux_1 > b.bin_lo AND p.flux_1 < b.bin_hi
+         AND p.flux_2 > b.bin_lo AND p.flux_2 < b.bin_hi
     ),
     clipped AS ({clip}),
     reg AS ({reg})
     SELECT g.mode, g.fluxbin,
            coalesce(reg.slope, 0.0) AS slope,
            coalesce(reg.slopestdev, 0.0) AS slopestdev,
-           coalesce(reg.num_points, 0)::BIGINT AS num_points
+           (CASE WHEN reg.slope IS NOT NULL THEN reg.num_points ELSE 0 END)::BIGINT AS num_points
     FROM (SELECT DISTINCT p.mode, b.fluxbin FROM pairs p CROSS JOIN {binspec_sql(FLUX_BINS)} b) g
     LEFT JOIN reg ON g.mode = reg.mode AND g.fluxbin = reg.fluxbin
     """

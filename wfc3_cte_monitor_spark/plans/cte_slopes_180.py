@@ -63,7 +63,11 @@ def cte_slope_180pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fluxbin",
         F.coalesce("slope", F.lit(0.0)).alias("slope"),
         F.coalesce("slopestdev", F.lit(0.0)).alias("slopestdev"),
-        F.coalesce(F.col("num_points"), F.lit(0)).cast("bigint").alias("num_points"),
+        # invalid fits (NULL slope) zero num_points too — see cte_slopes.py
+        F.when(F.col("slope").isNotNull(), F.col("num_points"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("num_points"),
     )
 
 
@@ -94,15 +98,15 @@ def cte_slope_180pairs_oracle() -> str:
         SELECT p.*, b.fluxbin
         FROM pairs p
         JOIN {binspec_sql(FLUX_BINS)} b
-          ON p.flux_1 >= b.bin_lo AND p.flux_1 <= b.bin_hi
-         AND p.flux_2 >= b.bin_lo AND p.flux_2 <= b.bin_hi
+          ON p.flux_1 > b.bin_lo AND p.flux_1 < b.bin_hi
+         AND p.flux_2 > b.bin_lo AND p.flux_2 < b.bin_hi
     ),
     clipped AS ({clip}),
     reg AS ({reg})
     SELECT g.mode, g.fluxbin,
            coalesce(reg.slope, 0.0) AS slope,
            coalesce(reg.slopestdev, 0.0) AS slopestdev,
-           coalesce(reg.num_points, 0)::BIGINT AS num_points
+           (CASE WHEN reg.slope IS NOT NULL THEN reg.num_points ELSE 0 END)::BIGINT AS num_points
     FROM (SELECT DISTINCT p.mode, b.fluxbin FROM pairs p CROSS JOIN {binspec_sql(FLUX_BINS)} b) g
     LEFT JOIN reg ON g.mode = reg.mode AND g.fluxbin = reg.fluxbin
     """

@@ -244,7 +244,7 @@ def a05_regression(spark, sf_dir):
            {davg_sql('l.l_extendedprice')} AS mean_flux
     FROM lineitem l
     JOIN {binspec_sql(FLUX_BINS)} b
-      ON l.l_extendedprice >= b.bin_lo AND l.l_extendedprice <= b.bin_hi
+      ON l.l_extendedprice > b.bin_lo AND l.l_extendedprice < b.bin_hi
     GROUP BY b.fluxbin
     """,
     tags=("A6",),

@@ -8,7 +8,12 @@ expressions over a header table — per-exposure Python becomes one
 vectorized projection that Catalyst folds into the scan:
 
 - ``dateobs``  = first 5 digits of EXPSTART (MJD day)      (:308-310)
-- ``chip``     = 2 if |POSTARG2| <= 0.1 else 1 (dither)    (:358-375)
+- ``chip``     = 2 if |POSTARG2| <= 0.1 (not y-dithered),
+  1 if |POSTARG2| >= 80 (chip-length dither); the in-between
+  "small subdither" range is unusable → skip_reason
+  ``false_subdither``                                       (:358-375)
+- 180° dataset (targname contains '6583'): chip hardcoded by
+  imagename code list                                       (:348-356)
 - ``ctecorr``  = 1 for *_flc.fits, 0 for *_flt.fits        (:378-381)
 - ``exp_length`` = 's' if EXPTIME <= 60 else 'l'           (:384-387)
 - ``flashlvl`` = int (the reference zero-pads into a Float column,
@@ -31,7 +36,24 @@ def derive_fileinfo_columns(headers: DataFrame,
     """headers(imagename, expstart, postarg2, exptime, flashlvl, targname,
     chinject, ...) → + (dateobs, chip, ctecorr, exp_length, skip_reason)."""
     dateobs = F.substring(F.col("expstart").cast("string"), 1, 5).cast("int")
-    chip = F.when(F.abs(F.col("postarg2")) <= 0.1, 1).otherwise(2)
+    # run_image_extraction.py:348-375: the 180-degree dataset ('6583')
+    # hardcodes usable chips by imagename code; otherwise POSTARG2 decides —
+    # |postarg2| <= 0.1 → chip 2 (not y-dithered), >= 80 → chip 1 (dithered
+    # by a chip length). The 0.1 < |postarg2| < 80 subdither range is
+    # unusable and becomes skip_reason='false_subdither' below.
+    codes_180 = ["etq", "euq", "ewq", "f2q", "xsq", "xtq", "xvq", "y1q"]
+    is_180 = F.col("targname").contains("6583")
+    code_hit = F.exists(
+        F.array(*[F.lit(c) for c in codes_180]),
+        lambda c: F.col("imagename").contains(c),
+    )
+    chip = (
+        F.when(is_180 & code_hit, 1)
+        .when(is_180, 2)
+        .when(F.abs(F.col("postarg2")) <= 0.1, 2)
+        .when(F.abs(F.col("postarg2")) >= 80.0, 1)
+        .otherwise(F.lit(None).cast("int"))
+    )
     ctecorr = F.when(F.col("imagename").contains("_flc"), 1).otherwise(0)
     exp_length = F.when(F.col("exptime") <= 60, "s").otherwise("l")
 
@@ -41,6 +63,12 @@ def derive_fileinfo_columns(headers: DataFrame,
             F.col("flashlvl").cast("int") != int(flashlvl_desired), "false_flashlvl"
         ).otherwise(skip)
     skip = F.when(F.col("chinject") != "NO", "false_chinject").otherwise(skip)
+    skip = F.when(
+        (~is_180)
+        & (F.abs(F.col("postarg2")) > 0.1)
+        & (F.abs(F.col("postarg2")) < 80.0),
+        "false_subdither",
+    ).otherwise(skip)
 
     return (
         headers.withColumn("ingest_date", F.current_date())  # F7 (database_update.py:298)

@@ -51,7 +51,20 @@ def _canon(v):
 
 
 def _sort_key(row):
-    return tuple("\0" if v is None else f"{type(v).__name__}:{v!r}" for v in row)
+    """Tolerance-stable row key: floats sort by a 6-significant-digit
+    rendering (a quantum far coarser than FLOAT_REL_TOL) so two rows that
+    differ only within comparison tolerance land in the same position on
+    both engines; the exact repr is kept as a secondary key so genuinely
+    different rows still order deterministically."""
+
+    def cell(v):
+        if v is None:
+            return ("\0", "\0")
+        if isinstance(v, float):
+            return (f"float:{v:.6g}", repr(v))
+        return (f"{type(v).__name__}:{v!r}", "")
+
+    return tuple(cell(v) for v in row)
 
 
 def _cells_equal(a, b) -> bool:
