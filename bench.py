@@ -39,12 +39,12 @@ HEADLINE = [
     "s07_upsert_merge",
     "n01_quadratic_fit",
     "d01_dedup_exact",
+    "d02_lsh_dedup_pipeline",
     "d03_minhash_lsh",
-    "d04_simhash",
     "e01_cosine_topk",
     "e02_lsh_ann",
-    "t03_quality_score",
-    "ev03_session_window",
+    "t02_text_profile",
+    "ev01_event_windows",
 ]
 
 

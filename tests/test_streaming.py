@@ -24,27 +24,48 @@ def _rows(spark, name):
     return {tuple(str(v) for v in r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
 
 
+def _batch_arm(spark, sf_smoke, kind, cols):
+    """One arm of the merged ev01_event_windows batch query, projected to
+    the streaming twin's column layout."""
+    from pyspark.sql import functions as F
+
+    df = load_all()["ev01_event_windows"].fn(spark, sf_smoke)
+    return {
+        tuple(str(v) for v in r)
+        for r in df.where(F.col("kind") == kind).select(*cols).collect()
+    }
+
+
 def test_stream_tumbling_matches_batch(spark, sf_smoke, events_stream):
+    from pyspark.sql import functions as F
+
     q = run_to_memory(windowed_counts_stream(events_stream), "stream_tumbling", "complete")
     try:
         got = _rows(spark, "stream_tumbling")
-        batch = {
-            tuple(str(v) for v in r)
-            for r in load_all()["ev01_tumbling_window"].fn(spark, sf_smoke).collect()
-        }
+        batch = _batch_arm(
+            spark, sf_smoke, "tumbling",
+            ["window_start", F.col("key").alias("event_type"), "n_events", "sum_value"],
+        )
         assert got == batch
     finally:
         q.stop()
 
 
 def test_stream_sessions_match_batch(spark, sf_smoke, events_stream):
+    from pyspark.sql import functions as F
+
     q = run_to_memory(sessionized_stream(events_stream), "stream_sessions", "complete")
     try:
         got = _rows(spark, "stream_sessions")
-        batch = {
-            tuple(str(v) for v in r)
-            for r in load_all()["ev03_session_window"].fn(spark, sf_smoke).collect()
-        }
+        batch = _batch_arm(
+            spark, sf_smoke, "session",
+            [
+                F.col("key").cast("bigint").alias("user_id"),
+                F.col("window_start").alias("session_start"),
+                F.col("window_end").alias("session_end"),
+                "n_events",
+            ],
+        )
         assert got == batch
     finally:
         q.stop()

@@ -11,11 +11,8 @@ from ..functions.dedup import (
     lsh_bands_sql,
     minhash_signature,
     minhash_signature_sql,
-    simhash16,
-    simhash16_sql,
 )
 from ..functions.text import (
-    shingles,
     shingles_sql_inline,
     tokens,
     tokens_sql,
@@ -58,43 +55,123 @@ def d01_dedup_exact(spark, sf_dir):
     )
 
 
-# D2 — n-gram (token-set) Jaccard near-dup pairs over a deterministic
-# subset; jaccard = |A∩B| / |A∪B| on distinct tokens, threshold 0.8.
-@register(
-    "d02_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
+# D2 — the COMPOSED near-dup dedup pipeline a production run executes:
+# MinHash/LSH band buckets → candidate pairs via equi-join on the band key
+# (never all-pairs — this is the 100 TB shape) → exact token-set Jaccard
+# >= 0.8 verification on candidates only → cluster assignment by bounded
+# min-label propagation over the verified-pair graph (3 rounds, identical
+# in the oracle, so parity holds independent of convergence).
+N_LABEL_ROUNDS = 3
+JACCARD_THRESHOLD = 0.8
+
+
+def _d02_sql() -> str:
+    from ..functions.dedup import lsh_bands_sql, minhash_signature_sql
+    from ..functions.text import shingles_sql_inline
+
+    sig = minhash_signature_sql("documents", "doc_id", shingles_sql_inline("text", 3))
+    bands = lsh_bands_sql(f"({sig})", "doc_id")
+    body = f"""
+    WITH bands AS ({bands}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    toks AS (
         SELECT doc_id, list_sort(list_distinct({tokens_sql('text')})) AS t
-        FROM documents WHERE doc_id % 5 = 0
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.t, b.t))::DOUBLE
-                 / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))), 6) AS jaccard
-    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.t, b.t))::DOUBLE
-          / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.8
-    """,
-    tags=("dedup", "jaccard"),
+        FROM documents
+    ),
+    verified AS (
+        SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(ta.t, tb.t))::DOUBLE
+                       / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS jac
+            FROM cands c
+            JOIN toks ta ON ta.doc_id = c.id_a
+            JOIN toks tb ON tb.doc_id = c.id_b
+        ) WHERE jac >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b, id_a FROM verified
+    ),
+    l0 AS (SELECT doc_id, doc_id AS label FROM documents)
+    """
+    prev = "l0"
+    for i in range(1, N_LABEL_ROUNDS + 1):
+        body += f""",
+    l{i} AS (
+        SELECT l.doc_id, least(l.label, coalesce(min(nl.label), l.label)) AS label
+        FROM {prev} l
+        LEFT JOIN edges e ON e.src = l.doc_id
+        LEFT JOIN {prev} nl ON nl.doc_id = e.dst
+        GROUP BY l.doc_id, l.label
+    )"""
+        prev = f"l{i}"
+    body += f"""
+    SELECT doc_id, label AS cluster_id,
+           (count(*) OVER (PARTITION BY label))::BIGINT AS cluster_size
+    FROM {prev}
+    """
+    return body
+
+
+@register(
+    "d02_lsh_dedup_pipeline",
+    oracle=_d02_sql(),
+    tags=("dedup", "lsh", "jaccard", "pipeline"),
 )
-def d02_ngram_jaccard(spark, sf_dir):
-    """Pairwise token-set Jaccard >= 0.8 on a doc_id%5 subset. The
-    all-pairs form is the verification stage; candidate generation at
-    scale comes from d03's LSH buckets."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    t = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
-    a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
-    b = t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
-    # materialize the intersection size once per pair — re-inlining it in
-    # the filter AND the projection triples the array work (measured 16s
-    # → ~6s at sf0.1)
-    joined = a.join(b, F.col("doc_a") < F.col("doc_b")).withColumn(
+def d02_lsh_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify →
+    connected-cluster assignment (bounded min-label propagation). Every
+    join is an equi-join on band key or doc_id — no all-pairs stage, so
+    the plan survives a 100 TB corpus (bucket sizes, not corpus size,
+    bound the pair work)."""
+    from pyspark.sql import Window
+
+    from ..functions.dedup import candidate_pairs, minhash_signature_pairs
+    from ..functions.text import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sig = minhash_signature_pairs(sh, "doc_id")
+    from ..functions.dedup import lsh_bands
+
+    cands = candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+
+    toks = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    joined = cands.join(ta, "id_a").join(tb, "id_b").withColumn(
         "_inter", F.size(F.array_intersect("ta", "tb"))
     )
     jac = F.col("_inter").cast("double") / (F.size("ta") + F.size("tb") - F.col("_inter"))
-    return (
-        joined.withColumn("_jac", jac)
-        .where(F.col("_jac") >= 0.8)
-        .select("doc_a", "doc_b", F.round("_jac", 6).alias("jaccard"))
+    verified = joined.where(jac >= JACCARD_THRESHOLD).select("id_a", "id_b")
+
+    edges = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        verified.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(N_LABEL_ROUNDS):
+        nbr_min = (
+            edges.join(labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("nl")), "dst")
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint").alias("cluster_size"),
     )
 
 
@@ -194,14 +271,6 @@ def d05_minhash_accuracy(spark, sf_dir):
     )
 
 
-# D4 — 16-bit SimHash per document.
-@register(
-    "d04_simhash",
-    oracle=simhash16_sql("documents", "doc_id", tokens_sql("text")),
-    tags=("dedup", "simhash"),
-)
-def d04_simhash(spark, sf_dir):
-    """Per-token hash bit votes → 16-bit signature (near-dups collide or
-    sit at small Hamming distance)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
+# SimHash (D4) is driver-gated as the `simhash` column of
+# t02_text_profile (plans/text_queries.py) — the operator itself lives in
+# functions/dedup.py:simhash16.

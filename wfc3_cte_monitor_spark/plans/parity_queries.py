@@ -39,64 +39,71 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# Q1/A1 — project + distinct over dates (database_queries.py:87-107;
-# `query_for_all_dateobss` projects dateobs for one target).
+# Q1/A1 + Q2 + Q3/J7/F6 — the projection/filter family as one tagged
+# union (the driver gate caps the registry at 50 queries, so single-op
+# filter queries are value-checked as arms of one result):
+#   'all_dates'   — project + distinct dates (database_queries.py:87-107)
+#   'mode_filter' — conjunctive equality filters (:112-139)
+#   'epoch_band'  — dateobs BETWEEN d-30 AND d+30 (:176-180)
 @register(
-    "q01_distinct_dates",
+    "q01_filter_suite",
     oracle="""
-    SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date
-    FROM lineitem WHERE l_returnflag = 'R'
-    """,
-    tags=("Q1", "A1"),
-)
-def q01_distinct_dates(spark, sf_dir):
-    """Distinct observation dates for one mode filter."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_returnflag") == "R")
-        .select(F.to_date("l_shipdate").alias("ship_date"))
-        .distinct()
-    )
-
-
-# Q2 — conjunctive equality filters → projection (database_queries.py:112-139).
-@register(
-    "q02_mode_filter",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate
+    SELECT 'all_dates' AS which, CAST(NULL AS BIGINT) AS o_orderkey,
+           obs_date, CAST(NULL AS VARCHAR) AS detail
+    FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS obs_date
+          FROM lineitem WHERE l_returnflag = 'R')
+    UNION ALL
+    SELECT 'mode_filter', CAST(o_orderkey AS BIGINT), CAST(o_orderdate AS DATE),
+           CAST(o_custkey AS VARCHAR)
     FROM orders
     WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
-    """,
-    tags=("Q2",),
-)
-def q02_mode_filter(spark, sf_dir):
-    """3-equality-filter projection (mode-key lookup)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.where(
-        (F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT")
-    ).select("o_orderkey", "o_custkey", "o_orderdate")
-
-
-# Q3/J7/F6 — ±30-day band predicate around an epoch
-# (database_queries.py:176-180: `dateobs BETWEEN d-30 AND d+30`).
-@register(
-    "q03_epoch_band_filter",
-    oracle="""
-    SELECT o_orderkey, o_orderdate, o_orderstatus
+    UNION ALL
+    SELECT 'epoch_band', CAST(o_orderkey AS BIGINT), CAST(o_orderdate AS DATE),
+           o_orderstatus
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-06-15 00:00:00' - INTERVAL 30 DAY
       AND o_orderdate <= TIMESTAMP '1997-06-15 00:00:00' + INTERVAL 30 DAY
     """,
-    tags=("Q3", "J7"),
+    tags=("Q1", "A1", "Q2", "Q3", "J7", "F6"),
 )
-def q03_epoch_band_filter(spark, sf_dir):
-    """Epoch ±30-day range predicate."""
+def q01_filter_suite(spark, sf_dir):
+    """Projection/filter surface: distinct dates, equality-filter lookup,
+    epoch ±30-day band — one arm per reference query shape."""
+    li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    null_key = F.lit(None).cast("bigint")
+    null_str = F.lit(None).cast("string")
+
+    all_dates = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.to_date("l_shipdate").alias("obs_date"))
+        .distinct()
+        .select(
+            F.lit("all_dates").alias("which"),
+            null_key.alias("o_orderkey"),
+            "obs_date",
+            null_str.alias("detail"),
+        )
+    )
+    mode_filter = o.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        F.lit("mode_filter").alias("which"),
+        F.col("o_orderkey").cast("bigint"),
+        F.to_date("o_orderdate").alias("obs_date"),
+        F.col("o_custkey").cast("string").alias("detail"),
+    )
     epoch = F.lit("1997-06-15 00:00:00").cast("timestamp")
-    return o.where(
+    epoch_band = o.where(
         (F.col("o_orderdate") >= epoch - F.expr("INTERVAL 30 DAYS"))
         & (F.col("o_orderdate") <= epoch + F.expr("INTERVAL 30 DAYS"))
-    ).select("o_orderkey", "o_orderdate", "o_orderstatus")
+    ).select(
+        F.lit("epoch_band").alias("which"),
+        F.col("o_orderkey").cast("bigint"),
+        F.to_date("o_orderdate").alias("obs_date"),
+        F.col("o_orderstatus").alias("detail"),
+    )
+    return all_dates.unionAll(mode_filter).unionAll(epoch_band)
 
 
 # J1 — FileInfo→Phot fan-out join (database_queries.py:291-310): filtered

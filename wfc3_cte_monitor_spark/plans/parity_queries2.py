@@ -84,38 +84,39 @@ def q06_slopes_lookup(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", *cols)
 
 
-# Q7 — flux-range predicate (database_queries.py:415-417).
+# Q7 + Q8 — range predicates as one tagged union (50-query driver cap):
+#   'flux_range'     — BETWEEN lo AND hi (database_queries.py:415-417)
+#   'ypos_threshold' — >= threshold (:481-482, ypix >= 1750 analog)
 @register(
-    "q07_flux_range",
+    "q07_range_predicates",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_extendedprice
+    SELECT 'flux_range' AS pred, l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS value
     FROM lineitem WHERE l_extendedprice BETWEEN 1000 AND 2000
-    """,
-    tags=("Q7",),
-)
-def q07_flux_range(spark, sf_dir):
-    """BETWEEN range predicate on the measurement column."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.where(F.col("l_extendedprice").between(1000, 2000)).select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
-    )
-
-
-# Q8 — y-position threshold predicate (database_queries.py:481-482).
-@register(
-    "q08_ypos_threshold",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity
+    UNION ALL
+    SELECT 'ypos_threshold', l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE)
     FROM lineitem WHERE l_quantity >= 35
     """,
-    tags=("Q8",),
+    tags=("Q7", "Q8"),
 )
-def q08_ypos_threshold(spark, sf_dir):
-    """>= threshold predicate (ypix >= 1750 analog)."""
+def q07_range_predicates(spark, sf_dir):
+    """Range-predicate surface: BETWEEN on the flux column and a >=
+    threshold on the position column, tagged per predicate."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.where(F.col("l_quantity") >= 35).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    flux_range = li.where(F.col("l_extendedprice").between(1000, 2000)).select(
+        F.lit("flux_range").alias("pred"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("value"),
     )
+    ypos = li.where(F.col("l_quantity") >= 35).select(
+        F.lit("ypos_threshold").alias("pred"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    return flux_range.unionAll(ypos)
 
 
 # J3 — matching-image lookup: one identified row → opposite-side partner
@@ -180,23 +181,73 @@ def j04_rank_pairing(spark, sf_dir):
     return paired.select("l_returnflag", "l_linestatus", "pair_rank", "uid_1", "uid_2")
 
 
-# J5/U1 — master-id intersection across chips (uvis_external_cte_plots.py:2025-2057).
+# J5/U1/U2/U3 — the set-operation family as one tagged union (50-query
+# driver cap):
+#   'join_intersect' — master-id intersection via inner join + distinct
+#                      (uvis_external_cte_plots.py:2025-2057, J5)
+#   'intersect'      — INTERSECT proper (U1)
+#   'except'         — set difference (database_update.py:519, U2)
+#   'union'          — union of file lists (U3)
 @register(
-    "j05_key_intersection",
+    "u01_set_ops",
     oracle="""
-    SELECT DISTINCT a.l_partkey AS master_id
-    FROM (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') a
-    JOIN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R') b
-      ON a.l_partkey = b.l_partkey
+    SELECT 'join_intersect' AS set_op, CAST(master_id AS BIGINT) AS key FROM (
+        SELECT DISTINCT a.l_partkey AS master_id
+        FROM (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') a
+        JOIN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R') b
+          ON a.l_partkey = b.l_partkey
+    )
+    UNION ALL
+    SELECT 'intersect', CAST(l_partkey AS BIGINT) FROM (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    )
+    UNION ALL
+    SELECT 'except', CAST(o_orderkey AS BIGINT) FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'union', CAST(o_orderkey AS BIGINT) FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
     """,
-    tags=("J5", "U1"),
+    tags=("J5", "U1", "U2", "U3"),
 )
-def j05_key_intersection(spark, sf_dir):
-    """Inner join on master_id aligning two chips' source sets."""
+def u01_set_ops(spark, sf_dir):
+    """Set-operation surface: join-intersection on master ids, INTERSECT,
+    EXCEPT (set semantics, not exceptAll), UNION-distinct."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
-    b = li.where(F.col("l_returnflag") == "R").select("l_partkey")
-    return a.join(b, "l_partkey").select(F.col("l_partkey").alias("master_id")).distinct()
+    o = load_table(spark, sf_dir, "orders")
+
+    def arm(tag, df, col):
+        return df.select(
+            F.lit(tag).alias("set_op"), F.col(col).cast("bigint").alias("key")
+        )
+
+    a_parts = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    r_parts = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    n_parts = li.where(F.col("l_returnflag") == "N").select("l_partkey")
+    join_intersect = (
+        a_parts.join(r_parts, "l_partkey")
+        .select(F.col("l_partkey").alias("master_id"))
+        .distinct()
+    )
+    f_orders = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    r_lines = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        arm("join_intersect", join_intersect, "master_id")
+        .unionAll(arm("intersect", a_parts.intersect(n_parts), "l_partkey"))
+        .unionAll(arm("except", f_orders.subtract(r_lines), "o_orderkey"))
+        .unionAll(arm("union", f_orders.union(urgent).distinct(), "o_orderkey"))
+    )
 
 
 # J6 — point-in-polygon spatial predicate (run_image_extraction.py:584-689).
@@ -360,24 +411,6 @@ def a09_bkgrd_profile(spark, sf_dir):
     )
 
 
-# A11 — last/max program selection (run_image_extraction.py:967-968).
-@register(
-    "a11_last_max",
-    oracle="""
-    SELECT o_orderpriority, max(o_orderkey) AS last_orderkey, max(o_orderdate) AS last_date
-    FROM orders GROUP BY o_orderpriority
-    """,
-    tags=("A11",),
-)
-def a11_last_max(spark, sf_dir):
-    """`program_list[-1]` → max per group."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.max("o_orderkey").alias("last_orderkey"),
-        F.max("o_orderdate").alias("last_date"),
-    )
-
-
 # A12 — fraction-recovered metric comparing two pipeline variants
 # (compare_idl_python.py:384: 100*(1-(n_ctecorr-n)/n_ctecorr)).
 @register(
@@ -433,29 +466,46 @@ def a13_absent_antijoin(spark, sf_dir):
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
-# W3 — latest-epoch value applied per group (plot_model_on_reality.py:282-294).
+# W3 + A11 — latest-epoch value per group (plot_model_on_reality.py:282-294)
+# joined with the last/max selection (`program_list[-1]`,
+# run_image_extraction.py:967-968) — both "latest per group" shapes in one
+# 5-row result (50-query driver cap).
 @register(
     "w03_latest_value",
     oracle="""
-    SELECT DISTINCT o_orderpriority,
-           last_value(o_totalprice) OVER (
-               PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_price
-    FROM orders
+    SELECT lv.o_orderpriority, lv.latest_price, lm.last_orderkey, lm.last_date
+    FROM (
+        SELECT DISTINCT o_orderpriority,
+               last_value(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_price
+        FROM orders
+    ) lv
+    JOIN (
+        SELECT o_orderpriority, max(o_orderkey) AS last_orderkey,
+               max(o_orderdate) AS last_date
+        FROM orders GROUP BY o_orderpriority
+    ) lm ON lv.o_orderpriority = lm.o_orderpriority
     """,
-    tags=("W3",),
+    tags=("W3", "A11"),
 )
 def w03_latest_value(spark, sf_dir):
-    """last value over an unbounded window (coeff_dict_values[-1] analog)."""
+    """last value over an unbounded window (coeff_dict_values[-1] analog)
+    plus max-per-group (`program_list[-1]` analog), joined on the group."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return o.select(
+    latest = o.select(
         "o_orderpriority", F.last("o_totalprice").over(w).alias("latest_price")
     ).distinct()
+    last_max = o.groupBy("o_orderpriority").agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+    return latest.join(last_max, "o_orderpriority")
 
 
 # O1 — deterministic top-k (sorted()[...] idiom).
@@ -473,59 +523,6 @@ def o01_topk(spark, sf_dir):
     return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).select(
         "o_orderkey", "o_totalprice"
     )
-
-
-# U1 — INTERSECT proper (set semantics).
-@register(
-    "u01_intersect",
-    oracle="""
-    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
-    INTERSECT
-    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
-    """,
-    tags=("U1",),
-)
-def u01_intersect(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
-    n = li.where(F.col("l_returnflag") == "N").select("l_partkey")
-    return a.intersect(n)
-
-
-# U2 — EXCEPT / set difference (database_update.py:519): F-status orders
-# that never had a returned (R) line item.
-@register(
-    "u02_except",
-    oracle="""
-    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT
-    SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_returnflag = 'R'
-    """,
-    tags=("U2",),
-)
-def u02_except(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    b = li.where(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("o_orderkey"))
-    return a.subtract(b)  # EXCEPT (set semantics), not exceptAll
-
-
-# U3 — union of file lists (glob + glob).
-@register(
-    "u03_union",
-    oracle="""
-    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
-    UNION
-    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    """,
-    tags=("U3",),
-)
-def u03_union(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    a = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    return a.union(b).distinct()
 
 
 # F1-F14 — scalar-function suite in one projection (SURVEY §2.8).

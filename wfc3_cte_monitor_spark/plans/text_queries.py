@@ -96,16 +96,12 @@ def _langid_sql() -> str:
     """
 
 
-register("t02_lang_id", oracle=_langid_sql(), tags=("text", "langid"))(
-    lambda spark, sf_dir: _langid_spark(load_table(spark, sf_dir, "documents"))
-)
-
-
-# T3 — quality score: composite of length, punctuation, stopword density,
-# vocabulary diversity (the usual pre-training filters).
-@register(
-    "t03_quality_score",
-    oracle=f"""
+# T2 + T3 + T4 + SimHash — the per-document text-analysis profile as one
+# joined result (50-query driver cap): language-ID heuristic, composite
+# quality score, content fingerprint + shard, and the 16-bit SimHash
+# signature, all keyed by doc_id.
+def _quality_sql() -> str:
+    return f"""
     SELECT doc_id,
            round(
                0.3 * least(ln(1 + {token_count_sql('text')}) / ln(201), 1.0)
@@ -116,13 +112,45 @@ register("t02_lang_id", oracle=_langid_sql(), tags=("text", "langid"))(
                       / greatest({token_count_sql('text')}, 1))
            , 6) AS quality
     FROM documents
-    """,
-    tags=("text", "quality"),
-)
-def t03_quality_score(spark, sf_dir):
-    """Composite quality in [0,1]: length, punctuation, stopword density,
-    type/token ratio — all built-in expressions."""
+    """
+
+
+def _profile_sql() -> str:
+    from ..functions.dedup import simhash16_sql
+
+    return f"""
+    WITH langid AS ({_langid_sql()}),
+    quality AS ({_quality_sql()}),
+    fp AS (
+        SELECT doc_id,
+               {portable_hash64_sql(norm_text_sql('text'))} AS fingerprint,
+               {portable_hash64_sql(norm_text_sql('text'))} % 1024 AS shard
+        FROM documents
+    ),
+    sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))})
+    SELECT l.doc_id, l.labeled_lang,
+           l.hits_en, l.hits_es, l.hits_fr, l.hits_de, l.predicted_lang,
+           q.quality, f.fingerprint, f.shard, s.simhash
+    FROM langid l
+    JOIN quality q ON l.doc_id = q.doc_id
+    JOIN fp f ON l.doc_id = f.doc_id
+    JOIN sim s ON l.doc_id = s.doc_id
+    """
+
+
+@register("t02_text_profile", oracle=_profile_sql(),
+          tags=("text", "langid", "quality", "fingerprint", "simhash"))
+def t02_text_profile(spark, sf_dir):
+    """Per-document analysis profile: stopword-profile language ID
+    (argmax with deterministic tiebreak), composite quality in [0,1]
+    (length, punctuation, stopword density, type/token ratio),
+    content fingerprint + shard bucket, 16-bit SimHash. All built-in
+    expressions; one narrow join chain on doc_id."""
+    from ..functions.dedup import simhash16
+
     docs = load_table(spark, sf_dir, "documents")
+    langid = _langid_spark(docs)
+
     n_tok = token_count("text")
     stop = stopword_hits("text", LANG_PROFILES["en"]).cast("double")
     uniq = F.size(F.array_distinct(tokens("text"))).cast("double")
@@ -132,23 +160,12 @@ def t03_quality_score(spark, sf_dir):
         + 0.2 * F.least((stop / F.greatest(n_tok, F.lit(1))) * 10, F.lit(1.0))
         + 0.2 * (uniq / F.greatest(n_tok, F.lit(1)))
     )
-    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
-
-
-# T4 — document fingerprint: 60-bit content hash of the normalized text +
-# a locality-insensitive prefix bucket (sharding/dedup key at scale).
-@register(
-    "t04_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
-           {portable_hash64_sql(norm_text_sql('text'))} AS fingerprint,
-           {portable_hash64_sql(norm_text_sql('text'))} % 1024 AS shard
-    FROM documents
-    """,
-    tags=("text", "fingerprint"),
-)
-def t04_fingerprint(spark, sf_dir):
-    """Deterministic content fingerprint + shard bucket."""
-    docs = load_table(spark, sf_dir, "documents")
     fp = portable_hash64(norm_text("text"))
-    return docs.select("doc_id", fp.alias("fingerprint"), (fp % 1024).alias("shard"))
+    scalar_profile = docs.select(
+        "doc_id",
+        F.round(quality, 6).alias("quality"),
+        fp.alias("fingerprint"),
+        (fp % 1024).alias("shard"),
+    )
+    sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
+    return langid.join(scalar_profile, "doc_id").join(sim, "doc_id")

@@ -45,7 +45,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
                            watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time windows with late-data watermark — the
-    streaming twin of ev01_tumbling_window."""
+    streaming twin of the 'tumbling' arm of ev01_event_windows."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -59,7 +59,8 @@ def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
 
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
-    """Session windows per user (streaming twin of ev03_session_window)."""
+    """Session windows per user (streaming twin of the 'session' arm of
+    ev01_event_windows)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
