@@ -96,13 +96,54 @@ def test_sigma_clip_matches_reference_loop(spark):
 def test_find_epochs_pairwise_quirk(spark):
     # reference behavior (uvis_external_cte_plots.py:2196-2209): pairwise,
     # not transitive — [100, 120, 140] merges (100,120)->110 and keeps 140.
-    df = spark.createDataFrame([(d,) for d in [100, 120, 140]], "dateobs int")
-    out = sorted(r.epoch for r in find_epochs_pairwise(df, "dateobs", []).collect())
+    df = spark.createDataFrame([("t", d) for d in [100, 120, 140]], "targ string, dateobs int")
+    out = sorted(r.epoch for r in find_epochs_pairwise(df, "dateobs", ["targ"]).collect())
     assert out == [110.0, 140.0]
     # and a lone pair >30 apart stays separate
-    df2 = spark.createDataFrame([(d,) for d in [100, 135]], "dateobs int")
-    out2 = sorted(r.epoch for r in find_epochs_pairwise(df2, "dateobs", []).collect())
+    df2 = spark.createDataFrame([("t", d) for d in [100, 135]], "targ string, dateobs int")
+    out2 = sorted(r.epoch for r in find_epochs_pairwise(df2, "dateobs", ["targ"]).collect())
     assert out2 == [100.0, 135.0]
+    # the global (ungrouped) form is a deliberate scale trap → rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        find_epochs_pairwise(df2, "dateobs", [])
+
+
+def _epoch_walk_reference(dates, gap=30.0):
+    """Literal re-implementation of the reference's imperative scan
+    (uvis_external_cte_plots.py:2196-2209) for equivalence testing."""
+    dates = sorted(set(dates))
+    epochs, i = [], 0
+    while i < len(dates):
+        if i + 1 < len(dates) and (dates[i + 1] - dates[i]) < gap:
+            epochs.append(float(round((dates[i] + dates[i + 1]) / 2.0)))
+            i += 2
+        else:
+            epochs.append(float(dates[i]))
+            i += 1
+    return epochs
+
+
+def test_find_epochs_window_form_equals_walk(spark):
+    # adversarial gap structures: chains, exact-boundary gaps, odd clusters
+    cases = [
+        [0, 10, 20, 40, 80, 85, 90, 130],
+        [0, 29, 31, 60, 89, 90, 91, 92, 93],
+        [0, 30, 60, 90],          # all exactly at the boundary -> no merges
+        [0, 29, 58, 87],          # chain of close gaps, odd length
+        [5],
+        [1, 2],
+        list(range(0, 300, 7)),   # long single cluster, even size
+        list(range(0, 301, 7)),   # long single cluster, odd size
+    ]
+    rows = [(f"g{i}", d) for i, ds in enumerate(cases) for d in ds]
+    df = spark.createDataFrame(rows, "targ string, dateobs int")
+    got = {}
+    for r in find_epochs_pairwise(df, "dateobs", ["targ"]).collect():
+        got.setdefault(r.targ, []).append(r.epoch)
+    for i, ds in enumerate(cases):
+        assert sorted(got[f"g{i}"]) == sorted(_epoch_walk_reference(ds)), f"case {i}: {ds}"
 
 
 def test_polyfit2d_matches_numpy(spark):

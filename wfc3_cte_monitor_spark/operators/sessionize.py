@@ -10,18 +10,22 @@ Two distinct semantics from the reference:
    (wfc3_cte_monitor/uvis_external_cte_plots.py:2173-2212): over the sorted
    distinct observation dates, if the NEXT date is < ``gap`` days away the
    two are replaced by their rounded mean and BOTH are consumed (the scan
-   then moves past the pair — merges never chain transitively). We keep
-   that exact behavior for parity, implemented distributively per group:
-   within each group the date list is small (distinct observation epochs),
-   so the pairwise walk runs as a grouped pandas UDF while the heavy
-   distinct happens in Spark.
+   then moves past the pair — merges never chain transitively).
+
+   The sequential walk has a closed window-function form. Split the sorted
+   dates into *clusters* at every gap >= threshold; within a cluster every
+   adjacent gap is < threshold, so the greedy scan always sees a mergeable
+   neighbor and simply pairs positions (1,2), (3,4), ... with an odd
+   leftover emitted unmerged. That makes the operator pure codegen (two
+   window passes + one aggregation) — no Python, no per-group walk — and
+   gives it an exact ANSI-SQL twin (``find_epochs_sql``). Equivalence to
+   the reference's imperative scan is property-tested against a literal
+   re-implementation of the walk (tests/test_scale_ops.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
-
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -88,36 +92,80 @@ def find_epochs_pairwise(
     """Reference-parity epoch finder: per group, sorted distinct dates with
     adjacent dates < ``gap`` apart merged PAIRWISE to ``round(mean)``
     (uvis_external_cte_plots.py:2196-2209 — consumes two at a time, no
-    transitive chaining). Returns (group_cols..., epoch double).
+    transitive chaining; the rounded mean is Python ``round`` = half-even,
+    hence ``bround``). Returns (group_cols..., epoch double).
 
-    The distinct is distributed; the walk itself is O(#epochs-per-group)
-    (tens of rows) inside applyInPandas.
+    Closed form (see module docstring): cluster at gaps >= threshold, then
+    pair positions within each cluster two at a time. Both window columns
+    share one (partition, order) spec → a single shuffle + sort; the
+    pair aggregation is a cheap second shuffle over the already-tiny
+    distinct-date set.
+
+    ``group_cols`` is required: a global (ungrouped) ordering would funnel
+    the whole date set through one partition — the reference only ever
+    epochs per target, so the global form is disallowed rather than left
+    as a scale trap.
     """
+    if not group_cols:
+        raise ValueError(
+            "find_epochs_pairwise requires group_cols: a global pairwise "
+            "walk needs a total order (single-partition sort) and does not "
+            "scale; epoch per target/group instead."
+        )
     distinct = df.select(*group_cols, F.col(date_col).cast("double").alias("_d")).distinct()
 
-    out_fields = ", ".join(f"{c} string" for c in group_cols)  # refined below
-    # Preserve the group-key dtypes by pulling them from the input schema.
-    in_schema = {f.name: f.dataType.simpleString() for f in distinct.schema.fields}
-    out_fields = ", ".join(f"{c} {in_schema[c]}" for c in group_cols)
-    schema = f"{out_fields}, epoch double" if group_cols else "epoch double"
+    w = Window.partitionBy(*group_cols).orderBy("_d")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    far = F.when(
+        F.lag("_d").over(w).isNull() | ((F.col("_d") - F.lag("_d").over(w)) >= gap), 1
+    )
+    marked = distinct.select(
+        *group_cols,
+        "_d",
+        F.row_number().over(w).alias("_rn"),
+        # far is 1 at each cluster's first row, NULL inside → running max
+        # of (far * rn) is the current cluster's starting row number.
+        F.max(far * F.row_number().over(w)).over(run).alias("_cstart"),
+    )
+    pairs = marked.groupBy(
+        *group_cols,
+        F.col("_cstart"),
+        F.floor((F.col("_rn") - F.col("_cstart")) / 2).alias("_pair"),
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_d").alias("_lo"),
+        F.sum("_d").alias("_sum"),
+    )
+    return pairs.select(
+        *group_cols,
+        F.when(F.col("_n") == 2, F.bround(F.col("_sum") / 2.0))
+        .otherwise(F.col("_lo"))
+        .alias("epoch"),
+    )
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        dates = sorted(pdf["_d"].tolist())
-        epochs: list[float] = []
-        i = 0
-        while i < len(dates):
-            if i + 1 < len(dates) and (dates[i + 1] - dates[i]) < gap:
-                epochs.append(float(round((dates[i] + dates[i + 1]) / 2.0)))
-                i += 2
-            else:
-                epochs.append(float(dates[i]))
-                i += 1
-        base = {c: [pdf[c].iloc[0]] * len(epochs) for c in group_cols}
-        base["epoch"] = epochs
-        return pd.DataFrame(base)
 
-    if group_cols:
-        return distinct.groupBy(*group_cols).applyInPandas(walk, schema=schema)
-    return distinct.groupBy(F.lit(1).alias("_g")).applyInPandas(
-        lambda pdf: walk(pdf).assign(_g=1), schema="_g int, epoch double"
-    ).drop("_g")
+def find_epochs_sql(source: str, date_col: str, group_cols: Sequence[str], gap: float = 30.0) -> str:
+    """DuckDB twin of :func:`find_epochs_pairwise` (``round_even`` is
+    DuckDB's half-even round, matching Spark's ``bround`` / Python's
+    ``round``)."""
+    g = ", ".join(group_cols)
+    part = f"PARTITION BY {g} " if group_cols else ""
+    return f"""
+    SELECT {g}{', ' if g else ''}
+           CASE WHEN count(*) = 2 THEN round_even(sum(_d) / 2.0, 0)
+                ELSE min(_d) END AS epoch
+    FROM (
+        SELECT *, max(_far * _rn) OVER ({part}ORDER BY _d
+                                        ROWS UNBOUNDED PRECEDING) AS _cstart
+        FROM (
+            SELECT *,
+                   row_number() OVER ({part}ORDER BY _d) AS _rn,
+                   CASE WHEN lag(_d) OVER ({part}ORDER BY _d) IS NULL
+                             OR _d - lag(_d) OVER ({part}ORDER BY _d) >= {gap}
+                        THEN 1 END AS _far
+            FROM (SELECT DISTINCT {g}{', ' if g else ''}
+                         CAST({date_col} AS DOUBLE) AS _d FROM ({source}))
+        )
+    )
+    GROUP BY {g}{', ' if g else ''}_cstart, (_rn - _cstart) // 2
+    """
