@@ -71,9 +71,9 @@ def quadfit_agg(
     valid = F.abs(det) > 1e-12
     return agged.select(
         *group_cols,
-        F.round(F.when(valid, c0), round_to).alias("c0"),
-        F.round(F.when(valid, c1), round_to).alias("c1"),
-        F.round(F.when(valid, c2), round_to).alias("c2"),
+        (F.round(F.when(valid, c0), round_to) + F.lit(0.0)).alias("c0"),
+        (F.round(F.when(valid, c1), round_to) + F.lit(0.0)).alias("c1"),
+        (F.round(F.when(valid, c2), round_to) + F.lit(0.0)).alias("c2"),
         F.col("s0").cast("bigint").alias("num_points"),
     )
 
@@ -93,9 +93,9 @@ def quadfit_sql(source: str, x: str, y: str, group_cols: Sequence[str], round_to
     c2 = det3("s0", "s1", "t0", "s1", "s2", "t1", "s2", "s3", "t2")
     return f"""
     SELECT {g},
-           round(CASE WHEN abs({det}) > 1e-12 THEN {c0} / {det} END, {round_to}) AS c0,
-           round(CASE WHEN abs({det}) > 1e-12 THEN {c1} / {det} END, {round_to}) AS c1,
-           round(CASE WHEN abs({det}) > 1e-12 THEN {c2} / {det} END, {round_to}) AS c2,
+           round(CASE WHEN abs({det}) > 1e-12 THEN {c0} / {det} END, {round_to}) + 0.0 AS c0,
+           round(CASE WHEN abs({det}) > 1e-12 THEN {c1} / {det} END, {round_to}) + 0.0 AS c1,
+           round(CASE WHEN abs({det}) > 1e-12 THEN {c2} / {det} END, {round_to}) + 0.0 AS c2,
            CAST(s0 AS BIGINT) AS num_points
     FROM (
         SELECT {g},

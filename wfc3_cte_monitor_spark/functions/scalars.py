@@ -63,6 +63,31 @@ def r4(col: str | Column) -> Column:
     return F.round(_c(col), 4)
 
 
+# Relative nudge for boundary-stable rounding. Rounding a double that sits
+# EXACTLY on a half-quantum decimal boundary is engine-dependent (Spark
+# rounds the double's exact decimal expansion via BigDecimal HALF_UP;
+# DuckDB scales-multiplies then nearbyints) — and such exact boundaries
+# are COMMON when the input is itself a quotient of an already-rounded
+# value (e.g. avg of round(x,6)/n hits odd multiples of 5e-9 whenever n is
+# a small power of two). The nudge shifts the value ~600 ULPs off the
+# boundary — far above the engines' 1-ULP disagreement range, far below
+# the rounding quantum — identically on both engines (same IEEE multiply
+# of the same double). The trailing ``+ 0.0`` folds -0.0 to 0.0 (DuckDB
+# keeps the sign of a rounded tiny negative; Spark does not).
+_NUDGE = 1.0 + 2e-13
+
+
+def round_stable(col: str | Column, n: int) -> Column:
+    """Boundary-stable cross-engine round: use for SECOND-stage rounding —
+    any value derived from already-rounded/quantized inputs."""
+    return F.round(_c(col) * _NUDGE, n) + F.lit(0.0)
+
+
+def round_stable_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`round_stable`."""
+    return f"(round(({expr}) * {_NUDGE!r}, {n}) + 0.0)"
+
+
 def dsum_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 

@@ -50,7 +50,9 @@ def linregress_agg(
     valid = (n > 2) & (F.col("_vx") > 0)
 
     def _r(c):
-        return F.round(c, round_to) if round_to is not None else c
+        # + 0.0 folds a rounded -0.0 to 0.0 (Spark and DuckDB disagree on
+        # the sign of zero after rounding a tiny negative)
+        return (F.round(c, round_to) + F.lit(0.0)) if round_to is not None else c
 
     return agged.select(
         *group_cols,
@@ -75,15 +77,15 @@ def linregress_sql(
     g = ", ".join(group_cols)
     return f"""
     SELECT {g},
-           round(CASE WHEN num_points > 2 AND _vx > 0 THEN _cxy / _vx END, {round_to}) AS slope,
-           round(CASE WHEN num_points > 2 AND _vx > 0 THEN _my - (_cxy / _vx) * _mx END, {round_to}) AS intercept,
+           round(CASE WHEN num_points > 2 AND _vx > 0 THEN _cxy / _vx END, {round_to}) + 0.0 AS slope,
+           round(CASE WHEN num_points > 2 AND _vx > 0 THEN _my - (_cxy / _vx) * _mx END, {round_to}) + 0.0 AS intercept,
            round(CASE WHEN num_points > 2 AND _vx > 0 THEN
                  sqrt(((num_points * _vy - (_cxy / _vx) * num_points * _cxy) / (num_points - 2)) / (num_points * _vx))
-             END, {round_to}) AS stderr,
+             END, {round_to}) + 0.0 AS stderr,
            round(CASE WHEN num_points > 2 AND _vx > 0 THEN
                  sqrt(((num_points * _vy - (_cxy / _vx) * num_points * _cxy) / (num_points - 2)) / (num_points * _vx))
                  * sqrt(num_points)
-             END, {round_to}) AS slopestdev,
+             END, {round_to}) + 0.0 AS slopestdev,
            num_points
     FROM (
         SELECT {g},

@@ -1,0 +1,424 @@
+"""Domain-shaped driver queries: the trend/model layer (SURVEY.md §3.3)
+and the wide-Results flagship run END-TO-END over deterministic
+domain-analog tables derived from the synthetic parquet.
+
+The round-1 gate exercised every operator on lineitem-shaped analogs;
+these queries close the gap to the reference's actual entry points
+(uvis_external_cte_plots.py plot_cteslope_vs_time_setup :1297-1445,
+plot_cteslope_vs_logflux_setup :1450-1674, plot_model_on_reality.py
+:420-600) by building fileinfo/phot tables in the REAL domain schema from
+orders/lineitem and running the same composed plans the domain pipeline
+uses — pair self-join, phot fan-in, σ-clip, regression, wide pivot,
+pairwise epoch dimension, band join, stderr conventions, model backtest.
+
+Analog mapping (one exposure-pair "visit cell" per (order priority,
+7-day week of o_orderdate)):
+
+  targname    ← o_orderpriority           (5 targets)
+  visit/week  ← days(o_orderdate) // 7    (mode key; proposid = week)
+  dateobs     ← week * 7                  (int day number)
+  chip        ← 1, 2 (each cell exposes both chips)
+  imagename   ← '<targ>_w<week>_c<chip>'
+  star        ← lineitem of an order in the cell (master_id aligns the
+                two chips' measurements of the same star)
+  ypix        ← l_quantity * 40           (0..2000 detector rows)
+  flux chip1  ← l_extendedprice / 3.2     (spans all 8 flux bins)
+  flux chip2  ← chip1 * (1 + l_discount)  (a CTE-loss-like ratio)
+  radius      ← 2 + l_partkey % 3         (aperture; queries use 3)
+  bkgrd       ← l_tax-scaled
+
+The trend queries use a week % 7 < 3 subset so the epoch dimension sees
+both walk branches (7-day gaps merge pairwise, 35-day gaps stay single).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.model import quadfit_sql
+from ..functions.scalars import round_stable, round_stable_sql
+from ..operators.bins import FLUX_BINS, binspec_sql
+from ..operators.regression import linregress_sql
+from ..operators.sessionize import find_epochs_sql
+from ..operators.sigma_clip import sigma_clip_sql
+from ..schemas import FLUXBIN_LABELS
+from ..sources.catalog import load_table
+from .registry import register
+
+_EPOCH0 = "1992-01-01"
+_WEEK_SUBSET = "week % 7 < 3"  # gap pattern 7,7,35 → both epoch-walk branches
+
+
+# --- analog builders (Spark) ------------------------------------------------
+
+def _orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    week = F.floor(
+        F.datediff(F.to_date("o_orderdate"), F.lit(_EPOCH0).cast("date")) / 7
+    ).cast("int")
+    return o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("targname"),
+        week.alias("week"),
+    )
+
+
+def analog_fileinfo(spark: SparkSession, sf_dir: str, week_subset: bool = False) -> DataFrame:
+    """Domain-schema FileInfo rows (mode keys + chip + imagename) from
+    orders — two chip exposures per (targname, week) visit cell."""
+    cells = _orders_cells(spark, sf_dir).select("targname", "week").distinct()
+    if week_subset:
+        cells = cells.where(F.expr(_WEEK_SUBSET))
+    fan = cells.select(
+        "targname", "week", F.explode(F.array(F.lit(1), F.lit(2))).alias("chip")
+    )
+    return fan.select(
+        "targname",
+        F.format_string("%s_w%05d_c%d", "targname", "week", "chip").alias("imagename"),
+        F.col("week").cast("string").alias("proposid"),
+        (F.col("week") * 7).cast("int").alias("dateobs"),
+        F.lit("F502N").alias("filter"),
+        F.lit(60.0).alias("exptime"),
+        F.lit("NONE").alias("chinject"),
+        F.lit(0).alias("flashlvl"),
+        (F.col("week") % 2).cast("int").alias("ctecorr"),
+        F.lit(0.0).alias("postarg1"),
+        "chip",
+    )
+
+
+def analog_phot(spark: SparkSession, sf_dir: str, week_subset: bool = False) -> DataFrame:
+    """Domain-schema long Phot rows from lineitem: one star measurement per
+    (lineitem, chip), master_id aligning the two chips."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.join(_orders_cells(spark, sf_dir), li.l_orderkey == F.col("o_orderkey")).select(
+        "targname",
+        "week",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("master_id"),
+        (F.lit(2) + F.col("l_partkey") % 3).cast("int").alias("radius"),
+        (F.col("l_quantity").cast("double") * 40.0).alias("ypix"),
+        (F.col("l_extendedprice").cast("double") / 3.2).alias("_fluxbase"),
+        F.col("l_discount").cast("double").alias("_disc"),
+        F.col("l_tax").cast("double").alias("_tax"),
+    )
+    if week_subset:
+        base = base.where(F.expr(_WEEK_SUBSET))
+    fan = base.select("*", F.explode(F.array(F.lit(1), F.lit(2))).alias("chip"))
+    return fan.select(
+        F.format_string("%s_w%05d_c%d", "targname", "week", "chip").alias("imagename"),
+        "master_id",
+        "radius",
+        "ypix",
+        F.when(F.col("chip") == 1, F.col("_fluxbase"))
+        .otherwise(F.col("_fluxbase") * (1.0 + F.col("_disc")))
+        .alias("flux"),
+        (F.col("_tax") * 10.0).alias("mnbkgrd"),
+        (F.col("_tax") * 100.0).alias("totbkgrd"),
+    )
+
+
+# --- analog builders (DuckDB twins) ----------------------------------------
+
+def _fileinfo_sql(week_subset: bool = False) -> str:
+    where = f"WHERE {_WEEK_SUBSET}" if week_subset else ""
+    return f"""
+    SELECT targname,
+           printf('%s_w%05d_c%d', targname, week, chip) AS imagename,
+           CAST(week AS VARCHAR) AS proposid,
+           (week * 7)::INT AS dateobs,
+           'F502N' AS "filter", 60.0 AS exptime, 'NONE' AS chinject,
+           0 AS flashlvl, (week % 2)::INT AS ctecorr, 0.0 AS postarg1, chip
+    FROM (SELECT DISTINCT o_orderpriority AS targname,
+                 (date_diff('day', DATE '{_EPOCH0}', CAST(o_orderdate AS DATE)) // 7)::INT AS week
+          FROM orders) CROSS JOIN (VALUES (1), (2)) c(chip)
+    {where}
+    """
+
+
+def _phot_sql(week_subset: bool = False) -> str:
+    where = f"WHERE {_WEEK_SUBSET}" if week_subset else ""
+    return f"""
+    SELECT printf('%s_w%05d_c%d', targname, week, chip) AS imagename,
+           master_id, radius, ypix,
+           CASE WHEN chip = 1 THEN _fluxbase
+                ELSE _fluxbase * (1.0 + _disc) END AS flux,
+           _tax * 10.0 AS mnbkgrd,
+           _tax * 100.0 AS totbkgrd
+    FROM (
+        SELECT o.o_orderpriority AS targname,
+               (date_diff('day', DATE '{_EPOCH0}', CAST(o.o_orderdate AS DATE)) // 7)::INT AS week,
+               (l.l_orderkey * 10 + l.l_linenumber)::BIGINT AS master_id,
+               (2 + l.l_partkey % 3)::INT AS radius,
+               CAST(l.l_quantity AS DOUBLE) * 40.0 AS ypix,
+               CAST(l.l_extendedprice AS DOUBLE) / 3.2 AS _fluxbase,
+               CAST(l.l_discount AS DOUBLE) AS _disc,
+               CAST(l.l_tax AS DOUBLE) AS _tax
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) CROSS JOIN (VALUES (1), (2)) c(chip)
+    {where}
+    """
+
+
+_PAIR_KEYS = ["targname", "proposid", "dateobs", "filter", "exptime",
+              "chinject", "flashlvl", "ctecorr", "postarg1"]
+
+_PAIRS_SQL = (
+    "SELECT f1.targname, f1.dateobs, f1.exptime, f1.ctecorr,\n"
+    "       f1.imagename AS imagename_1, f2.imagename AS imagename_2\n"
+    "FROM fi f1 JOIN fi f2 ON "
+    + " AND ".join(f'f1."{k}" = f2."{k}"' for k in _PAIR_KEYS)
+    + " AND f1.chip = 1 AND f2.chip = 2"
+)
+
+_GROUP4 = ["targname", "imagename_1", "imagename_2", "fluxbin"]
+
+
+def _slope_pipeline_ctes(week_subset: bool) -> str:
+    """Shared oracle CTE chain: analogs → pairs → phot align → bin fan-out
+    → σ-clip → per-bin regression (valid fits carry non-NULL slope)."""
+    clip = sigma_clip_sql("fan", "flux_ratio", _GROUP4, sigma=4.0, iterations=3)
+    reg = linregress_sql("SELECT * FROM clipped", x="ypos", y="flux_ratio", group_cols=_GROUP4)
+    return f"""
+    fi AS ({_fileinfo_sql(week_subset)}),
+    ph AS ({_phot_sql(week_subset)}),
+    pairs AS ({_PAIRS_SQL}),
+    plong AS (SELECT imagename, master_id, ypix, flux - totbkgrd AS net_flux
+              FROM ph WHERE radius = 3),
+    bothsides AS (
+        SELECT pr.targname, pr.imagename_1, pr.imagename_2, p1.master_id,
+               p1.ypix AS ypos, p1.net_flux AS flux_1, p2.net_flux AS flux_2,
+               p1.net_flux / p2.net_flux AS flux_ratio
+        FROM pairs pr
+        JOIN plong p1 ON p1.imagename = pr.imagename_1
+        JOIN plong p2 ON p2.imagename = pr.imagename_2 AND p2.master_id = p1.master_id
+    ),
+    fan AS (
+        SELECT bs.*, b.fluxbin
+        FROM bothsides bs JOIN {binspec_sql(FLUX_BINS)} b
+          ON bs.flux_1 > b.bin_lo AND bs.flux_1 < b.bin_hi
+         AND bs.flux_2 > b.bin_lo AND bs.flux_2 < b.bin_hi
+    ),
+    clipped AS ({clip}),
+    reg AS ({reg})
+    """
+
+
+_EPOCHS_SQL = find_epochs_sql("SELECT targname, dateobs FROM fi", "dateobs", ["targname"], gap=30.0)
+
+_OBS_SQL = """
+    SELECT p.*, e.epoch
+    FROM pairs p JOIN epochs e
+      ON p.targname = e.targname
+     AND CAST(p.dateobs AS DOUBLE) >= e.epoch - 30.0
+     AND CAST(p.dateobs AS DOUBLE) <= e.epoch + 30.0
+"""
+
+
+# --- cs05: the wide-Results flagship over the full analog -------------------
+
+def _wide_sql_cols() -> str:
+    cols = []
+    for b in FLUXBIN_LABELS:
+        arm = f"CASE WHEN r.fluxbin = '{b}'"
+        cols.append(f"coalesce(max({arm} THEN r.slope END), 0.0) AS slope_{b}")
+        cols.append(f"coalesce(max({arm} THEN r.slopestdev END), 0.0) AS slopestdev_{b}")
+        cols.append(
+            f"coalesce(max({arm} AND r.slope IS NOT NULL THEN r.num_points END), 0)::INT"
+            f" AS numpoints_{b}"
+        )
+    return ",\n           ".join(cols)
+
+
+@register(
+    "cs05_results_wide",
+    oracle=f"""
+    WITH {_slope_pipeline_ctes(week_subset=False)}
+    SELECT p.targname, p.imagename_1, p.imagename_2,
+           {_wide_sql_cols()},
+           3.0 AS aperture
+    FROM pairs p
+    LEFT JOIN reg r ON p.targname = r.targname
+                   AND p.imagename_1 = r.imagename_1
+                   AND p.imagename_2 = r.imagename_2
+    GROUP BY p.targname, p.imagename_1, p.imagename_2
+    """,
+    tags=("flagship", "A7", "J1", "J2", "J5", "A4", "A5", "A6"),
+)
+def cs05_results_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain flagship in domain shape: compute_results (§3.2 DAG →
+    wide Results layout with zero-filled empty bins,
+    uvis_external_cte_plots.py:1119-1292 + :198-201) over analog
+    fileinfo/phot tables."""
+    from .pipeline import compute_results
+
+    fi = analog_fileinfo(spark, sf_dir)
+    ph = analog_phot(spark, sf_dir)
+    return compute_results(fi, ph, aperture=3)
+
+
+# --- cs03: CTE slope vs time (stderr = stdev / n) ---------------------------
+
+@register(
+    "cs03_cte_vs_time",
+    oracle=f"""
+    WITH {_slope_pipeline_ctes(week_subset=True)},
+    epochs AS ({_EPOCHS_SQL}),
+    obs AS ({_OBS_SQL})
+    SELECT o.targname, o.epoch, r.fluxbin,
+           (round((avg(r.slope)) * 1.0000000000002, 8) + 0.0) AS mean_slope,
+           (round((avg(r.slopestdev / r.num_points)) * 1.0000000000002, 8) + 0.0) AS mean_stderr,
+           count(*)::BIGINT AS n_pairs
+    FROM obs o
+    JOIN reg r ON o.targname = r.targname
+              AND o.imagename_1 = r.imagename_1
+              AND o.imagename_2 = r.imagename_2
+    WHERE r.slope IS NOT NULL
+    GROUP BY o.targname, o.epoch, r.fluxbin
+    """,
+    tags=("trend", "J7", "F13", "W1", "A2"),
+)
+def cs03_cte_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend layer end-to-end (plot_cteslope_vs_time_setup,
+    uvis_external_cte_plots.py:1297-1445): pairwise epoch dimension →
+    band join (±30 d) → slope retrieval from wide Results → per
+    (target, epoch, fluxbin) mean slope with stderr = stdev / n (:1413)."""
+    from .pipeline import compute_results
+    from .trends import cte_slope_vs_time, epoch_dimension
+
+    fi = analog_fileinfo(spark, sf_dir, week_subset=True)
+    ph = analog_phot(spark, sf_dir, week_subset=True)
+    results = compute_results(fi, ph, aperture=3)
+    trend = cte_slope_vs_time(fi, results, epoch_dimension(fi))
+    return trend.select(
+        "targname", "epoch", "fluxbin",
+        round_stable("mean_slope", 8).alias("mean_slope"),
+        round_stable("mean_stderr", 8).alias("mean_stderr"),
+        "n_pairs",
+    )
+
+
+# --- cs04: CTE slope vs log-flux (σ-clipped flux, stderr = stdev / √n) ------
+
+_FLUXCLIP_GROUP = ["targname", "epoch", "imagename_1", "imagename_2"]
+
+
+@register(
+    "cs04_cte_vs_logflux",
+    oracle=f"""
+    WITH {_slope_pipeline_ctes(week_subset=True)},
+    epochs AS ({_EPOCHS_SQL}),
+    obs AS ({_OBS_SQL}),
+    pflux AS (
+        SELECT o.targname, o.epoch, o.imagename_1, o.imagename_2, pl.net_flux
+        FROM obs o JOIN plong pl ON pl.imagename = o.imagename_1
+    ),
+    fclip AS ({sigma_clip_sql("pflux", "net_flux", _FLUXCLIP_GROUP, sigma=4.0, iterations=3)}),
+    fmean AS (
+        SELECT targname, epoch, imagename_1, imagename_2,
+               avg(net_flux) AS mean_flux
+        FROM fclip GROUP BY targname, epoch, imagename_1, imagename_2
+    )
+    SELECT m.targname, m.epoch, r.fluxbin,
+           (round((avg(log10(m.mean_flux))) * 1.0000000000002, 8) + 0.0) AS mean_logflux,
+           (round((avg(r.slope)) * 1.0000000000002, 8) + 0.0) AS mean_slope,
+           (round((avg(r.slopestdev / sqrt(r.num_points))) * 1.0000000000002, 8) + 0.0) AS mean_stderr,
+           count(*)::BIGINT AS n_pairs
+    FROM fmean m
+    JOIN reg r ON m.targname = r.targname
+              AND m.imagename_1 = r.imagename_1
+              AND m.imagename_2 = r.imagename_2
+    WHERE r.slope IS NOT NULL
+      AND NOT (CASE WHEN m.targname LIKE '%6791%'
+                    THEN r.fluxbin IN ('{FLUXBIN_LABELS[0]}', '{FLUXBIN_LABELS[1]}')
+                    ELSE r.fluxbin = '{FLUXBIN_LABELS[0]}' END)
+    GROUP BY m.targname, m.epoch, r.fluxbin
+    """,
+    tags=("trend", "J7", "F13", "A2", "A4"),
+)
+def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend layer vs log-flux (plot_cteslope_vs_logflux_setup,
+    uvis_external_cte_plots.py:1450-1674): 4σ-clipped per-image flux mean
+    (:1610-1613), stderr = stdev / sqrt(n) (:1633), and the per-target
+    skipbins rule (:1648-1653)."""
+    from .pipeline import compute_results
+    from .trends import cte_slope_vs_logflux, epoch_dimension, skipbins_filter
+
+    fi = analog_fileinfo(spark, sf_dir, week_subset=True)
+    ph = analog_phot(spark, sf_dir, week_subset=True)
+    results = compute_results(fi, ph, aperture=3)
+    trend = cte_slope_vs_logflux(fi, ph, results, epoch_dimension(fi), aperture=3)
+    return skipbins_filter(trend).select(
+        "targname", "epoch", "fluxbin",
+        round_stable("mean_logflux", 8).alias("mean_logflux"),
+        round_stable("mean_slope", 8).alias("mean_slope"),
+        round_stable("mean_stderr", 8).alias("mean_stderr"),
+        "n_pairs",
+    )
+
+
+# --- n03: model backtest (predicted vs observed slope) ----------------------
+
+_X_CENTER, _X_SCALE = 1200.0, 1000.0  # day-number centering (MJD-offset idea, :605-609)
+
+
+@register(
+    "n03_model_backtest",
+    oracle=f"""
+    WITH {_slope_pipeline_ctes(week_subset=True)},
+    epochs AS ({_EPOCHS_SQL}),
+    obs AS ({_OBS_SQL}),
+    trend AS (
+        SELECT o.targname, o.epoch, r.fluxbin,
+               (o.epoch - {_X_CENTER}) / {_X_SCALE} AS _x,
+               (round((avg(r.slope)) * 1.0000000000002, 8) + 0.0) AS mean_slope
+        FROM obs o
+        JOIN reg r ON o.targname = r.targname
+                  AND o.imagename_1 = r.imagename_1
+                  AND o.imagename_2 = r.imagename_2
+        WHERE r.slope IS NOT NULL
+        GROUP BY o.targname, o.epoch, r.fluxbin
+    ),
+    fit AS ({quadfit_sql("SELECT * FROM trend", x="_x", y="mean_slope",
+                         group_cols=["targname", "fluxbin"], round_to=8)})
+    SELECT t.targname, t.epoch, t.fluxbin,
+           t.mean_slope AS observed_slope,
+           (round((f.c0 + f.c1 * t._x + f.c2 * t._x * t._x) * 1.0000000000002, 8) + 0.0) AS model_slope,
+           (round((t.mean_slope - (round((f.c0 + f.c1 * t._x + f.c2 * t._x * t._x) * 1.0000000000002, 8) + 0.0)) * 1.0000000000002, 8) + 0.0) AS residual,
+           f.num_points AS n_epochs
+    FROM trend t
+    JOIN fit f ON t.targname = f.targname AND t.fluxbin = f.fluxbin
+    """,
+    tags=("model", "N1", "N2", "W3"),
+)
+def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-vs-observation backtest (plot_model_on_reality.py:420-600 /
+    solve_for_slope :48-113): fit the slope(t) trend per (target, fluxbin)
+    with the closed-form quadratic, evaluate the model at every observed
+    epoch, report predicted vs observed and the residual."""
+    from ..functions.model import quadfit_agg
+    from .pipeline import compute_results
+    from .trends import cte_slope_vs_time, epoch_dimension
+
+    fi = analog_fileinfo(spark, sf_dir, week_subset=True)
+    ph = analog_phot(spark, sf_dir, week_subset=True)
+    results = compute_results(fi, ph, aperture=3)
+    trend = (
+        cte_slope_vs_time(fi, results, epoch_dimension(fi))
+        .select(
+            "targname", "epoch", "fluxbin",
+            ((F.col("epoch") - _X_CENTER) / _X_SCALE).alias("_x"),
+            round_stable("mean_slope", 8).alias("mean_slope"),
+        )
+    )
+    fit = quadfit_agg(trend, x="_x", y="mean_slope",
+                      group_cols=["targname", "fluxbin"], round_to=8)
+    model = F.col("c0") + F.col("c1") * F.col("_x") + F.col("c2") * F.col("_x") * F.col("_x")
+    joined = trend.join(fit, ["targname", "fluxbin"])
+    return joined.select(
+        "targname", "epoch", "fluxbin",
+        F.col("mean_slope").alias("observed_slope"),
+        round_stable(model, 8).alias("model_slope"),
+        round_stable(F.col("mean_slope") - round_stable(model, 8), 8).alias("residual"),
+        F.col("num_points").alias("n_epochs"),
+    )

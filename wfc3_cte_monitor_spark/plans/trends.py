@@ -98,8 +98,11 @@ def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
                          results_wide: DataFrame, epochs: DataFrame,
                          aperture: int = 3) -> DataFrame:
     """Slope vs log-flux per epoch: per (epoch, fluxbin) the mean log10
-    net flux (A2/A4 path, :1610-1613) against the stored slope;
-    stderr = stdev / sqrt(n) (:1633)."""
+    net flux against the stored slope. The per-image flux list is 4σ-clipped
+    before its mean is taken (``sigmaclip(fluxes, high=4, low=4)`` at
+    uvis_external_cte_plots.py:1610-1613); stderr = stdev / sqrt(n)
+    (:1633)."""
+    from ..operators.sigma_clip import sigma_clip
     from .pipeline import query_for_pair
 
     pairs = query_for_pair(fileinfo).select("targname", "dateobs", "imagename_1", "imagename_2")
@@ -116,7 +119,14 @@ def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
         F.col("imagename").alias("imagename_1"),
         (F.col("flux") - F.col("totbkgrd")).alias("net_flux"),
     )
-    flux_per_pair = obs.join(p, "imagename_1").groupBy(
+    clipped = sigma_clip(
+        obs.join(p, "imagename_1"),
+        "net_flux",
+        ["targname", "epoch", "imagename_1", "imagename_2"],
+        sigma=4.0,
+        iterations=3,
+    )
+    flux_per_pair = clipped.groupBy(
         "targname", "epoch", "imagename_1", "imagename_2"
     ).agg(F.avg("net_flux").alias("mean_flux"))
 
@@ -132,6 +142,23 @@ def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         )
     )
+
+
+def skipbins_filter(trend: DataFrame, targname_col: str = "targname",
+                    fluxbin_col: str = "fluxbin") -> DataFrame:
+    """Drop each target's lowest flux bins before model fitting
+    (uvis_external_cte_plots.py:1648-1653): '6791' targets skip the first
+    TWO bins of the config list, every other target skips the first one —
+    the low bins fit badly. Bin order is the config-list order
+    (config.py:14-16), i.e. the FLUX_BINS index."""
+    from ..operators.bins import FLUX_BINS
+
+    labels = [f"{int(lo)}_{int(hi)}" for lo, hi in FLUX_BINS]
+    skip2 = F.col(targname_col).contains("6791")
+    skipped = F.when(skip2, F.col(fluxbin_col).isin(labels[:2])).otherwise(
+        F.col(fluxbin_col) == labels[0]
+    )
+    return trend.where(~skipped)
 
 
 def fit_empirical_model(trend: DataFrame, d_col: str = "epoch",
