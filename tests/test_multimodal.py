@@ -76,3 +76,61 @@ def test_frame_sampling(spark, blobs):
     for r in out:
         per.setdefault(r.blob_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 3, 6, 9] for v in per.values())
+
+
+def test_ppm_roundtrip_and_header_parse():
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.multimodal.blobs import decode_ppm, encode_ppm
+
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    data = encode_ppm(px)
+    assert data.startswith(b"P6\n5 4\n255\n")
+    out = decode_ppm(data)
+    assert out.shape == (4, 5, 3) and (out == px).all()
+    # comment lines in the header are skipped per the PPM spec
+    commented = b"P6\n# a comment\n5 4\n255\n" + px.tobytes()
+    assert (decode_ppm(commented) == px).all()
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_wav_roundtrip_and_header_parse():
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.multimodal.blobs import decode_wav, encode_wav
+
+    samp = (np.arange(-300, 300, 7)).astype(np.int16)
+    data = encode_wav(samp, 12000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    out, rate = decode_wav(data)
+    assert rate == 12000 and (out == samp).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNK" + data[4:])
+
+
+def test_decode_media_stats_matches_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.multimodal.blobs import (
+        decode_media_stats,
+        synthesize_media_blobs,
+    )
+
+    blobs = synthesize_media_blobs(spark, sf_smoke)
+    stats = {r.blob_id: r for r in decode_media_stats(blobs).collect()}
+    assert stats
+    for d in list(stats)[:20]:
+        r = stats[d]
+        if d % 2 == 0:
+            w, h = d % 13 + 4, d % 11 + 3
+            px = (d + np.arange(w * h * 3)) % 256
+            assert (r.width, r.height) == (w, h)
+            assert r.checksum == px.sum()
+            assert abs(r.mean_val - px.mean()) < 1e-12
+        else:
+            n = d % 500 + 50
+            samp = (((d + np.arange(n)) % 256) - 128) * 256
+            assert r.n_samples == n
+            assert r.sample_rate == 8000 + (d % 3) * 4000
+            assert r.checksum == samp.sum()

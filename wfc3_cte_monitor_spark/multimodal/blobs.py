@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The real decode step (PIL / ffmpeg / soundfile) is NOT in this container,
-so the codec boundary is STUBBED — ``_decode_bytes`` raises
-NotImplementedError for real codecs and provides a deterministic fake for
-the 'raw' codec used by tests. Everything AROUND the stub is real Spark
-plumbing and is what matters at 100 TB:
+Two REAL pure-numpy codecs are implemented — binary PPM (P6) images and
+PCM16 WAV audio (header parse + sample extraction, no external libs);
+compressed codecs (PIL / ffmpeg / soundfile are not in this container)
+raise NotImplementedError at the same boundary, and a 'raw' deterministic
+fake remains for plumbing tests. Everything around the codec boundary is
+real Spark plumbing and is what matters at 100 TB:
 
 - blobs travel as a ``binary`` column with a typed metadata struct
   (never exploded into the row — column pruning keeps metadata-only
@@ -59,18 +60,175 @@ def make_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- real pure-numpy codecs (PPM P6 images, PCM16 WAV audio) ---------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Real header parse: magic,
+    whitespace-separated dims, maxval, then the raster."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval 255 PPM supported")
+    pos += 1  # single whitespace after maxval
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono int16 samples → canonical 44-byte-header PCM WAV."""
+    import struct
+
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 mono WAV → (int16 samples, sample_rate). Real RIFF parse with
+    magic/format validation."""
+    import struct
+
+    riff, _, wave = struct.unpack("<4sI4s", data[:12])
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt_id, fmt_size, audio_fmt, channels, rate, _, _, bits = struct.unpack(
+        "<4sIHHIIHH", data[12:36]
+    )
+    if fmt_id != b"fmt " or audio_fmt != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 mono WAV supported")
+    data_id, data_size = struct.unpack("<4sI", data[36 + fmt_size - 16 : 44 + fmt_size - 16])
+    if data_id != b"data":
+        raise ValueError("missing data chunk")
+    off = 44 + fmt_size - 16
+    return np.frombuffer(data, dtype="<i2", count=data_size // 2, offset=off), rate
+
+
 def _decode_bytes(content: bytes, codec: str, width: int, height: int) -> np.ndarray:
-    """Codec boundary. Real codecs are stubbed (libs not in container)."""
+    """Codec boundary: 'ppm' and 'wav' are real decoders; compressed codecs
+    are stubbed (libs not in container)."""
     if codec == "raw":
         # deterministic fake: bytes tiled into a (height, width) uint8 grid
         arr = np.frombuffer(content, dtype=np.uint8)
         need = width * height
         tiled = np.resize(arr, need) if arr.size else np.zeros(need, dtype=np.uint8)
         return tiled.reshape(height, width)
+    if codec == "ppm":
+        return decode_ppm(content)
+    if codec == "wav":
+        return decode_wav(content)[0]
     raise NotImplementedError(
         f"codec {codec!r}: real decoders (PIL/ffmpeg/soundfile) are not in "
         "this container — plug them in here; the Spark plumbing is codec-agnostic"
     )
+
+
+def synthesize_media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL media files from the documents corpus: even
+    doc_ids become P6 PPM images, odd doc_ids PCM16 WAV clips, with sizes
+    and pixel/sample patterns that are closed-form functions of doc_id
+    (pixel k = (doc_id + k) mod 256; sample k = (pixel k - 128) * 256) —
+    so decoded statistics are independently computable by the oracle."""
+    from ..sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = (
+        "blob_id bigint, kind string, codec string, content binary,"
+        " meta struct<width:int, height:int, n_frames:int, sample_rate:int>"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = d % 13 + 4, d % 11 + 3
+                    px = ((d + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                    rows.append({
+                        "blob_id": d, "kind": "image", "codec": "ppm",
+                        "content": encode_ppm(px.reshape(h, w, 3)),
+                        "meta": {"width": w, "height": h, "n_frames": 1, "sample_rate": 0},
+                    })
+                else:
+                    n, rate = d % 500 + 50, 8000 + (d % 3) * 4000
+                    samp = ((((d + np.arange(n)) % 256) - 128) * 256).astype(np.int16)
+                    rows.append({
+                        "blob_id": d, "kind": "audio", "codec": "wav",
+                        "content": encode_wav(samp, rate),
+                        "meta": {"width": 0, "height": 0, "n_frames": n, "sample_rate": rate},
+                    })
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(build, schema=out_schema)
+
+
+def decode_media_stats(blobs: DataFrame) -> DataFrame:
+    """binary → per-blob reduced statistics via the REAL codec parsers.
+    Dimensions/sample_rate come from the FILE HEADERS (not the metadata
+    struct), so the query validates the full encode→decode round trip;
+    pixels/samples never leave the partition."""
+    out_schema = (
+        "blob_id bigint, kind string, width int, height int,"
+        " n_samples int, sample_rate int, mean_val double, checksum bigint"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                if r["codec"] == "ppm":
+                    img = decode_ppm(content)
+                    rows.append({
+                        "blob_id": r["blob_id"], "kind": "image",
+                        "width": img.shape[1], "height": img.shape[0],
+                        "n_samples": 0, "sample_rate": 0,
+                        "mean_val": float(img.astype(np.float64).mean()),
+                        "checksum": int(img.astype(np.int64).sum()),
+                    })
+                elif r["codec"] == "wav":
+                    samp, rate = decode_wav(content)
+                    rows.append({
+                        "blob_id": r["blob_id"], "kind": "audio",
+                        "width": 0, "height": 0,
+                        "n_samples": len(samp), "sample_rate": rate,
+                        "mean_val": float(samp.astype(np.float64).mean()),
+                        "checksum": int(samp.astype(np.int64).sum()),
+                    })
+                else:
+                    raise NotImplementedError(f"stats for codec {r['codec']!r}")
+            yield pd.DataFrame(
+                rows,
+                columns=["blob_id", "kind", "width", "height", "n_samples",
+                         "sample_rate", "mean_val", "checksum"],
+            )
+
+    return blobs.select("blob_id", "codec", "content").mapInPandas(stats, schema=out_schema)
 
 
 def decode_images(blobs: DataFrame, batch_hint: int = 64) -> DataFrame:

@@ -357,6 +357,105 @@ def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- s01: header-scan derivations (S1 + A8 + F7) ----------------------------
+
+_S01_CODES_180 = ["etq", "euq", "ewq", "f2q", "xsq", "xtq", "xvq", "y1q"]
+# postarg2 probe values: both chip-2 boundaries (0.0, ±0.1 inclusive), the
+# unusable subdither band, and the chip-1 boundary (±80) and beyond.
+_S01_POSTARG2 = [0.0, 0.05, -0.1, 5.0, 80.0, -100.0]
+
+
+@register(
+    "s01_header_derivations",
+    oracle=f"""
+    WITH headers AS (
+        SELECT o_orderkey AS k,
+               printf('i%09d%s_%s.fits', o_orderkey,
+                      CASE WHEN o_orderkey % 11 = 0 THEN 'etq'
+                           WHEN o_orderkey % 11 = 1 THEN 'xsq'
+                           ELSE 'abq' END,
+                      CASE WHEN o_orderkey % 2 = 0 THEN 'flc' ELSE 'flt' END) AS imagename,
+               50000.0 + (o_orderkey % 3000) + (o_orderkey % 100) / 100.0 AS expstart,
+               CASE o_orderkey % 6
+                    WHEN 0 THEN 0.0 WHEN 1 THEN 0.05 WHEN 2 THEN -0.1
+                    WHEN 3 THEN 5.0 WHEN 4 THEN 80.0 ELSE -100.0 END AS postarg2,
+               CASE o_orderkey % 3 WHEN 0 THEN 30.0 WHEN 1 THEN 60.0 ELSE 360.0 END AS exptime,
+               CAST(o_orderkey % 3 AS DOUBLE) AS flashlvl,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'NGC6583' ELSE 'NGC104' END AS targname,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'CONT' ELSE 'NO' END AS chinject,
+               (o_orderkey % 50) / 10.0 AS mnbkgrd,
+               CAST(2 + o_orderkey % 4 AS DOUBLE) AS radius
+        FROM orders
+    )
+    SELECT imagename,
+           lower(targname) AS targname,
+           CAST(substr(CAST(expstart AS VARCHAR), 1, 5) AS INT) AS dateobs,
+           CASE WHEN targname LIKE '%6583%'
+                     AND ({" OR ".join(f"imagename LIKE '%{c}%'" for c in _S01_CODES_180)})
+                THEN 1
+                WHEN targname LIKE '%6583%' THEN 2
+                WHEN abs(postarg2) <= 0.1 THEN 2
+                WHEN abs(postarg2) >= 80.0 THEN 1 END AS chip,
+           CASE WHEN imagename LIKE '%\\_flc%' ESCAPE '\\' THEN 1 ELSE 0 END AS ctecorr,
+           CASE WHEN exptime <= 60 THEN 's' ELSE 'l' END AS exp_length,
+           CAST(flashlvl AS INT) AS flashlvl,
+           CASE WHEN targname NOT LIKE '%6583%'
+                     AND abs(postarg2) > 0.1 AND abs(postarg2) < 80.0
+                THEN 'false_subdither'
+                WHEN chinject <> 'NO' THEN 'false_chinject'
+                WHEN CAST(flashlvl AS INT) <> 0 THEN 'false_flashlvl' END AS skip_reason,
+           current_date AS ingest_date,
+           mnbkgrd * (pi() * radius * radius) AS totbkgrd
+    FROM headers
+    """,
+    tags=("S1", "A8", "F7", "F1"),
+)
+def s01_header_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-scan derivations driver-gated (run_image_extraction.py
+    create_param_dict :148-443): dateobs from EXPSTART digits (:308-310),
+    chip from POSTARG2 / the 180-degree code list (:348-375), ctecorr
+    from the _flc/_flt suffix (:378-381), exp_length (:384-387),
+    flashlvl normalization (:421), skip sentinels (:274-340), ingest_date
+    (F7, database_update.py:298) and the A8 aperture-background product
+    (database_update.py:506-509)."""
+    from ..sources.header_derive import derive_fileinfo_columns, totbkgrd_expr
+
+    k = F.col("o_orderkey")
+    headers = load_table(spark, sf_dir, "orders").select(
+        F.format_string(
+            "i%09d%s_%s.fits",
+            k,
+            F.when(k % 11 == 0, "etq").when(k % 11 == 1, "xsq").otherwise("abq"),
+            F.when(k % 2 == 0, "flc").otherwise("flt"),
+        ).alias("imagename"),
+        (F.lit(50000.0) + (k % 3000) + (k % 100) / 100.0).alias("expstart"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in _S01_POSTARG2]), (k % 6 + 1).cast("int")
+        ).alias("postarg2"),
+        F.element_at(
+            F.array(F.lit(30.0), F.lit(60.0), F.lit(360.0)), (k % 3 + 1).cast("int")
+        ).alias("exptime"),
+        (k % 3).cast("double").alias("flashlvl"),
+        F.when(k % 7 == 0, "NGC6583").otherwise("NGC104").alias("targname"),
+        F.when(k % 13 == 0, "CONT").otherwise("NO").alias("chinject"),
+        ((k % 50) / 10.0).alias("mnbkgrd"),
+        (2 + k % 4).cast("double").alias("radius"),
+    )
+    derived = derive_fileinfo_columns(headers, flashlvl_desired=0)
+    return derived.select(
+        "imagename",
+        "targname",
+        "dateobs",
+        "chip",
+        "ctecorr",
+        "exp_length",
+        "flashlvl",
+        "skip_reason",
+        "ingest_date",
+        totbkgrd_expr(F.col("mnbkgrd"), F.col("radius")).alias("totbkgrd"),
+    )
+
+
 # --- n03: model backtest (predicted vs observed slope) ----------------------
 
 _X_CENTER, _X_SCALE = 1200.0, 1000.0  # day-number centering (MJD-offset idea, :605-609)

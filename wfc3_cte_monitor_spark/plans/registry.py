@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
     for mod in (
         "parity_queries2",
         "domain_queries",
+        "multimodal_queries",
         "dedup_queries",
         "similarity_queries",
         "text_queries",
