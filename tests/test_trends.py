@@ -90,3 +90,46 @@ def test_discovery_skip_lists(spark, tmp_path):
     kept = apply_skip_lists(with_prop)  # drops 14012 v05 and 12379 v07
     kept_names = {r.imagename for r in kept.collect()}
     assert kept_names == {"ibwb06abq_flc.txt", "ic5p08xyq_flt.txt"}
+
+
+def test_coeff_latextable_literal(spark):
+    from wfc3_cte_monitor_spark.sources.coeff_table import print_coeff_latextable
+
+    rows = [
+        ("pf0_short", i, j, (i * 3 + j + 1) * 0.0123)
+        for i in range(3) for j in range(3)
+    ] + [
+        ("pf6_long", i, j, -(i * 3 + j + 1) * 4.56e-5)
+        for i in range(3) for j in range(3)
+    ]
+    coeffs = spark.createDataFrame(rows, "mode string, i int, j int, coeff double")
+    out = print_coeff_latextable(coeffs, "mode")
+    expected = "\n".join([
+        "\\begin{table}",
+        "\\begin{tabular}{ccc}",
+        "Mode & pf0_short & pf6_long \\\\",
+        "C00 & 1.23e-02 & -4.56e-05 \\\\",
+        "C01 & 2.46e-02 & -9.12e-05 \\\\",
+        "C02 & 3.69e-02 & -1.37e-04 \\\\",
+        "C10 & 4.92e-02 & -1.82e-04 \\\\",
+        "C11 & 6.15e-02 & -2.28e-04 \\\\",
+        "C12 & 7.38e-02 & -2.74e-04 \\\\",
+        "C20 & 8.61e-02 & -3.19e-04 \\\\",
+        "C21 & 9.84e-02 & -3.65e-04 \\\\",
+        "C22 & 1.11e-01 & -4.10e-04 \\\\",
+        "\\end{tabular}",
+        "\\end{table}",
+    ])
+    assert out == expected
+
+
+def test_coeff_latextable_from_polyfit(spark, domain):
+    from wfc3_cte_monitor_spark.sources.coeff_table import print_coeff_latextable
+
+    fileinfo, phot_long, results = domain
+    epochs = epoch_dimension(fileinfo)
+    trend = cte_slope_vs_logflux(fileinfo, phot_long, results, epochs)
+    coeffs = fit_empirical_model(trend).withColumnRenamed("targname", "mode")
+    out = print_coeff_latextable(coeffs, "mode")
+    assert out.startswith("\\begin{table}")
+    assert "C22" in out and out.count("\\\\") == 10  # header + 9 coeff rows

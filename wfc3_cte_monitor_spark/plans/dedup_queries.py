@@ -154,6 +154,13 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     edges = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
         verified.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # Iterative-algorithm hygiene: materialize the edge list ONCE and
+    # truncate its lineage before the label-propagation loop — otherwise
+    # every round's plan re-embeds the whole shingle→minhash→band→verify
+    # pipeline (k× recompute, straggler-prone at scale). localCheckpoint
+    # keeps the tiny edge set on executors; deterministic, so the oracle
+    # comparison is unaffected.
+    edges = edges.localCheckpoint(eager=True)
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(N_LABEL_ROUNDS):
         nbr_min = (

@@ -19,6 +19,12 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalesces by BYTES (1 MiB floor per partition), which serializes
+    # CPU-heavy small-byte stages (iterated window clips, regressions) onto
+    # 2-3 tasks while the other cores idle — observed as multi-second
+    # stragglers. A lower floor keeps those stages parallel; on a real
+    # cluster the extra tasks are noise next to the per-task CPU win.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # a caller session with the 200-partition default over-parallelizes the
     # small-SF gates; AQE coalescing mostly fixes it, but pinning is cheaper
     "spark.sql.shuffle.partitions": "32",
@@ -39,6 +45,7 @@ def get_spark(app_name: str = "wfc3_cte_monitor_spark", cpus: int | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

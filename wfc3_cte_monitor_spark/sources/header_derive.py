@@ -43,10 +43,12 @@ def derive_fileinfo_columns(headers: DataFrame,
     # unusable and becomes skip_reason='false_subdither' below.
     codes_180 = ["etq", "euq", "ewq", "f2q", "xsq", "xtq", "xvq", "y1q"]
     is_180 = F.col("targname").contains("6583")
-    code_hit = F.exists(
-        F.array(*[F.lit(c) for c in codes_180]),
-        lambda c: F.col("imagename").contains(c),
-    )
+    # plain OR chain, not exists() over an array literal: higher-order
+    # functions run interpreted (outside whole-stage codegen) and their
+    # lambda resolution is a measurable analyzer cost
+    code_hit = F.lit(False)
+    for c in codes_180:
+        code_hit = code_hit | F.col("imagename").contains(c)
     chip = (
         F.when(is_180 & code_hit, 1)
         .when(is_180, 2)
