@@ -194,7 +194,8 @@ def decode_media_stats(blobs: DataFrame) -> DataFrame:
     pixels/samples never leave the partition."""
     out_schema = (
         "blob_id bigint, kind string, width int, height int,"
-        " n_samples int, sample_rate int, mean_val double, checksum bigint"
+        " n_samples int, sample_rate int, mean_val double, checksum bigint,"
+        " ap_flux bigint, ap_npix int"
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,12 +205,23 @@ def decode_media_stats(blobs: DataFrame) -> DataFrame:
                 content = bytes(r["content"])
                 if r["codec"] == "ppm":
                     img = decode_ppm(content)
+                    h, w = img.shape[0], img.shape[1]
+                    # N3 aperture photometry on the decoded pixels: sum of
+                    # channel values within min(w,h)/3 of the image center
+                    # (run_image_extraction.py:448-579's apphot reduced to
+                    # the circular-mask sum; pixels stay in the partition)
+                    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                    xc, yc = (w - 1) / 2.0, (h - 1) / 2.0
+                    rad = min(w, h) / 3.0
+                    mask = (xs - xc) * (xs - xc) + (ys - yc) * (ys - yc) <= rad * rad
                     rows.append({
                         "blob_id": r["blob_id"], "kind": "image",
-                        "width": img.shape[1], "height": img.shape[0],
+                        "width": w, "height": h,
                         "n_samples": 0, "sample_rate": 0,
                         "mean_val": float(img.astype(np.float64).mean()),
                         "checksum": int(img.astype(np.int64).sum()),
+                        "ap_flux": int(img[mask].astype(np.int64).sum()),
+                        "ap_npix": int(mask.sum()),
                     })
                 elif r["codec"] == "wav":
                     samp, rate = decode_wav(content)
@@ -219,13 +231,14 @@ def decode_media_stats(blobs: DataFrame) -> DataFrame:
                         "n_samples": len(samp), "sample_rate": rate,
                         "mean_val": float(samp.astype(np.float64).mean()),
                         "checksum": int(samp.astype(np.int64).sum()),
+                        "ap_flux": 0, "ap_npix": 0,
                     })
                 else:
                     raise NotImplementedError(f"stats for codec {r['codec']!r}")
             yield pd.DataFrame(
                 rows,
                 columns=["blob_id", "kind", "width", "height", "n_samples",
-                         "sample_rate", "mean_val", "checksum"],
+                         "sample_rate", "mean_val", "checksum", "ap_flux", "ap_npix"],
             )
 
     return blobs.select("blob_id", "codec", "content").mapInPandas(stats, schema=out_schema)

@@ -36,12 +36,15 @@ def apply_pam(pixels: Column, pam: Column) -> Column:
     return F.zip_with(pixels, pam, lambda p, a: p * a)
 
 
-def rd2xy(sources: DataFrame, wcs: DataFrame, ra: str = "ra", dec: str = "dec") -> DataFrame:
+def rd2xy(sources: DataFrame, wcs: DataFrame, ra: str = "ra", dec: str = "dec",
+          key: str = "imagename") -> DataFrame:
     """Sky→pixel for every (source, image) via per-image affine WCS:
     x = ax·(ra-ra0) + bx·(dec-dec0) + x0 ; y analogous.
-    ``wcs``: (imagename, ra0, dec0, ax, bx, x0, ay, by, y0) — tiny, broadcast."""
-    j = sources.crossJoin(F.broadcast(wcs)) if "imagename" not in sources.columns else (
-        sources.join(F.broadcast(wcs), "imagename")
+    ``wcs``: (key, ra0, dec0, ax, bx, x0, ay, by, y0) — tiny, broadcast;
+    ``key`` is the solution's grain (per image, or per target when one
+    pointing solution covers a target's exposures)."""
+    j = sources.crossJoin(F.broadcast(wcs)) if key not in sources.columns else (
+        sources.join(F.broadcast(wcs), key)
     )
     dra = F.col(ra) - F.col("ra0")
     ddec = F.col(dec) - F.col("dec0")

@@ -364,6 +364,18 @@ _S01_CODES_180 = ["etq", "euq", "ewq", "f2q", "xsq", "xtq", "xvq", "y1q"]
 # unusable subdither band, and the chip-1 boundary (±80) and beyond.
 _S01_POSTARG2 = [0.0, 0.05, -0.1, 5.0, 80.0, -100.0]
 
+# Per-target affine WCS solutions (N4): one pointing solution per target,
+# broadcast to every exposure — rd2xy's grain when a target's visits share
+# astrometry. Constants are arbitrary but exact double literals.
+_S01_WCS = [
+    ("ngc104", 5.0, 1.0, 101.3, 3.7, 2048.0, -2.9, 99.1, 1025.5),
+    ("ngc6583", 4.0, -2.0, 97.6, -1.3, 1900.0, 4.1, 103.8, 980.0),
+]
+_S01_WCS_SQL = "(VALUES " + ", ".join(
+    f"('{t}', {ra0!r}, {dec0!r}, {ax!r}, {bx!r}, {x0!r}, {ay!r}, {by!r}, {y0!r})"
+    for t, ra0, dec0, ax, bx, x0, ay, by, y0 in _S01_WCS
+) + ") w(wtarg, ra0, dec0, ax, bx, x0, ay, by, y0)"
+
 
 @register(
     "s01_header_derivations",
@@ -384,7 +396,9 @@ _S01_POSTARG2 = [0.0, 0.05, -0.1, 5.0, 80.0, -100.0]
                CASE WHEN o_orderkey % 7 = 0 THEN 'NGC6583' ELSE 'NGC104' END AS targname,
                CASE WHEN o_orderkey % 13 = 0 THEN 'CONT' ELSE 'NO' END AS chinject,
                (o_orderkey % 50) / 10.0 AS mnbkgrd,
-               CAST(2 + o_orderkey % 4 AS DOUBLE) AS radius
+               CAST(2 + o_orderkey % 4 AS DOUBLE) AS radius,
+               5.0 + (o_orderkey % 360) / 100.0 AS ra,
+               1.0 - (o_orderkey % 180) / 200.0 AS dec
         FROM orders
     )
     SELECT imagename,
@@ -405,10 +419,12 @@ _S01_POSTARG2 = [0.0, 0.05, -0.1, 5.0, 80.0, -100.0]
                 WHEN chinject <> 'NO' THEN 'false_chinject'
                 WHEN CAST(flashlvl AS INT) <> 0 THEN 'false_flashlvl' END AS skip_reason,
            current_date AS ingest_date,
-           mnbkgrd * (pi() * radius * radius) AS totbkgrd
-    FROM headers
+           mnbkgrd * (pi() * radius * radius) AS totbkgrd,
+           ax * (ra - ra0) + bx * (dec - dec0) + x0 AS xpix,
+           ay * (ra - ra0) + by * (dec - dec0) + y0 AS ypix
+    FROM headers JOIN {_S01_WCS_SQL} ON lower(targname) = wtarg
     """,
-    tags=("S1", "A8", "F7", "F1"),
+    tags=("S1", "A8", "F7", "F1", "N4"),
 )
 def s01_header_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-scan derivations driver-gated (run_image_extraction.py
@@ -416,8 +432,11 @@ def s01_header_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     chip from POSTARG2 / the 180-degree code list (:348-375), ctecorr
     from the _flc/_flt suffix (:378-381), exp_length (:384-387),
     flashlvl normalization (:421), skip sentinels (:274-340), ingest_date
-    (F7, database_update.py:298) and the A8 aperture-background product
-    (database_update.py:506-509)."""
+    (F7, database_update.py:298), the A8 aperture-background product
+    (database_update.py:506-509), and the N4 sky→pixel affine transform
+    (rd2xy, run_image_extraction.py:650-651 — the reference's 'very, very
+    slow' per-star loop as a broadcast join + column arithmetic)."""
+    from ..operators.image_ops import rd2xy
     from ..sources.header_derive import derive_fileinfo_columns, totbkgrd_expr
 
     k = F.col("o_orderkey")
@@ -440,9 +459,16 @@ def s01_header_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 13 == 0, "CONT").otherwise("NO").alias("chinject"),
         ((k % 50) / 10.0).alias("mnbkgrd"),
         (2 + k % 4).cast("double").alias("radius"),
+        (F.lit(5.0) + (k % 360) / 100.0).alias("ra"),
+        (F.lit(1.0) - (k % 180) / 200.0).alias("dec"),
     )
     derived = derive_fileinfo_columns(headers, flashlvl_desired=0)
-    return derived.select(
+    wcs = spark.createDataFrame(
+        _S01_WCS,
+        "targname string, ra0 double, dec0 double, ax double, bx double,"
+        " x0 double, ay double, by double, y0 double",
+    )
+    return rd2xy(derived, wcs, key="targname").select(
         "imagename",
         "targname",
         "dateobs",
@@ -453,6 +479,8 @@ def s01_header_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skip_reason",
         "ingest_date",
         totbkgrd_expr(F.col("mnbkgrd"), F.col("radius")).alias("totbkgrd"),
+        "xpix",
+        "ypix",
     )
 
 

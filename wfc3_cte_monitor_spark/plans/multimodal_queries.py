@@ -46,8 +46,27 @@ t AS (
                      + (r - (256 - a)) * (r - (256 - a) - 1) // 2
            END AS sum_b
     FROM s
+),
+-- N3 aperture: simulate the pixel grid per image (pixel value at flat
+-- byte index i is (a + i) mod 256) and sum channel values within
+-- min(w,h)/3 of the image center — the oracle for the decoded-array
+-- circular-mask photometry.
+px AS (
+    SELECT doc_id, a, w, h, unnest(range(0, w * h)) AS pq
+    FROM p WHERE kind = 'image'
+),
+ap AS (
+    SELECT doc_id,
+           SUM(((a + pq * 3) % 256) + ((a + pq * 3 + 1) % 256)
+               + ((a + pq * 3 + 2) % 256)) AS ap_flux,
+           COUNT(*) AS ap_npix
+    FROM px
+    WHERE (pq % w - (w - 1) / 2.0) * (pq % w - (w - 1) / 2.0)
+          + (pq // w - (h - 1) / 2.0) * (pq // w - (h - 1) / 2.0)
+          <= (least(w, h) / 3.0) * (least(w, h) / 3.0)
+    GROUP BY doc_id
 )
-SELECT doc_id AS blob_id, kind,
+SELECT t.doc_id AS blob_id, kind,
        (CASE WHEN kind = 'image' THEN w ELSE 0 END)::INT AS width,
        (CASE WHEN kind = 'image' THEN h ELSE 0 END)::INT AS height,
        (CASE WHEN kind = 'audio' THEN ns ELSE 0 END)::INT AS n_samples,
@@ -55,8 +74,10 @@ SELECT doc_id AS blob_id, kind,
        CASE WHEN kind = 'image' THEN CAST(sum_b AS DOUBLE) / n
             ELSE CAST((sum_b - 128 * n) * 256 AS DOUBLE) / n END AS mean_val,
        (CASE WHEN kind = 'image' THEN sum_b
-             ELSE (sum_b - 128 * n) * 256 END)::BIGINT AS checksum
-FROM t
+             ELSE (sum_b - 128 * n) * 256 END)::BIGINT AS checksum,
+       coalesce(ap.ap_flux, 0)::BIGINT AS ap_flux,
+       coalesce(ap.ap_npix, 0)::INT AS ap_npix
+FROM t LEFT JOIN ap ON t.doc_id = ap.doc_id
 """
 
 
