@@ -537,6 +537,11 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("epoch") - _X_CENTER) / _X_SCALE).alias("_x"),
             round_stable("mean_slope", 8).alias("mean_slope"),
         )
+        # trend feeds BOTH the fit aggregation and the residual join; a
+        # declarative self-reference would embed the whole slope pipeline
+        # twice in the plan (observed: 2x scans/windows/exchanges at
+        # explain time). The trend table is tiny — materialize it once.
+        .localCheckpoint(eager=True)
     )
     fit = quadfit_agg(trend, x="_x", y="mean_slope",
                       group_cols=["targname", "fluxbin"], round_to=8)
