@@ -28,13 +28,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Runs the CTE-slope pipeline analog (SURVEY.md §3.2): pair self-join →
-    overlapping flux-bin fan-out → 4σ sigma-clip → per-bin regression.
+    Runs the domain flagship in its real shape (SURVEY.md §3.2):
+    compute_results over analog fileinfo/phot — pair self-join → phot
+    master-id alignment → overlapping flux-bin fan-out → 4σ sigma-clip →
+    per-bin regression → wide Results pivot with zero-filled empty bins.
     """
     prepare(spark)
-    from wfc3_cte_monitor_spark.plans.cte_slopes import cte_slope_pairs
+    from wfc3_cte_monitor_spark.plans.domain_queries import cs05_results_wide
 
-    return cte_slope_pairs(spark, SMOKE_SF_DIR)
+    return cs05_results_wide(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

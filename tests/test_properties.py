@@ -85,3 +85,38 @@ def test_upsert_property(spark, base_kv, upd_kv):
     expect = {**base_kv, **upd_kv}
     assert set(got) == set(expect)
     assert all(np.isclose(got[k], expect[k]) for k in expect)
+
+
+def _epoch_walk_ref(dates, gap=30.0):
+    """Literal reference scan (uvis_external_cte_plots.py:2196-2209)."""
+    ds = sorted(set(dates))
+    out, i = [], 0
+    while i < len(ds):
+        if i + 1 < len(ds) and (ds[i + 1] - ds[i]) < gap:
+            out.append(float(round((ds[i] + ds[i + 1]) / 2.0)))
+            i += 2
+        else:
+            out.append(float(ds[i]))
+            i += 1
+    return sorted(out)
+
+
+@_SETTINGS
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+        min_size=1,
+        max_size=4,
+    ),
+    gap=st.sampled_from([5.0, 30.0, 100.0]),
+)
+def test_find_epochs_window_form_property(spark, groups, gap):
+    from wfc3_cte_monitor_spark.operators.sessionize import find_epochs_pairwise
+
+    rows = [(f"g{i}", d) for i, ds in enumerate(groups) for d in ds]
+    df = spark.createDataFrame(rows, "targ string, dateobs int")
+    got: dict[str, list[float]] = {}
+    for r in find_epochs_pairwise(df, "dateobs", ["targ"], gap=gap).collect():
+        got.setdefault(r.targ, []).append(r.epoch)
+    for i, ds in enumerate(groups):
+        assert sorted(got[f"g{i}"]) == _epoch_walk_ref(ds, gap), (i, ds, gap)

@@ -143,3 +143,89 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int] | None = None,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path --------------
+
+N_LISTS = 16     # nlist: coarse centroids / inverted lists
+N_PROBE = 3      # nprobe: lists scanned per query
+
+
+def ivf_centroids(embeddings: DataFrame, id_col: str = "vec_id",
+                  emb_col: str = "embedding", n_lists: int = N_LISTS) -> DataFrame:
+    """Deterministic coarse quantizer: the first ``n_lists`` corpus vectors
+    by id serve as centroids (sampled-init IVF — production would k-means
+    refine these, which only changes the centroid VALUES, not the plan
+    shape). Tiny (nlist rows) → always broadcast."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    return (
+        embeddings.select(id_col, emb_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_lists)
+        .select(
+            (F.col("_rn") - 1).alias("list_id"),
+            _as_double(F.col(emb_col)).alias("cv"),
+        )
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> DataFrame:
+    """Corpus → (vec_id, v, list_id): nearest-centroid assignment via a
+    broadcast nlist-way fan-out + max_by. This is the IVF build step; at
+    scale the output is written partitioned/bucketed by list_id so probes
+    read only nprobe lists."""
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(emb_col)).alias("v")
+    ).join(F.broadcast(centroids)).select(
+        "vec_id", "v", "list_id", cosine(F.col("v"), F.col("cv")).alias("_sim")
+    )
+    # max_by with (sim, -list_id) tiebreak → deterministic assignment
+    return scored.groupBy("vec_id", "v").agg(
+        F.max_by("list_id", F.struct(F.col("_sim"), -F.col("list_id"))).alias("list_id")
+    )
+
+
+def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
+            query_pred: Column | None = None, id_col: str = "vec_id",
+            emb_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    lists; candidates come from an equi-join on list_id (never a cross
+    join against the corpus); exact cosine re-ranks candidates only.
+
+    Complement to the LSH path: LSH buys recall with independent tables,
+    IVF with probed lists — both confine the quadratic work to buckets."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, id_col, emb_col)
+    assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+
+    q = embeddings.where(query_pred).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("list_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qv", "list_id", cosine(F.col("qv"), F.col("cv")).alias("_csim"))
+        .withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
