@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from wfc3_cte_monitor_spark.plans.registry import load_all
 from wfc3_cte_monitor_spark.streaming.events import (
     read_events_stream,
@@ -143,3 +145,68 @@ def test_stream_dedup_drops_duplicate_keys(spark, events_stream):
         assert n == ids > 0
     finally:
         q.stop()
+
+
+def test_incremental_results_batch_equals_full_recompute(spark):
+    """Split exposures into an initial corpus and a late-arriving batch;
+    the incremental merge over affected pairs must equal the full
+    recompute exactly (same pairs, same values)."""
+    from wfc3_cte_monitor_spark.plans.pipeline import compute_results
+    from wfc3_cte_monitor_spark.streaming.incremental import (
+        affected_pairs,
+        incremental_results_batch,
+    )
+    from wfc3_cte_monitor_spark.testing.fixtures import make_domain_fixtures
+
+    _, fileinfo, phot_long = make_domain_fixtures(spark)
+    fileinfo = fileinfo.cache()
+    full = compute_results(fileinfo, phot_long)
+
+    cutoff = 56100  # fixture dates are 56000/56020/56200 -> last epoch arrives late
+    old_fi = fileinfo.where(F.col("dateobs") < cutoff)
+    new_fi = fileinfo.where(F.col("dateobs") >= cutoff)
+    assert old_fi.count() and new_fi.count()
+
+    store0 = compute_results(old_fi, phot_long)
+    touched = affected_pairs(new_fi, fileinfo)
+    # the touched set is exactly the pairs with a late side
+    assert 0 < touched.count() < full.count()
+
+    merged = incremental_results_batch(store0, new_fi, fileinfo, phot_long)
+    key = lambda r: (r["targname"], r["imagename_1"], r["imagename_2"])
+    full_rows = {key(r): tuple(r) for r in full.collect()}
+    merged_rows = {key(r): tuple(r) for r in merged.collect()}
+    assert merged_rows == full_rows
+
+
+def test_maintain_results_stream_file_source(spark, tmp_path):
+    """End-to-end: exposures dropped as files -> availableNow stream ->
+    per-batch incremental MERGE into the parquet Results store."""
+    from wfc3_cte_monitor_spark.plans.pipeline import compute_results
+    from wfc3_cte_monitor_spark.streaming.incremental import maintain_results_stream
+    from wfc3_cte_monitor_spark.testing.fixtures import make_domain_fixtures
+
+    _, fileinfo, phot_long = make_domain_fixtures(spark)
+    fileinfo = fileinfo.cache()
+    phot_long = phot_long.cache()
+
+    inbox = tmp_path / "inbox"
+    fileinfo.where(F.col("dateobs") < 56100).write.parquet(str(inbox / "b0"))
+    fileinfo.where(F.col("dateobs") >= 56100).write.parquet(str(inbox / "b1"))
+
+    stream = spark.readStream.schema(fileinfo.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(inbox))
+    q = maintain_results_stream(
+        spark, stream, fileinfo, phot_long,
+        store_path=str(tmp_path / "results"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "results"))
+    full = compute_results(fileinfo, phot_long)
+    key = lambda r: (r["targname"], r["imagename_1"], r["imagename_2"])
+    assert {key(r): tuple(r) for r in got.collect()} == {
+        key(r): tuple(r) for r in full.collect()
+    }
