@@ -30,7 +30,13 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"mode", "fluxbin", "slope", "slopestdev", "num_points"}
+    # wide Results layout: pair identity + 3 measures x 8 bins + aperture
+    cols = set(df.columns)
+    assert {"targname", "imagename_1", "imagename_2", "aperture"} <= cols
+    from wfc3_cte_monitor_spark.schemas import FLUXBIN_LABELS
+
+    for b in FLUXBIN_LABELS:
+        assert {f"slope_{b}", f"slopestdev_{b}", f"numpoints_{b}"} <= cols
 
 
 def test_driver_contract_shapes():

@@ -142,10 +142,17 @@ def punct_ratio_sql(col: str) -> str:
 
 
 def stopword_hits(col: str | Column, stopwords: list[str]) -> Column:
-    """Count of tokens that are in ``stopwords`` (with repetition)."""
-    t = tokens(col)
-    arr = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("bigint")
+    """Count of tokens that are in ``stopwords`` (with repetition).
+
+    Tokens are ``norm_text`` split on whitespace and norm_text is pure
+    [a-z0-9 ], so token membership is exactly whole-word regex matching —
+    ONE regexp_count pass over the normalized string per profile instead
+    of an interpreted filter-lambda per token (higher-order functions are
+    CodegenFallback; measured ~3× on the profile suite). Equivalence to
+    the filter form is pinned by a test; the DuckDB twin keeps the
+    list_filter form, so the oracle also cross-checks the rewrite."""
+    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.regexp_count(norm_text(col), F.lit(pattern)).cast("bigint")
 
 
 def stopword_hits_sql(col: str, stopwords: list[str]) -> str:

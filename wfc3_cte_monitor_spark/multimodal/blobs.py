@@ -43,7 +43,7 @@ FEATURE_DIM = 16
 def make_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a blob table from the documents corpus: utf-8 bytes as
     'raw'-codec image stand-ins with deterministic metadata."""
-    from ..sources.catalog import load_table
+    from ..sources.catalog import load_table, spread
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -153,9 +153,9 @@ def synthesize_media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pixel/sample patterns that are closed-form functions of doc_id
     (pixel k = (doc_id + k) mod 256; sample k = (pixel k - 128) * 256) —
     so decoded statistics are independently computable by the oracle."""
-    from ..sources.catalog import load_table
+    from ..sources.catalog import load_table, spread
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     out_schema = (
         "blob_id bigint, kind string, codec string, content binary,"
         " meta struct<width:int, height:int, n_frames:int, sample_rate:int>"

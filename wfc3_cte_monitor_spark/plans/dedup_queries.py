@@ -17,7 +17,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 from .registry import register
 
 
@@ -44,7 +44,7 @@ def d01_dedup_exact(spark, sf_dir):
     cluster id = min doc_id sharing the fingerprint."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     fp = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
     w = Window.partitionBy("fp")
     return (
@@ -135,7 +135,7 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     from ..functions.dedup import candidate_pairs, minhash_signature_pairs
     from ..functions.text import exploded_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = exploded_shingles(docs, "doc_id", "text", 3)
     sig = minhash_signature_pairs(sh, "doc_id")
     from ..functions.dedup import lsh_bands
@@ -201,7 +201,7 @@ def d03_minhash_lsh(spark, sf_dir):
     from ..functions.dedup import minhash_signature_pairs
     from ..functions.text import exploded_shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = exploded_shingles(docs, "doc_id", "text", 3)
     sig = minhash_signature_pairs(sh, "doc_id")
     return lsh_bands(sig, "doc_id")
@@ -247,7 +247,7 @@ def d05_minhash_accuracy(spark, sf_dir):
     runs on a sample before trusting LSH at full scale."""
     from ..functions.dedup import N_HASHES, minhash_signature
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").where(F.col("doc_id") % 5 == 0)
     toks = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
     sig = minhash_signature(toks, "doc_id", F.col("t"))
 

@@ -7,7 +7,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine, cosine_sql, cosine_topk, lsh_index, lsh_index_sql
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 from .registry import register
 
 _Q = "vec_id < 10"  # deterministic query set at every scale factor
@@ -38,7 +38,7 @@ _Q = "vec_id < 10"  # deterministic query set at every scale factor
 def e01_cosine_topk(spark, sf_dir):
     """Top-5 cosine neighbors for 10 query vectors, corpus-side streaming
     with the query table broadcast (no corpus shuffle)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10)
 
 
@@ -76,7 +76,7 @@ def e02_lsh_ann(spark, sf_dir):
     equi-join on (table_id, bucket) — never a cross join — and only
     candidates pay the exact-cosine cost. The 100 TB shape: the index is
     written bucketed so probes are pruned scans."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     idx = lsh_index(emb)
     q = idx.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "table_id", "bucket"

@@ -19,7 +19,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, spread
 from .registry import register
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -46,7 +46,7 @@ LANG_PROFILES = {
 )
 def t01_token_stats(spark, sf_dir):
     """Whitespace tokenization stats: counts, punctuation ratio, vocab."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -59,23 +59,25 @@ def t01_token_stats(spark, sf_dir):
 # T2 — language-ID heuristic: stopword-profile hit counts, argmax with a
 # deterministic tiebreak (profile order). A real corpus would use n-gram
 # profiles; the operator/oracle shape is identical.
-def _langid_spark(docs):
+def _langid_columns():
+    """Language-ID as pure column expressions (argmax over stopword-profile
+    hit counts, later profiles win only strictly) — composable into any
+    projection without a join."""
     hits = {lang: stopword_hits("text", words) for lang, words in LANG_PROFILES.items()}
-    scored = docs.select(
-        "doc_id", "lang", *[h.alias(f"hits_{lang}") for lang, h in hits.items()]
-    )
     best = F.lit("und")
     best_score = F.lit(-1).cast("bigint")
     for lang in LANG_PROFILES:  # later profiles win only strictly
-        c = F.col(f"hits_{lang}")
+        c = hits[lang]
         best = F.when(c > best_score, F.lit(lang)).otherwise(best)
         best_score = F.when(c > best_score, c).otherwise(best_score)
-    return scored.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[F.col(f"hits_{lang}") for lang in LANG_PROFILES],
+    return [
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_PROFILES],
         F.when(best_score <= 0, "und").otherwise(best).alias("predicted_lang"),
-    )
+    ]
+
+
+def _langid_spark(docs):
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"), *_langid_columns())
 
 
 def _langid_sql() -> str:
@@ -148,8 +150,9 @@ def t02_text_profile(spark, sf_dir):
     expressions; one narrow join chain on doc_id."""
     from ..functions.dedup import simhash16
 
-    docs = load_table(spark, sf_dir, "documents")
-    langid = _langid_spark(docs)
+    # the documents parquet is a single file → spread the CPU-heavy text
+    # expressions across the executor threads (the shuffle is a few MB)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
     n_tok = token_count("text")
     stop = stopword_hits("text", LANG_PROFILES["en"]).cast("double")
@@ -161,11 +164,17 @@ def t02_text_profile(spark, sf_dir):
         + 0.2 * (uniq / F.greatest(n_tok, F.lit(1)))
     )
     fp = portable_hash64(norm_text("text"))
-    scalar_profile = docs.select(
+    # lang-id and the scalar profile are per-row projections of the same
+    # scan — ONE select, no join between them; only SimHash (explode +
+    # groupBy vote) genuinely needs its own aggregation branch
+    langid_cols = _langid_columns()
+    profile = docs.select(
         "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *langid_cols,
         F.round(quality, 6).alias("quality"),
         fp.alias("fingerprint"),
         (fp % 1024).alias("shard"),
     )
     sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
-    return langid.join(scalar_profile, "doc_id").join(sim, "doc_id")
+    return profile.join(sim, "doc_id")

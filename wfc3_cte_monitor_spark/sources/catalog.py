@@ -56,6 +56,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a small-file table to the executor parallelism.
+
+    The synthetic corpora (documents, embeddings) arrive as ONE parquet
+    file → one input partition → CPU-heavy per-row work (tokenizing,
+    shingling, hashing, vector math) serializes onto a single task while
+    31 cores idle. The shuffle costs a few MB; the win is full-width
+    execution. At cluster scale a properly-partitioned source makes this
+    a no-op decision — the helper documents the intent either way."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
