@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the scale posture is part of the
+contract. A future edit that silently turns a bucketed equi-join back
+into a nested-loop join, or widens a pruned scan, should fail CI — at
+sf0.01 both plans "work"; at 100 TB only one does."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from wfc3_cte_monitor_spark.plans.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = load_all()[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_band_join_is_not_nested_loop(spark):
+    # the ±30-day epoch match must plan as a hash join on the bucket key
+    plan = _plan(spark, "j07_epoch_band_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_bnlj_only_for_tiny_binspec(spark):
+    # cs05 is allowed exactly its two 8-row binspec fan-outs (bounded
+    # broadcast nested loops by design); anything more is a regression.
+    # formatted explain prints each node twice (tree + details) — count
+    # the numbered detail headers.
+    plan = _plan(spark, "cs05_results_wide")
+    nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nodes) <= 2, nodes
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_scan_is_pruned(spark):
+    # the orders scan feeding the fileinfo analog must not read the wide
+    # payload columns (o_comment/o_totalprice/...)
+    plan = _plan(spark, "cs05_results_wide")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert "o_comment" not in cols and "o_totalprice" not in cols, s
+        assert "l_comment" not in cols and "l_shipinstruct" not in cols, s
+
+
+@pytest.mark.parametrize("name", ["d02_lsh_dedup_pipeline", "e02_lsh_ann"])
+def test_candidate_generation_never_cross_joins(spark, name):
+    # LSH candidate generation must be an equi-join on bucket keys
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trend_epoch_dimension_has_no_python(spark):
+    # the pairwise epoch walk is pure window functions now — no Python
+    # evaluation operator may appear in cs03 (the 8-row binspec literal's
+    # applySchemaToPythonRDD is plan-construction, not per-row eval)
+    plan = _plan(spark, "cs03_cte_vs_time")
+    for op in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert op not in plan, op
+
+
+def test_text_profile_single_scan_before_simhash_join(spark):
+    # t02 = one projection branch + one SimHash aggregation branch; the
+    # documents parquet must be scanned at most twice
+    plan = _plan(spark, "t02_text_profile")
+    nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(nodes) <= 2, nodes
