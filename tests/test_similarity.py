@@ -36,3 +36,43 @@ def test_ivf_assignment_deterministic(spark, sf_smoke):
     a2 = {r.vec_id: r.list_id for r in ivf_assign(emb, cents).collect()}
     assert a1 == a2
     assert set(a1.values()) <= set(range(16))
+
+
+def test_ivf_refine_improves_or_holds_quantization(spark, sf_smoke):
+    """Lloyd iterations must not increase total quantization error
+    (sum of 1 - cos(v, centroid)) and must keep the list count stable."""
+    from wfc3_cte_monitor_spark.functions.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+        ivf_refine,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    c0 = ivf_centroids(emb)
+    c1 = ivf_refine(emb, c0, iterations=2)
+    assert c1.count() == c0.count()
+
+    def err(cents):
+        a = ivf_assign(emb, cents)
+        return (
+            a.join(cents, "list_id")
+            .select((1.0 - cosine(F.col("v"), F.col("cv"))).alias("e"))
+            .agg(F.sum("e"))
+            .collect()[0][0]
+        )
+
+    e0, e1 = err(c0), err(c1)
+    assert e1 <= e0 + 1e-9, (e0, e1)
+
+
+def test_ivf_refine_deterministic(spark, sf_smoke):
+    from wfc3_cte_monitor_spark.functions.similarity import ivf_centroids, ivf_refine
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    c = ivf_centroids(emb)
+    r1 = {r.list_id: tuple(r.cv) for r in ivf_refine(emb, c).collect()}
+    r2 = {r.list_id: tuple(r.cv) for r in ivf_refine(emb, c).collect()}
+    assert r1 == r2

@@ -229,3 +229,38 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
+               id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Lloyd refinement of the coarse quantizer, fully declarative:
+    assign → per-list element-wise mean → reassign. The element-wise mean
+    is posexplode to (list_id, pos, component) → groupBy avg → rebuild the
+    array with an order-pinned collect (sort by pos inside array_sort of
+    (pos, mean) structs) — no Python, map-side combinable.
+
+    Empty lists keep their previous centroid (left join + coalesce), so
+    the list count is stable across iterations."""
+    cents = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+        comp = assigned.select(
+            "list_id", F.posexplode("v").alias("pos", "x")
+        )
+        means = comp.groupBy("list_id", "pos").agg(F.avg("x").alias("m"))
+        new_cents = (
+            means.groupBy("list_id")
+            .agg(F.collect_list(F.struct("pos", "m")).alias("_pm"))
+            .select(
+                "list_id",
+                F.transform(
+                    F.array_sort("_pm"), lambda s: s["m"]
+                ).alias("cv"),
+            )
+        )
+        cents = (
+            cents.select("list_id", F.col("cv").alias("_old"))
+            .join(new_cents, "list_id", "left")
+            .select("list_id", F.coalesce("cv", "_old").alias("cv"))
+        )
+    return cents
