@@ -159,15 +159,14 @@ def ivf_centroids(embeddings: DataFrame, id_col: str = "vec_id",
     shape). Tiny (nlist rows) → always broadcast."""
     from pyspark.sql import Window
 
+    # distributed TakeOrdered first (orderBy + limit), THEN number the
+    # nlist-row result — an unpartitioned row_number window over the full
+    # corpus would funnel everything through one global sort task
+    head = embeddings.select(id_col, emb_col).orderBy(id_col).limit(n_lists)
     w = Window.orderBy(id_col)
-    return (
-        embeddings.select(id_col, emb_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_lists)
-        .select(
-            (F.col("_rn") - 1).alias("list_id"),
-            _as_double(F.col(emb_col)).alias("cv"),
-        )
+    return head.select(
+        (F.row_number().over(w) - 1).alias("list_id"),
+        _as_double(F.col(emb_col)).alias("cv"),
     )
 
 

@@ -151,7 +151,11 @@ def stopword_hits(col: str | Column, stopwords: list[str]) -> Column:
     CodegenFallback; measured ~3× on the profile suite). Equivalence to
     the filter form is pinned by a test; the DuckDB twin keeps the
     list_filter form, so the oracle also cross-checks the rewrite."""
-    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    import re as _re
+
+    if not stopwords:
+        return F.lit(0).cast("bigint")  # '\b()\b' would match every boundary
+    pattern = r"\b(" + "|".join(_re.escape(w) for w in stopwords) + r")\b"
     return F.regexp_count(norm_text(col), F.lit(pattern)).cast("bigint")
 
 

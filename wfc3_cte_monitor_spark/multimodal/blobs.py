@@ -45,7 +45,7 @@ def make_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     'raw'-codec image stand-ins with deterministic metadata."""
     from ..sources.catalog import load_table, spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         F.col("doc_id").alias("blob_id"),
         F.lit("image").alias("kind"),
@@ -129,8 +129,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_bytes(content: bytes, codec: str, width: int, height: int) -> np.ndarray:
-    """Codec boundary: 'ppm' and 'wav' are real decoders; compressed codecs
-    are stubbed (libs not in container)."""
+    """IMAGE codec boundary (callers treat the result as 2-D+): 'ppm' is a
+    real decoder; 'wav' is audio and must go through decode_media_stats,
+    not the image path; compressed codecs are stubbed (libs not in
+    container)."""
     if codec == "raw":
         # deterministic fake: bytes tiled into a (height, width) uint8 grid
         arr = np.frombuffer(content, dtype=np.uint8)
@@ -140,7 +142,7 @@ def _decode_bytes(content: bytes, codec: str, width: int, height: int) -> np.nda
     if codec == "ppm":
         return decode_ppm(content)
     if codec == "wav":
-        return decode_wav(content)[0]
+        raise ValueError("codec 'wav' is audio — decode via decode_media_stats/decode_wav")
     raise NotImplementedError(
         f"codec {codec!r}: real decoders (PIL/ffmpeg/soundfile) are not in "
         "this container — plug them in here; the Spark plumbing is codec-agnostic"

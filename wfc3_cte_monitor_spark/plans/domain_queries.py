@@ -266,8 +266,8 @@ def cs05_results_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs AS ({_EPOCHS_SQL}),
     obs AS ({_OBS_SQL})
     SELECT o.targname, o.epoch, r.fluxbin,
-           (round((avg(r.slope)) * 1.0000000000002, 8) + 0.0) AS mean_slope,
-           (round((avg(r.slopestdev / r.num_points)) * 1.0000000000002, 8) + 0.0) AS mean_stderr,
+           {round_stable_sql("avg(r.slope)", 8)} AS mean_slope,
+           {round_stable_sql("avg(r.slopestdev / r.num_points)", 8)} AS mean_stderr,
            count(*)::BIGINT AS n_pairs
     FROM obs o
     JOIN reg r ON o.targname = r.targname
@@ -320,9 +320,9 @@ _FLUXCLIP_GROUP = ["targname", "epoch", "imagename_1", "imagename_2"]
         FROM fclip GROUP BY targname, epoch, imagename_1, imagename_2
     )
     SELECT m.targname, m.epoch, r.fluxbin,
-           (round((avg(log10(m.mean_flux))) * 1.0000000000002, 8) + 0.0) AS mean_logflux,
-           (round((avg(r.slope)) * 1.0000000000002, 8) + 0.0) AS mean_slope,
-           (round((avg(r.slopestdev / sqrt(r.num_points))) * 1.0000000000002, 8) + 0.0) AS mean_stderr,
+           {round_stable_sql("avg(log10(m.mean_flux))", 8)} AS mean_logflux,
+           {round_stable_sql("avg(r.slope)", 8)} AS mean_slope,
+           {round_stable_sql("avg(r.slopestdev / sqrt(r.num_points))", 8)} AS mean_stderr,
            count(*)::BIGINT AS n_pairs
     FROM fmean m
     JOIN reg r ON m.targname = r.targname
@@ -488,6 +488,10 @@ def s01_header_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X_CENTER, _X_SCALE = 1200.0, 1000.0  # day-number centering (MJD-offset idea, :605-609)
 
+_MODEL_SQL = "f.c0 + f.c1 * t._x + f.c2 * t._x * t._x"
+_MODEL_RS = round_stable_sql(_MODEL_SQL, 8)
+_RESID_RS = round_stable_sql(f"t.mean_slope - {_MODEL_RS}", 8)
+
 
 @register(
     "n03_model_backtest",
@@ -498,7 +502,7 @@ _X_CENTER, _X_SCALE = 1200.0, 1000.0  # day-number centering (MJD-offset idea, :
     trend AS (
         SELECT o.targname, o.epoch, r.fluxbin,
                (o.epoch - {_X_CENTER}) / {_X_SCALE} AS _x,
-               (round((avg(r.slope)) * 1.0000000000002, 8) + 0.0) AS mean_slope
+               {round_stable_sql("avg(r.slope)", 8)} AS mean_slope
         FROM obs o
         JOIN reg r ON o.targname = r.targname
                   AND o.imagename_1 = r.imagename_1
@@ -510,8 +514,8 @@ _X_CENTER, _X_SCALE = 1200.0, 1000.0  # day-number centering (MJD-offset idea, :
                          group_cols=["targname", "fluxbin"], round_to=8)})
     SELECT t.targname, t.epoch, t.fluxbin,
            t.mean_slope AS observed_slope,
-           (round((f.c0 + f.c1 * t._x + f.c2 * t._x * t._x) * 1.0000000000002, 8) + 0.0) AS model_slope,
-           (round((t.mean_slope - (round((f.c0 + f.c1 * t._x + f.c2 * t._x * t._x) * 1.0000000000002, 8) + 0.0)) * 1.0000000000002, 8) + 0.0) AS residual,
+           {_MODEL_RS} AS model_slope,
+           {_RESID_RS} AS residual,
            f.num_points AS n_epochs
     FROM trend t
     JOIN fit f ON t.targname = f.targname AND t.fluxbin = f.fluxbin

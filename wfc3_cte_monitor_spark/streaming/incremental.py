@@ -88,18 +88,28 @@ def maintain_results_stream(
 ):
     """Wire the batch step into Structured Streaming via foreachBatch:
     each micro-batch of newly ingested exposures updates only its
-    affected pairs in the parquet Results store."""
+    affected pairs in the parquet Results store.
+
+    ``all_fileinfo`` is a static snapshot; the batch rows are unioned
+    into it before pairing, so exposures that are genuinely NEW (absent
+    from the snapshot) still form pairs — otherwise a stale snapshot
+    would make every batch a silent no-op."""
+    from pyspark.errors import AnalysisException
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         try:
             store = spark.read.parquet(store_path)
-        except Exception:
+        except AnalysisException:
+            # ONLY path-not-found bootstraps an empty store; any other
+            # read failure must propagate — falling through here would
+            # overwrite the whole store with just this batch's pairs
             store = None
+        corpus = all_fileinfo.unionByName(batch_df).dropDuplicates(["imagename"])
         fresh = (
-            incremental_results_batch(store, batch_df, all_fileinfo, phot_long, aperture)
+            incremental_results_batch(store, batch_df, corpus, phot_long, aperture)
             if store is not None
             else compute_results(
-                all_fileinfo.join(
+                corpus.join(
                     F.broadcast(batch_df.select("imagename").distinct()),
                     "imagename",
                     "leftsemi",
