@@ -47,7 +47,7 @@ HEADLINE = [
     "d02_lsh_dedup_pipeline",
     "d03_minhash_lsh",
     "e01_cosine_topk",
-    "e02_lsh_ann",
+    "e02_ann_neardup",
     "t02_text_profile",
     "ev01_event_windows",
 ]

@@ -71,10 +71,10 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_smoke):
     from wfc3_cte_monitor_spark.plans.registry import load_all
 
     brute = load_all()["e01_cosine_topk"].fn(spark, sf_smoke)
-    ann = load_all()["e02_lsh_ann"].fn(spark, sf_smoke)
+    e02 = load_all()["e02_ann_neardup"].fn(spark, sf_smoke)
     top1 = {r.query_id: r.neighbor_id for r in brute.where(F.col("rank") == 1).collect()}
     ann_sets = {}
-    for r in ann.collect():
+    for r in e02.where(F.col("kind") == "ann").collect():
         ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     # multi-table LSH (8 tables x 2 planes) should recover nearly all
     # true top-1 neighbors: expected recall 1-(1-p^2)^8 ~ 0.97 at p~0.6
@@ -94,3 +94,49 @@ def test_cosine_topk_self_excluded_and_ranked(spark, sf_smoke):
         sims = [s for _, s in rows]
         assert sims == sorted(sims, reverse=True)
         assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+
+
+def test_embedding_neardup_matches_numpy_reference(spark, sf_smoke):
+    # The bucketed near-dup pairs must equal {LSH-candidate pairs} ∩
+    # {brute-force cosine >= tau}, recomputed independently in numpy
+    # with the same fixed hyperplanes.
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.functions.similarity import (
+        ND_PLANES,
+        ND_TABLES,
+        _ND_SEED,
+        hyperplanes,
+        neardup_pairs,
+    )
+
+    tau = 0.35
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = {(r.id_a, r.id_b): r.sim for r in neardup_pairs(emb, tau).collect()}
+
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+
+    planes = hyperplanes(64, ND_TABLES, ND_PLANES, _ND_SEED)
+    cand = set()
+    for t in range(ND_TABLES):
+        P = np.array(planes[t])
+        buckets = ((V @ P.T >= 0).astype(np.int64) @ (1 << np.arange(ND_PLANES))).tolist()
+        by_bucket = {}
+        for i, b in enumerate(buckets):
+            by_bucket.setdefault(b, []).append(i)
+        for members in by_bucket.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cand.add((members[x], members[y]))
+    want = {
+        (ids[i], ids[j])
+        for i, j in cand
+        if round(C[i, j], 6) >= tau
+    }
+    assert set(got) == want
+    for (i, j), s in got.items():
+        assert s >= tau and i < j

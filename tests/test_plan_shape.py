@@ -51,7 +51,7 @@ def test_flagship_scan_is_pruned(spark):
         assert "l_comment" not in cols and "l_shipinstruct" not in cols, s
 
 
-@pytest.mark.parametrize("name", ["d02_lsh_dedup_pipeline", "e02_lsh_ann"])
+@pytest.mark.parametrize("name", ["d02_lsh_dedup_pipeline", "e02_ann_neardup"])
 def test_candidate_generation_never_cross_joins(spark, name):
     # LSH candidate generation must be an equi-join on bucket keys
     plan = _plan(spark, name)

@@ -55,20 +55,23 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
-def hyperplanes(dim: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES):
+def hyperplanes(dim: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES,
+                seed: int = _PLANE_SEED):
     """Fixed Gaussian hyperplanes, rounded to 6 decimals so the literal
     text (and therefore the parsed double) is identical on both engines.
     Shape: [table][plane][dim]."""
-    rng = np.random.default_rng(_PLANE_SEED)
+    rng = np.random.default_rng(seed)
     return [
         [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
         for _ in range(n_tables)
     ]
 
 
-def bucket_expr(emb: Column, table: int, dim: int = 64) -> Column:
+def bucket_expr(emb: Column, table: int, dim: int = 64,
+                n_tables: int = N_TABLES, n_planes: int = N_PLANES,
+                seed: int = _PLANE_SEED) -> Column:
     """Bucket id within one LSH table: bit j = (emb · plane_j >= 0)."""
-    planes = hyperplanes(dim)[table]
+    planes = hyperplanes(dim, n_tables, n_planes, seed)[table]
     acc = F.lit(0)
     for j, plane_vals in enumerate(planes):
         plane = F.array(*[F.lit(v) for v in plane_vals])
@@ -77,8 +80,10 @@ def bucket_expr(emb: Column, table: int, dim: int = 64) -> Column:
     return acc.cast("int")
 
 
-def bucket_expr_sql(emb: str, table: int, dim: int = 64) -> str:
-    planes = hyperplanes(dim)[table]
+def bucket_expr_sql(emb: str, table: int, dim: int = 64,
+                    n_tables: int = N_TABLES, n_planes: int = N_PLANES,
+                    seed: int = _PLANE_SEED) -> str:
+    planes = hyperplanes(dim, n_tables, n_planes, seed)[table]
     parts = []
     for j, plane_vals in enumerate(planes):
         plane = "[" + ", ".join(f"{v!r}" for v in plane_vals) + "]::DOUBLE[]"
@@ -91,12 +96,16 @@ def bucket_expr_sql(emb: str, table: int, dim: int = 64) -> str:
 
 def lsh_index(embeddings: DataFrame, id_col: str = "vec_id",
               emb_col: str = "embedding", dim: int = 64,
-              n_tables: int = N_TABLES) -> DataFrame:
+              n_tables: int = N_TABLES, n_planes: int = N_PLANES,
+              seed: int = _PLANE_SEED) -> DataFrame:
     """Corpus → (id, v, table_id, bucket): the L-fold LSH index layout.
     One projection, no shuffle; at scale this is written bucketed by
     (table_id, bucket) so probes are partition-pruned scans."""
     entries = F.array(*[
-        F.struct(F.lit(t).alias("table_id"), bucket_expr(F.col(emb_col), t, dim).alias("bucket"))
+        F.struct(
+            F.lit(t).alias("table_id"),
+            bucket_expr(F.col(emb_col), t, dim, n_tables, n_planes, seed).alias("bucket"),
+        )
         for t in range(n_tables)
     ])
     return embeddings.select(
@@ -107,13 +116,83 @@ def lsh_index(embeddings: DataFrame, id_col: str = "vec_id",
 
 
 def lsh_index_sql(source: str, id_col: str = "vec_id", emb_col: str = "embedding",
-                  dim: int = 64, n_tables: int = N_TABLES) -> str:
+                  dim: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES,
+                  seed: int = _PLANE_SEED) -> str:
     rows = [
         f"SELECT {id_col} AS vec_id, CAST({emb_col} AS DOUBLE[]) AS v,"
-        f" {t} AS table_id, {bucket_expr_sql(emb_col, t, dim)} AS bucket FROM {source}"
+        f" {t} AS table_id,"
+        f" {bucket_expr_sql(emb_col, t, dim, n_tables, n_planes, seed)} AS bucket"
+        f" FROM {source}"
         for t in range(n_tables)
     ]
     return " UNION ALL ".join(rows)
+
+
+# --- Embedding-cosine near-dup: LSH-bucketed pair detection ----------------
+#
+# The near-dup plane set trades the ANN config's recall for selectivity:
+# a SELF-join needs small buckets (r = 8 planes → 256 buckets/table)
+# where the broadcast-query ANN path can afford r = 2. Fewer tables
+# (L = 4) bound the index-size multiplier. Collision probability per
+# table is p^r with p = 1 - θ/π, so the design regime (cosine ≥ 0.95,
+# p ≈ 0.9) yields ~89% recall at 4 tables while keeping candidate pairs
+# ~2% of all-pairs on this corpus.
+
+ND_TABLES = 4    # L for the near-dup index
+ND_PLANES = 8    # r for the near-dup index (256 buckets per table)
+_ND_SEED = 777
+
+
+def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
+                  emb_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed: candidates are
+    (id_a < id_b) sharing ANY near-dup table's bucket — an equi-join on
+    (table_id, bucket), never all-pairs — and exact cosine ≥ tau is
+    evaluated on candidates only. Returns (id_a, id_b, sim).
+
+    The quadratic work is confined to buckets (n/256 expected occupancy
+    per table), so the plan survives a 100 TB corpus; at scale the index
+    is written bucketed by (table_id, bucket) so the self-join is
+    co-located, shuffle-free."""
+    idx = lsh_index(embeddings, id_col, emb_col, dim,
+                    n_tables=ND_TABLES, n_planes=ND_PLANES, seed=_ND_SEED)
+    a = idx.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                   "table_id", "bucket")
+    b = idx.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                   "table_id", "bucket")
+    cands = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= tau)
+    )
+
+
+def neardup_pairs_sql(source: str, tau: float, id_col: str = "vec_id",
+                      emb_col: str = "embedding", dim: int = 64) -> str:
+    idx = lsh_index_sql(source, id_col, emb_col, dim,
+                        n_tables=ND_TABLES, n_planes=ND_PLANES, seed=_ND_SEED)
+    return f"""
+    WITH nd_idx AS ({idx}),
+    nd_cands AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               any_value(a.v) AS va, any_value(b.v) AS vb
+        FROM nd_idx a JOIN nd_idx b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM (
+        SELECT id_a, id_b, round({cosine_sql('va', 'vb')}, 6) AS sim
+        FROM nd_cands
+    ) WHERE sim >= {tau!r}
+    """
 
 
 def cosine_topk(embeddings: DataFrame, query_ids: list[int] | None = None,

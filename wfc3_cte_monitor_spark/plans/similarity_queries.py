@@ -6,7 +6,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine, cosine_sql, cosine_topk, lsh_index, lsh_index_sql
+from ..functions.similarity import (
+    cosine,
+    cosine_sql,
+    cosine_topk,
+    lsh_index,
+    lsh_index_sql,
+    neardup_pairs,
+    neardup_pairs_sql,
+)
 from ..sources.catalog import load_table, spread
 from .registry import register
 
@@ -42,11 +50,24 @@ def e01_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10)
 
 
-# E2 — multi-table LSH ANN: 8 tables × 2 random hyperplanes; a corpus
-# vector is a candidate when it shares ANY table's bucket with the query,
-# then exact cosine re-ranks the candidates.
+# E2 — tagged union of the two LSH-bucketed vector workloads:
+#   kind='ann'     — multi-table LSH ANN (8 tables × 2 hyperplanes):
+#                    a corpus vector is a candidate when it shares ANY
+#                    table's bucket with a query; exact cosine re-ranks.
+#                    (query_id, neighbor_id) = (query, neighbor); rank ≤ 3.
+#   kind='neardup' — embedding-cosine near-duplicate pairs over the
+#                    SELF-join near-dup index (4 tables × 8 planes, 256
+#                    buckets/table); exact cosine ≥ τ on bucket-colliding
+#                    pairs only. (query_id, neighbor_id) = (id_a < id_b);
+#                    rank = pair rank by sim desc within the kind.
+# τ = 0.35 is matched to this synthetic corpus's similarity scale (max
+# pairwise cosine ≈ 0.51 — no planted near-dups); the plan is
+# threshold-independent. Both branches confine quadratic work to buckets.
+_ND_TAU = 0.35
+
+
 @register(
-    "e02_lsh_ann",
+    "e02_ann_neardup",
     oracle=f"""
     WITH idx AS ({lsh_index_sql('embeddings')}),
     q AS (SELECT vec_id AS query_id, v AS qv, table_id, bucket FROM idx WHERE {_Q}),
@@ -62,20 +83,29 @@ def e01_cosine_topk(spark, sf_dir):
         FROM cands
         JOIN embeddings a ON a.vec_id = cands.query_id
         JOIN embeddings b ON b.vec_id = cands.neighbor_id
-    )
-    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim DESC, neighbor_id) AS rank
-        FROM scored
-    ) WHERE rank <= 3
+    ),
+    ann AS (
+        SELECT 'ann' AS kind, query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    ),
+    nd AS ({neardup_pairs_sql('embeddings', _ND_TAU)})
+    SELECT * FROM ann
+    UNION ALL
+    SELECT 'neardup' AS kind, id_a AS query_id, id_b AS neighbor_id, sim,
+           CAST(row_number() OVER (ORDER BY sim DESC, id_a, id_b) AS INT) AS rank
+    FROM nd
     """,
-    tags=("similarity", "ann", "lsh"),
+    tags=("similarity", "ann", "lsh", "dedup", "neardup"),
 )
-def e02_lsh_ann(spark, sf_dir):
-    """ANN via the multi-table LSH index: candidate generation is an
-    equi-join on (table_id, bucket) — never a cross join — and only
-    candidates pay the exact-cosine cost. The 100 TB shape: the index is
-    written bucketed so probes are pruned scans."""
+def e02_ann_neardup(spark, sf_dir):
+    """LSH ANN + embedding-cosine near-dup, one tagged union: candidate
+    generation in BOTH branches is an equi-join on (table_id, bucket) —
+    never a cross join — and only candidates pay the exact-cosine cost.
+    The 100 TB shape: each index is written bucketed so ANN probes are
+    pruned scans and the near-dup self-join is co-located."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     idx = lsh_index(emb)
     q = idx.where(F.col("vec_id") < 10).select(
@@ -91,8 +121,18 @@ def e02_lsh_ann(spark, sf_dir):
         "query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
+    ann = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "sim", "rank")
+        .select(F.lit("ann").alias("kind"), "query_id", "neighbor_id", "sim", "rank")
     )
+    nd = neardup_pairs(emb, _ND_TAU)
+    wn = Window.orderBy(F.col("sim").desc(), F.col("id_a"), F.col("id_b"))
+    neardup = nd.select(
+        F.lit("neardup").alias("kind"),
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "sim",
+        F.row_number().over(wn).cast("int").alias("rank"),
+    )
+    return ann.unionAll(neardup)
