@@ -27,6 +27,7 @@ engines fold the dot product sequentially, outputs round to 6 decimals.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -94,25 +95,63 @@ def bucket_expr_sql(emb: str, table: int, dim: int = 64,
     return "CAST(" + " + ".join(parts) + " AS INT)"
 
 
+def bucket_array_pd(dim: int = 64, n_tables: int = N_TABLES,
+                    n_planes: int = N_PLANES, seed: int = _PLANE_SEED):
+    """Arrow-vectorized bucket assignment: embedding → array of all
+    ``n_tables`` bucket ids in one numpy matmul per batch. Dense linear
+    algebra is the one place interpreted `aggregate`/`zip_with` folds
+    lose badly (per-element lambda evaluation, outside codegen); a
+    batched (B×dim)·(dim×L·r) product does the same work SIMD-side.
+    Sign decisions sit ~O(1) from zero, so fold-vs-SIMD summation-order
+    noise (~1e-14 relative) cannot flip a bucket bit in practice — the
+    oracle twin keeps the sequential-fold form and the driver gate
+    checks agreement end-to-end."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(hyperplanes(dim, n_tables, n_planes, seed))
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<int>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy())
+        bits = (v @ flat.T >= 0).astype(np.int64).reshape(len(v), n_tables, n_planes)
+        return pd.Series(list((bits @ weights).astype(np.int32)))
+
+    return _buckets
+
+
+def cosine_pd():
+    """Arrow-vectorized exact cosine over candidate pairs (same batched
+    rationale as `bucket_array_pd`; outputs round to 6 decimals before
+    any comparison, which absorbs summation-order noise)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", va, vb)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
+
+
 def lsh_index(embeddings: DataFrame, id_col: str = "vec_id",
               emb_col: str = "embedding", dim: int = 64,
               n_tables: int = N_TABLES, n_planes: int = N_PLANES,
               seed: int = _PLANE_SEED) -> DataFrame:
     """Corpus → (id, v, table_id, bucket): the L-fold LSH index layout.
-    One projection, no shuffle; at scale this is written bucketed by
-    (table_id, bucket) so probes are partition-pruned scans."""
-    entries = F.array(*[
-        F.struct(
-            F.lit(t).alias("table_id"),
-            bucket_expr(F.col(emb_col), t, dim, n_tables, n_planes, seed).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ])
+    One projection + one Arrow-batched bucket UDF, no shuffle; at scale
+    this is written bucketed by (table_id, bucket) so probes are
+    partition-pruned scans."""
+    buckets = bucket_array_pd(dim, n_tables, n_planes, seed)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).cast("array<double>").alias("v"),
-        F.explode(entries).alias("_e"),
-    ).select("vec_id", "v", F.col("_e.table_id").alias("table_id"), F.col("_e.bucket").alias("bucket"))
+        F.posexplode(buckets(F.col(emb_col).cast("array<double>"))).alias("table_id", "bucket"),
+    ).select("vec_id", "v", "table_id", "bucket")
 
 
 def lsh_index_sql(source: str, id_col: str = "vec_id", emb_col: str = "embedding",
@@ -156,20 +195,25 @@ def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
     co-located, shuffle-free."""
     idx = lsh_index(embeddings, id_col, emb_col, dim,
                     n_tables=ND_TABLES, n_planes=ND_PLANES, seed=_ND_SEED)
-    a = idx.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                   "table_id", "bucket")
-    b = idx.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                   "table_id", "bucket")
+    a = idx.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
+    b = idx.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
+    # Dedup on bare (id_a, id_b) BEFORE fetching vectors: the multi-table
+    # collision dedup shuffle then moves 16-byte pairs, not 512-byte
+    # embeddings; vectors re-attach via id equi-joins (co-located by id
+    # at scale) and exact cosine runs once per surviving pair.
     cands = (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(emb_col).cast("array<double>").alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(emb_col).cast("array<double>").alias("vb"))
+    cos = cosine_pd()
     return (
-        cands.select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
+        cands.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos(F.col("va"), F.col("vb")), 6).alias("sim"))
         .where(F.col("sim") >= tau)
     )
 
