@@ -67,6 +67,17 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with the cheapest query once.
     specs[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Warm the Python/Arrow worker pool: the first pandas-UDF task pays
+    # fork + numpy/pandas import once per core — an environment startup
+    # cost, not a query cost; without this it lands on whichever query
+    # first touches Python and misattributes ~4s of its "cold" time.
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(par).repartition(par)
+        .mapInPandas(lambda it: it, "id long")
+        .write.mode("overwrite").format("noop").save()
+    )
+
     # Three passes per query: the first ("cold") pays plan compilation +
     # whole-stage codegen; "warm" is the BEST of two further runs — the
     # steady-state engine time that scales with data volume, with transient
