@@ -8,7 +8,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from wfc3_cte_monitor_spark.plans.pipeline import compute_results
+from wfc3_cte_monitor_spark.plans.pipeline import compute_results, compute_results_long
 from wfc3_cte_monitor_spark.plans.trends import (
     cte_slope_vs_logflux,
     cte_slope_vs_time,
@@ -22,8 +22,8 @@ from wfc3_cte_monitor_spark.testing.fixtures import DATEOBSS, PLANTED_SLOPE, TAR
 @pytest.fixture(scope="module")
 def domain(spark):
     master, fileinfo, phot_long = make_domain_fixtures(spark)
-    results = compute_results(fileinfo, phot_long, aperture=3)
-    return fileinfo.cache(), phot_long.cache(), results.cache()
+    slopes = compute_results_long(fileinfo, phot_long, aperture=3)
+    return fileinfo.cache(), phot_long.cache(), slopes.cache()
 
 
 def test_epoch_dimension_merges_close_dates(spark, domain):
@@ -38,9 +38,9 @@ def test_epoch_dimension_merges_close_dates(spark, domain):
 
 
 def test_cte_slope_vs_time_trend(spark, domain):
-    fileinfo, _, results = domain
+    fileinfo, _, slopes = domain
     epochs = epoch_dimension(fileinfo)
-    trend = cte_slope_vs_time(fileinfo, results, epochs)
+    trend = cte_slope_vs_time(fileinfo, slopes, epochs)
     rows = trend.collect()
     assert rows
     # every (targname, epoch) combo appears; slopes near the planted value
@@ -52,9 +52,9 @@ def test_cte_slope_vs_time_trend(spark, domain):
 
 
 def test_cte_slope_vs_logflux_and_fit(spark, domain):
-    fileinfo, phot_long, results = domain
+    fileinfo, phot_long, slopes = domain
     epochs = epoch_dimension(fileinfo)
-    trend = cte_slope_vs_logflux(fileinfo, phot_long, results, epochs).cache()
+    trend = cte_slope_vs_logflux(fileinfo, phot_long, slopes, epochs).cache()
     rows = trend.collect()
     assert rows and all(r.mean_logflux > 0 for r in rows if r.mean_logflux is not None)
     coeffs = fit_empirical_model(trend).collect()
@@ -67,10 +67,25 @@ def test_cte_slope_vs_logflux_and_fit(spark, domain):
 
 
 def test_results_long_view_roundtrip(spark, domain):
-    _, _, results = domain
+    fileinfo, phot_long, slopes = domain
+    results = compute_results(fileinfo, phot_long, aperture=3)
     long = results_long_view(results)
     assert long.count() == results.count() * 8
     assert {"fluxbin", "slope", "slopestdev", "num_points"} <= set(long.columns)
+    # The trend layer's long input must be exactly the wide layout
+    # stacked back and stripped of zero-filled bins — the equivalence
+    # that lets cs03/cs04/n03 skip the pivot + stack round-trip.
+    stacked = {
+        (r.targname, r.imagename_1, r.imagename_2, r.fluxbin,
+         round(r.slope, 9), round(r.slopestdev, 9), r.num_points)
+        for r in long.where(F.col("num_points") > 0).collect()
+    }
+    direct = {
+        (r.targname, r.imagename_1, r.imagename_2, r.fluxbin,
+         round(r.slope, 9), round(r.slopestdev, 9), int(r.num_points))
+        for r in slopes.collect()
+    }
+    assert stacked == direct
 
 
 def test_discovery_skip_lists(spark, tmp_path):
@@ -126,9 +141,9 @@ def test_coeff_latextable_literal(spark):
 def test_coeff_latextable_from_polyfit(spark, domain):
     from wfc3_cte_monitor_spark.sources.coeff_table import print_coeff_latextable
 
-    fileinfo, phot_long, results = domain
+    fileinfo, phot_long, slopes = domain
     epochs = epoch_dimension(fileinfo)
-    trend = cte_slope_vs_logflux(fileinfo, phot_long, results, epochs)
+    trend = cte_slope_vs_logflux(fileinfo, phot_long, slopes, epochs)
     coeffs = fit_empirical_model(trend).withColumnRenamed("targname", "mode")
     out = print_coeff_latextable(coeffs, "mode")
     assert out.startswith("\\begin{table}")

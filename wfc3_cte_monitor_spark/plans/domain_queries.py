@@ -283,13 +283,13 @@ def cs03_cte_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     uvis_external_cte_plots.py:1297-1445): pairwise epoch dimension →
     band join (±30 d) → slope retrieval from wide Results → per
     (target, epoch, fluxbin) mean slope with stderr = stdev / n (:1413)."""
-    from .pipeline import compute_results
+    from .pipeline import compute_results_long
     from .trends import cte_slope_vs_time, epoch_dimension
 
     fi = analog_fileinfo(spark, sf_dir, week_subset=True)
     ph = analog_phot(spark, sf_dir, week_subset=True)
-    results = compute_results(fi, ph, aperture=3)
-    trend = cte_slope_vs_time(fi, results, epoch_dimension(fi))
+    slopes = compute_results_long(fi, ph, aperture=3)
+    trend = cte_slope_vs_time(fi, slopes, epoch_dimension(fi))
     return trend.select(
         "targname", "epoch", "fluxbin",
         round_stable("mean_slope", 8).alias("mean_slope"),
@@ -341,13 +341,13 @@ def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
     uvis_external_cte_plots.py:1450-1674): 4σ-clipped per-image flux mean
     (:1610-1613), stderr = stdev / sqrt(n) (:1633), and the per-target
     skipbins rule (:1648-1653)."""
-    from .pipeline import compute_results
+    from .pipeline import compute_results_long
     from .trends import cte_slope_vs_logflux, epoch_dimension, skipbins_filter
 
     fi = analog_fileinfo(spark, sf_dir, week_subset=True)
     ph = analog_phot(spark, sf_dir, week_subset=True)
-    results = compute_results(fi, ph, aperture=3)
-    trend = cte_slope_vs_logflux(fi, ph, results, epoch_dimension(fi), aperture=3)
+    slopes = compute_results_long(fi, ph, aperture=3)
+    trend = cte_slope_vs_logflux(fi, ph, slopes, epoch_dimension(fi), aperture=3)
     return skipbins_filter(trend).select(
         "targname", "epoch", "fluxbin",
         round_stable("mean_logflux", 8).alias("mean_logflux"),
@@ -528,14 +528,14 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the closed-form quadratic, evaluate the model at every observed
     epoch, report predicted vs observed and the residual."""
     from ..functions.model import quadfit_agg
-    from .pipeline import compute_results
+    from .pipeline import compute_results_long
     from .trends import cte_slope_vs_time, epoch_dimension
 
     fi = analog_fileinfo(spark, sf_dir, week_subset=True)
     ph = analog_phot(spark, sf_dir, week_subset=True)
-    results = compute_results(fi, ph, aperture=3)
+    slopes = compute_results_long(fi, ph, aperture=3)
     trend = (
-        cte_slope_vs_time(fi, results, epoch_dimension(fi))
+        cte_slope_vs_time(fi, slopes, epoch_dimension(fi))
         .select(
             "targname", "epoch", "fluxbin",
             ((F.col("epoch") - _X_CENTER) / _X_SCALE).alias("_x"),

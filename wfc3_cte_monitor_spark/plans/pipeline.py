@@ -142,17 +142,19 @@ def query_for_180pair(fileinfo: DataFrame, filt: str, exptime: float,
 
 # --- flagship: Results computation (§3.2) ----------------------------------
 
-def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3,
-                    sigma: float = 4.0, iterations: int = 3) -> DataFrame:
-    """fileinfo + phot (long view) → wide Results rows, one per
-    (imagename_1, imagename_2, aperture).
+def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3,
+                         sigma: float = 4.0, iterations: int = 3) -> DataFrame:
+    """fileinfo + phot (long view) → valid-fit slope rows in LONG form:
+    (targname, imagename_1, imagename_2, fluxbin, slope, slopestdev,
+    num_points), one row per pair × populated flux bin.
 
-    The reference's per-pair loop of SQLite queries + scipy
-    (uvis_external_cte_plots.py:1119-1292) collapses into one DAG:
-    pair self-join (J2) → phot fan-in per side (J1) → master-id align
-    (J5) → background subtraction (F11) → overlapping-bin fan-out (A6,
-    both chips in bin) → σ-clip (A4) → regression (A5) → pivot to wide
-    (Results layout) with empty bins as zeros (:198-201).
+    This is the pre-pivot exit of the §3.2 DAG — the shape the trend
+    layer consumes. Going through the wide Results table and stacking
+    back would add a 27-column pivot aggregation plus an 8× stack
+    fan-out per trend query for no information gain; rows whose fit is
+    invalid (NULL slope: n <= 2 or zero x-variance) are dropped here,
+    exactly the rows the wide layout zero-fills and every downstream
+    consumer filters back out.
     """
     spark = fileinfo.sparkSession
     pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
@@ -183,6 +185,25 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3
     group = ["targname", "imagename_1", "imagename_2", "fluxbin"]
     clipped = sigma_clip(fan, "flux_ratio", group, sigma=sigma, iterations=iterations)
     reg = linregress_agg(clipped, x="ypos", y="flux_ratio", group_cols=group)
+    return reg.where(F.col("slope").isNotNull())
+
+
+def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3,
+                    sigma: float = 4.0, iterations: int = 3) -> DataFrame:
+    """fileinfo + phot (long view) → wide Results rows, one per
+    (imagename_1, imagename_2, aperture).
+
+    The reference's per-pair loop of SQLite queries + scipy
+    (uvis_external_cte_plots.py:1119-1292) collapses into one DAG:
+    pair self-join (J2) → phot fan-in per side (J1) → master-id align
+    (J5) → background subtraction (F11) → overlapping-bin fan-out (A6,
+    both chips in bin) → σ-clip (A4) → regression (A5) → pivot to wide
+    (Results layout) with empty bins as zeros (:198-201).
+    """
+    spark = fileinfo.sparkSession
+    reg = compute_results_long(fileinfo, phot_long, aperture, sigma, iterations)
+    pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
+    group = ["targname", "imagename_1", "imagename_2", "fluxbin"]
 
     all_bins = pairs.crossJoin(
         F.broadcast(binspec_df(spark, FLUX_BINS).select("fluxbin"))

@@ -64,10 +64,16 @@ def results_long_view(results_wide: DataFrame) -> DataFrame:
     )
 
 
-def cte_slope_vs_time(fileinfo: DataFrame, results_wide: DataFrame,
+def cte_slope_vs_time(fileinfo: DataFrame, slopes_long: DataFrame,
                       epochs: DataFrame) -> DataFrame:
     """Slope trend per (target, epoch, fluxbin): pair modes band-joined to
-    epochs, slopes pulled from Results; stderr = stdev / n (:1413)."""
+    epochs, slopes pulled from the long valid-fit slope rows
+    (``compute_results_long``); stderr = stdev / n (:1413).
+
+    Consuming the pre-pivot long form is equivalent to stacking the wide
+    Results and filtering num_points > 0 — zero-filled bins are exactly
+    the rows absent from the long form — without paying the 27-column
+    pivot + 8× stack round-trip (test_trends pins the equivalence)."""
     from .pipeline import query_for_pair
 
     pairs = query_for_pair(fileinfo).select(
@@ -81,11 +87,9 @@ def cte_slope_vs_time(fileinfo: DataFrame, results_wide: DataFrame,
         band=30.0,
         fan_side="right",
     ).where(F.col("targname") == F.col("epoch_targname"))
-    slopes = results_long_view(results_wide)
-    joined = obs.join(slopes, ["targname", "imagename_1", "imagename_2"])
+    joined = obs.join(slopes_long, ["targname", "imagename_1", "imagename_2"])
     return (
-        joined.where(F.col("num_points") > 0)
-        .groupBy("targname", "epoch", "fluxbin")
+        joined.groupBy("targname", "epoch", "fluxbin")
         .agg(
             F.avg("slope").alias("mean_slope"),
             F.avg(F.col("slopestdev") / F.col("num_points")).alias("mean_stderr"),
@@ -95,7 +99,7 @@ def cte_slope_vs_time(fileinfo: DataFrame, results_wide: DataFrame,
 
 
 def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
-                         results_wide: DataFrame, epochs: DataFrame,
+                         slopes_long: DataFrame, epochs: DataFrame,
                          aperture: int = 3) -> DataFrame:
     """Slope vs log-flux per epoch: per (epoch, fluxbin) the mean log10
     net flux against the stored slope. The per-image flux list is 4σ-clipped
@@ -130,11 +134,9 @@ def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
         "targname", "epoch", "imagename_1", "imagename_2"
     ).agg(F.avg("net_flux").alias("mean_flux"))
 
-    slopes = results_long_view(results_wide)
-    joined = flux_per_pair.join(slopes, ["targname", "imagename_1", "imagename_2"])
+    joined = flux_per_pair.join(slopes_long, ["targname", "imagename_1", "imagename_2"])
     return (
-        joined.where(F.col("num_points") > 0)
-        .groupBy("targname", "epoch", "fluxbin")
+        joined.groupBy("targname", "epoch", "fluxbin")
         .agg(
             F.avg(F.log10("mean_flux")).alias("mean_logflux"),
             F.avg("slope").alias("mean_slope"),
