@@ -210,3 +210,41 @@ def test_maintain_results_stream_file_source(spark, tmp_path):
     assert {key(r): tuple(r) for r in got.collect()} == {
         key(r): tuple(r) for r in full.collect()
     }
+
+
+def test_maintain_trend_stream_partition_grain(spark, tmp_path):
+    """Trend maintenance at target grain: two batches (the second shifts
+    one target's epochs by adding late dates) -> the store must equal the
+    full batch trend, with only touched targets' partitions rewritten."""
+    from wfc3_cte_monitor_spark.plans.pipeline import compute_results_long
+    from wfc3_cte_monitor_spark.plans.trends import cte_slope_vs_time, epoch_dimension
+    from wfc3_cte_monitor_spark.streaming.incremental import maintain_trend_stream
+    from wfc3_cte_monitor_spark.testing.fixtures import make_domain_fixtures
+
+    _, fileinfo, phot_long = make_domain_fixtures(spark)
+    fileinfo = fileinfo.cache()
+    phot_long = phot_long.cache()
+
+    inbox = tmp_path / "inbox"
+    fileinfo.where(F.col("dateobs") < 56100).write.parquet(str(inbox / "b0"))
+    fileinfo.where(F.col("dateobs") >= 56100).write.parquet(str(inbox / "b1"))
+
+    stream = spark.readStream.schema(fileinfo.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(inbox))
+    q = maintain_trend_stream(
+        spark, stream, fileinfo, phot_long,
+        store_path=str(tmp_path / "trend"),
+        checkpoint=str(tmp_path / "ckpt_trend"),
+    ).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "trend"))
+    full = cte_slope_vs_time(
+        fileinfo, compute_results_long(fileinfo, phot_long), epoch_dimension(fileinfo)
+    )
+    key = lambda r: (r["targname"], r["epoch"], r["fluxbin"])
+    val = lambda r: (round(r["mean_slope"], 8), round(r["mean_stderr"], 8), r["n_pairs"])
+    assert {key(r): val(r) for r in got.collect()} == {
+        key(r): val(r) for r in full.collect()
+    }

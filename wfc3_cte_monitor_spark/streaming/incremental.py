@@ -131,3 +131,65 @@ def maintain_results_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def trend_for_targets(all_fileinfo: DataFrame, phot_long: DataFrame,
+                      targets: DataFrame, aperture: int = 3) -> DataFrame:
+    """cs03's trend aggregate recomputed for a subset of targets only:
+    fileinfo is semi-join-pruned to the target set before the pair
+    self-join, so per-batch work is O(touched targets' exposures)."""
+    from ..plans.pipeline import compute_results_long
+    from ..plans.trends import cte_slope_vs_time, epoch_dimension
+
+    fi = all_fileinfo.join(F.broadcast(targets.select("targname").distinct()),
+                           "targname", "leftsemi")
+    slopes = compute_results_long(fi, phot_long, aperture)
+    return cte_slope_vs_time(fi, slopes, epoch_dimension(fi))
+
+
+def maintain_trend_stream(
+    spark: SparkSession,
+    fileinfo_stream: DataFrame,
+    all_fileinfo: DataFrame,
+    phot_long: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    aperture: int = 3,
+):
+    """Incrementally maintain the cs03 trend view (§3.3) under arriving
+    exposures.
+
+    Unlike per-pair Results maintenance, the trend aggregate is NOT
+    pair-local: a new exposure adds a date that can merge its target's
+    epoch clusters, shifting every epoch (and so every trend row) of
+    that target. The correct maintenance grain is therefore the TARGET —
+    epochs are a per-target function of its dates and the trend groups
+    by (targname, epoch, fluxbin), so targets are independent.
+
+    Each micro-batch recomputes the full trend for just its touched
+    targets and replaces exactly those targets' partitions via dynamic
+    partition overwrite (the store is partitioned by targname).
+    Untouched targets' files are never rewritten; re-processing a batch
+    rewrites the same partitions with the same values, so the step is
+    idempotent under checkpointing — exactly-once per batch."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        corpus = all_fileinfo.unionByName(batch_df).dropDuplicates(["imagename"])
+        fresh = trend_for_targets(
+            corpus, phot_long, batch_df.select("targname"), aperture
+        )
+        # materialized before the write for the same straggler/lineage
+        # hygiene as the Results path (the trend table is tiny)
+        fresh = fresh.localCheckpoint(eager=True)
+        (
+            fresh.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("targname")
+            .parquet(store_path)
+        )
+
+    return (
+        fileinfo_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
