@@ -70,7 +70,7 @@ def test_simhash_exact_dup_collides(corpus_with_dups):
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_smoke):
     from wfc3_cte_monitor_spark.plans.registry import load_all
 
-    brute = load_all()["e01_cosine_topk"].fn(spark, sf_smoke)
+    brute = load_all()["e01_cosine_topk"].fn(spark, sf_smoke).where(F.col("kind") == "brute")
     e02 = load_all()["e02_ann_neardup"].fn(spark, sf_smoke)
     top1 = {r.query_id: r.neighbor_id for r in brute.where(F.col("rank") == 1).collect()}
     ann_sets = {}

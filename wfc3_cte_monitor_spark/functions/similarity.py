@@ -299,10 +299,11 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     broadcast nlist-way fan-out + max_by. This is the IVF build step; at
     scale the output is written partitioned/bucketed by list_id so probes
     read only nprobe lists."""
+    cos = cosine_pd()
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(emb_col)).alias("v")
     ).join(F.broadcast(centroids)).select(
-        "vec_id", "v", "list_id", cosine(F.col("v"), F.col("cv")).alias("_sim")
+        "vec_id", "v", "list_id", cos(F.col("v"), F.col("cv")).alias("_sim")
     )
     # max_by with (sim, -list_id) tiebreak → deterministic assignment
     return scored.groupBy("vec_id", "v").agg(
@@ -327,10 +328,11 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
     q = embeddings.where(query_pred).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
     )
+    cos = cosine_pd()
     wq = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("list_id"))
     probes = (
         q.join(F.broadcast(cents))
-        .select("query_id", "qv", "list_id", cosine(F.col("qv"), F.col("cv")).alias("_csim"))
+        .select("query_id", "qv", "list_id", cos(F.col("qv"), F.col("cv")).alias("_csim"))
         .withColumn("_pr", F.row_number().over(wq))
         .where(F.col("_pr") <= nprobe)
         .select("query_id", "qv", "list_id")
@@ -343,7 +345,7 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        F.round(cos(F.col("qv"), F.col("v")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -351,6 +353,60 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
+                n_lists: int = N_LISTS, query_pred: str = "vec_id < 10") -> str:
+    """DuckDB twin of ``ivf_ann``'s deterministic structure: sampled-init
+    centroids (first n_lists by id), nearest-centroid assignment with the
+    (sim desc, list_id) tiebreak, nprobe probed lists per query, exact
+    cosine re-rank on candidates. Returns a SELECT producing
+    (query_id, neighbor_id, sim, rank)."""
+    cos_ec = cosine_sql("CAST(e.embedding AS DOUBLE[])", "c.cv")
+    cos_ab = cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    return f"""
+    WITH ivf_cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT vec_id, embedding FROM {source} ORDER BY vec_id LIMIT {n_lists})
+    ),
+    ivf_csim AS (
+        SELECT e.vec_id, c.list_id, {cos_ec} AS csim
+        FROM {source} e CROSS JOIN ivf_cents c
+    ),
+    ivf_assigned AS (
+        SELECT vec_id, list_id FROM (
+            SELECT vec_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, list_id) AS rn
+            FROM ivf_csim
+        ) WHERE rn = 1
+    ),
+    ivf_probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT vec_id AS query_id, list_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, list_id) AS pr
+            FROM ivf_csim WHERE {query_pred}
+        ) WHERE pr <= {nprobe}
+    ),
+    ivf_cands AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM ivf_assigned a JOIN ivf_probes p ON a.list_id = p.list_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    ivf_rerank AS (
+        SELECT cd.query_id, cd.neighbor_id, round({cos_ab}, 6) AS sim
+        FROM ivf_cands cd
+        JOIN {source} a ON a.vec_id = cd.query_id
+        JOIN {source} b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM ivf_rerank
+    ) WHERE rank <= {k}
+    """
 
 
 def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,

@@ -10,6 +10,8 @@ from ..functions.similarity import (
     cosine_pd,
     cosine_sql,
     cosine_topk,
+    ivf_ann,
+    ivf_ann_sql,
     lsh_index,
     lsh_index_sql,
     neardup_pairs,
@@ -21,7 +23,17 @@ from .registry import register
 _Q = "vec_id < 10"  # deterministic query set at every scale factor
 
 
-# E1 — brute-force cosine top-k (correctness baseline).
+# E1 — tagged union of the exact baseline and the IVF scale path:
+#   kind='brute' — brute-force cosine top-5: query set broadcast against
+#                  the streaming corpus (the correctness baseline).
+#   kind='ivf'   — IVF (inverted-file) ANN top-5: sampled-init coarse
+#                  quantizer (first nlist ids), nearest-centroid
+#                  assignment, nprobe probed lists per query, exact
+#                  cosine re-rank on candidates only. Complements e02's
+#                  LSH: recall bought with probed lists, not tables.
+# Both branches gate against the same DuckDB twin structure, so IVF's
+# deterministic build (centroid choice, tiebreaks) is oracle-checked —
+# and its recall is directly readable against the brute rows.
 @register(
     "e01_cosine_topk",
     oracle=f"""
@@ -34,20 +46,36 @@ _Q = "vec_id < 10"  # deterministic query set at every scale factor
                round({cosine_sql('q.qv', 'corpus.nv')}, 6) AS sim
         FROM corpus CROSS JOIN q
         WHERE corpus.neighbor_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim DESC, neighbor_id) AS rank
-        FROM scored
-    ) WHERE rank <= 5
+    ),
+    brute AS (
+        SELECT 'brute' AS kind, query_id, neighbor_id, sim,
+               CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    ivf AS ({ivf_ann_sql('embeddings', k=5, query_pred=_Q)})
+    SELECT * FROM brute
+    UNION ALL
+    SELECT 'ivf' AS kind, query_id, neighbor_id, sim, rank FROM ivf
     """,
-    tags=("similarity", "topk"),
+    tags=("similarity", "topk", "ivf"),
 )
 def e01_cosine_topk(spark, sf_dir):
-    """Top-5 cosine neighbors for 10 query vectors, corpus-side streaming
-    with the query table broadcast (no corpus shuffle)."""
+    """Top-5 cosine neighbors for 10 query vectors: exact brute-force
+    baseline (query table broadcast, no corpus shuffle) unioned with the
+    IVF approximate path (candidates via an equi-join on list_id — the
+    probed-lists layout that at scale reads nprobe bucketed lists
+    instead of the corpus)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    return cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10)
+    brute = cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10).select(
+        F.lit("brute").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
+    )
+    ivf = ivf_ann(emb, k=5, query_pred=F.col("vec_id") < 10).select(
+        F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
+    )
+    return brute.unionAll(ivf)
 
 
 # E2 — tagged union of the two LSH-bucketed vector workloads:
