@@ -181,7 +181,14 @@ def test_incremental_results_batch_equals_full_recompute(spark):
 
 def test_maintain_results_stream_file_source(spark, tmp_path):
     """End-to-end: exposures dropped as files -> availableNow stream ->
-    per-batch incremental MERGE into the parquet Results store."""
+    per-batch incremental MERGE into the parquet Results store.
+
+    The hard case is pinned deliberately: the snapshot is EMPTY (every
+    exposure arrives on the stream), the inbox is split by CHIP so each
+    image pair's two sides arrive in DIFFERENT micro-batches, and
+    maxFilesPerTrigger=1 forces those batches to actually run
+    separately. Pair formation therefore depends on the ingested-exposure
+    sidecar remembering batch 0 when batch 1 runs."""
     from wfc3_cte_monitor_spark.plans.pipeline import compute_results
     from wfc3_cte_monitor_spark.streaming.incremental import maintain_results_stream
     from wfc3_cte_monitor_spark.testing.fixtures import make_domain_fixtures
@@ -191,18 +198,18 @@ def test_maintain_results_stream_file_source(spark, tmp_path):
     phot_long = phot_long.cache()
 
     inbox = tmp_path / "inbox"
-    fileinfo.where(F.col("dateobs") < 56100).write.parquet(str(inbox / "b0"))
-    fileinfo.where(F.col("dateobs") >= 56100).write.parquet(str(inbox / "b1"))
+    fileinfo.where(F.col("chip") == 1).write.parquet(str(inbox / "b0"))
+    fileinfo.where(F.col("chip") == 2).write.parquet(str(inbox / "b1"))
 
     stream = spark.readStream.schema(fileinfo.schema).option(
         "recursiveFileLookup", "true"
-    ).parquet(str(inbox))
+    ).option("maxFilesPerTrigger", "1").parquet(str(inbox))
     q = maintain_results_stream(
-        spark, stream, fileinfo, phot_long,
+        spark, stream, fileinfo.limit(0), phot_long,
         store_path=str(tmp_path / "results"),
         checkpoint=str(tmp_path / "ckpt"),
     ).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(240)
 
     got = spark.read.parquet(str(tmp_path / "results"))
     full = compute_results(fileinfo, phot_long)
@@ -213,9 +220,11 @@ def test_maintain_results_stream_file_source(spark, tmp_path):
 
 
 def test_maintain_trend_stream_partition_grain(spark, tmp_path):
-    """Trend maintenance at target grain: two batches (the second shifts
-    one target's epochs by adding late dates) -> the store must equal the
-    full batch trend, with only touched targets' partitions rewritten."""
+    """Trend maintenance at target grain: the snapshot is EMPTY and the
+    inbox is split by DATE with maxFilesPerTrigger=1, so batch 1 delivers
+    late dates that shift epochs computed in batch 0 — the touched
+    targets must be recomputed over batch 0's exposures too (via the
+    ingested sidecar), and the store must equal the full-batch trend."""
     from wfc3_cte_monitor_spark.plans.pipeline import compute_results_long
     from wfc3_cte_monitor_spark.plans.trends import cte_slope_vs_time, epoch_dimension
     from wfc3_cte_monitor_spark.streaming.incremental import maintain_trend_stream
@@ -231,13 +240,13 @@ def test_maintain_trend_stream_partition_grain(spark, tmp_path):
 
     stream = spark.readStream.schema(fileinfo.schema).option(
         "recursiveFileLookup", "true"
-    ).parquet(str(inbox))
+    ).option("maxFilesPerTrigger", "1").parquet(str(inbox))
     q = maintain_trend_stream(
-        spark, stream, fileinfo, phot_long,
+        spark, stream, fileinfo.limit(0), phot_long,
         store_path=str(tmp_path / "trend"),
         checkpoint=str(tmp_path / "ckpt_trend"),
     ).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(240)
 
     got = spark.read.parquet(str(tmp_path / "trend"))
     full = cte_slope_vs_time(

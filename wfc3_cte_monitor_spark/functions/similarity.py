@@ -20,8 +20,13 @@ The hyperplanes are fixed Gaussian draws embedded as identical literals
 in the Spark plan and the DuckDB oracle — LSH structure is a constant,
 not a runtime random, so the whole ANN path is oracle-checkable.
 
-Floating policy: float32 embeddings are widened to float64 (exact), both
-engines fold the dot product sequentially, outputs round to 6 decimals.
+Floating policy: float32 embeddings are widened to float64 (exact) and
+every cross-engine-compared similarity rounds to 6 decimals BEFORE any
+comparison or ranking. The engines do NOT share summation order — the
+DuckDB twins fold dot products sequentially while the Spark side batches
+them through numpy (`bucket_array_pd`/`cosine_pd`) — so the rounding
+quantum, not summation order, is the determinism boundary; never compare
+or rank an unrounded similarity across engines.
 """
 
 from __future__ import annotations
@@ -245,6 +250,8 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int] | None = None,
     from pyspark.sql import Window
 
     if query_pred is None:
+        if query_ids is None:
+            raise ValueError("cosine_topk needs query_ids or query_pred")
         query_pred = F.col("vec_id").isin(query_ids)
     q = embeddings.where(query_pred).select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
@@ -300,10 +307,13 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     scale the output is written partitioned/bucketed by list_id so probes
     read only nprobe lists."""
     cos = cosine_pd()
+    # centroid similarity rounds to 6 BEFORE ranking (module floating
+    # policy): the engines sum in different orders, and an unrounded
+    # ORDER BY could rank near-tied centroids differently per engine
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(emb_col)).alias("v")
     ).join(F.broadcast(centroids)).select(
-        "vec_id", "v", "list_id", cos(F.col("v"), F.col("cv")).alias("_sim")
+        "vec_id", "v", "list_id", F.round(cos(F.col("v"), F.col("cv")), 6).alias("_sim")
     )
     # max_by with (sim, -list_id) tiebreak → deterministic assignment
     return scored.groupBy("vec_id", "v").agg(
@@ -312,8 +322,8 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
 
 
 def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
-            query_pred: Column | None = None, id_col: str = "vec_id",
-            emb_col: str = "embedding") -> DataFrame:
+            query_pred: Column | None = None, query_ids: list[int] | None = None,
+            id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     lists; candidates come from an equi-join on list_id (never a cross
     join against the corpus); exact cosine re-ranks candidates only.
@@ -322,6 +332,10 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
     IVF with probed lists — both confine the quadratic work to buckets."""
     from pyspark.sql import Window
 
+    if query_pred is None:
+        if query_ids is None:
+            raise ValueError("ivf_ann needs query_ids or query_pred")
+        query_pred = F.col(id_col).isin(query_ids)
     cents = ivf_centroids(embeddings, id_col, emb_col)
     assigned = ivf_assign(embeddings, cents, id_col, emb_col)
 
@@ -329,10 +343,12 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
         F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
     )
     cos = cosine_pd()
+    # probe ranking on the ROUNDED centroid similarity — same cross-engine
+    # rationale as ivf_assign
     wq = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("list_id"))
     probes = (
         q.join(F.broadcast(cents))
-        .select("query_id", "qv", "list_id", cos(F.col("qv"), F.col("cv")).alias("_csim"))
+        .select("query_id", "qv", "list_id", F.round(cos(F.col("qv"), F.col("cv")), 6).alias("_csim"))
         .withColumn("_pr", F.row_number().over(wq))
         .where(F.col("_pr") <= nprobe)
         .select("query_id", "qv", "list_id")
@@ -371,7 +387,7 @@ def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
         FROM (SELECT vec_id, embedding FROM {source} ORDER BY vec_id LIMIT {n_lists})
     ),
     ivf_csim AS (
-        SELECT e.vec_id, c.list_id, {cos_ec} AS csim
+        SELECT e.vec_id, c.list_id, round({cos_ec}, 6) AS csim
         FROM {source} e CROSS JOIN ivf_cents c
     ),
     ivf_assigned AS (

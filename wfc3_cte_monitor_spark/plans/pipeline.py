@@ -213,13 +213,10 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3
         "fluxbin",
         F.coalesce("slope", F.lit(0.0)).alias("slope"),
         F.coalesce("slopestdev", F.lit(0.0)).alias("slopestdev"),
-        # invalid fits (NULL slope: n <= 2 or zero x-variance) zero
-        # num_points too, keeping rows internally consistent with the
-        # reference's empty-bin (0, 0, 0) convention (:198-201)
-        F.when(F.col("slope").isNotNull(), F.col("num_points"))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("num_points"),
+        # reg carries only valid fits (NULL-slope rows are filtered in
+        # compute_results_long), so an unmatched bin is the only NULL
+        # source — the reference's empty-bin (0, 0, 0) convention (:198-201)
+        F.coalesce("num_points", F.lit(0)).cast("int").alias("num_points"),
     )
     wide = results_long_to_wide(long, id_cols=["targname", "imagename_1", "imagename_2"])
     return wide.withColumn("aperture", F.lit(float(aperture)))

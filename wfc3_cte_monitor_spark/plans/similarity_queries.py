@@ -87,7 +87,9 @@ def e01_cosine_topk(spark, sf_dir):
 #                    SELF-join near-dup index (4 tables × 8 planes, 256
 #                    buckets/table); exact cosine ≥ τ on bucket-colliding
 #                    pairs only. (query_id, neighbor_id) = (id_a < id_b);
-#                    rank = pair rank by sim desc within the kind.
+#                    rank = pair rank by sim desc WITHIN id_a — a
+#                    per-id window, because a global rank would funnel
+#                    every surviving pair through one sort task at scale.
 # τ = 0.35 is matched to this synthetic corpus's similarity scale (max
 # pairwise cosine ≈ 0.51 — no planted near-dups); the plan is
 # threshold-independent. Both branches confine quadratic work to buckets.
@@ -123,7 +125,8 @@ _ND_TAU = 0.35
     SELECT * FROM ann
     UNION ALL
     SELECT 'neardup' AS kind, id_a AS query_id, id_b AS neighbor_id, sim,
-           CAST(row_number() OVER (ORDER BY sim DESC, id_a, id_b) AS INT) AS rank
+           CAST(row_number() OVER (PARTITION BY id_a
+                                   ORDER BY sim DESC, id_b) AS INT) AS rank
     FROM nd
     """,
     tags=("similarity", "ann", "lsh", "dedup", "neardup"),
@@ -170,7 +173,7 @@ def e02_ann_neardup(spark, sf_dir):
         .select(F.lit("ann").alias("kind"), "query_id", "neighbor_id", "sim", "rank")
     )
     nd = neardup_pairs(emb, _ND_TAU)
-    wn = Window.orderBy(F.col("sim").desc(), F.col("id_a"), F.col("id_b"))
+    wn = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
     neardup = nd.select(
         F.lit("neardup").alias("kind"),
         F.col("id_a").alias("query_id"),

@@ -31,6 +31,28 @@ from ..plans.pipeline import compute_results
 PAIR_KEY_COLS = ["targname", "imagename_1", "imagename_2"]
 
 
+def _ingest_and_corpus(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    all_fileinfo: DataFrame,
+    ingested_path: str,
+) -> DataFrame:
+    """Append this batch to the persisted ingested-exposures sidecar and
+    return the full corpus: static snapshot ∪ every exposure streamed so
+    far (including this batch).
+
+    Unioning only the CURRENT batch into the snapshot would lose earlier
+    batches' exposures whenever the snapshot doesn't already contain them
+    — batch 2's recompute of a target would drop batch 1's rows, then
+    overwrite that target's partition with the under-informed result. The
+    sidecar makes the corpus monotone across batches. A replayed batch
+    appends duplicate rows; the imagename dedup absorbs them, so the step
+    stays idempotent."""
+    batch_df.write.mode("append").parquet(ingested_path)
+    ingested = spark.read.parquet(ingested_path)
+    return all_fileinfo.unionByName(ingested).dropDuplicates(["imagename"])
+
+
 def affected_pairs(new_fileinfo: DataFrame, all_fileinfo: DataFrame) -> DataFrame:
     """Pair keys whose inputs changed: every pair with at least one side
     among the new exposures. Computed by running the pair contract over
@@ -52,14 +74,19 @@ def affected_pairs(new_fileinfo: DataFrame, all_fileinfo: DataFrame) -> DataFram
 
 
 def incremental_results_batch(
-    results_store: DataFrame,
+    results_store: DataFrame | None,
     new_fileinfo: DataFrame,
     all_fileinfo: DataFrame,
     phot_long: DataFrame,
     aperture: int = 3,
 ) -> DataFrame:
     """One maintenance step: recompute the wide Results rows for the
-    affected pairs only and MERGE them into the store."""
+    affected pairs only and MERGE them into the store. ``results_store``
+    None (bootstrap: no store yet) skips the merge and returns the fresh
+    rows — the touched-pair restriction is identical either way, so a
+    pair whose two sides arrived in different batches is still formed
+    (restricting to the BATCH's own images here would silently drop the
+    partner side)."""
     touched = affected_pairs(new_fileinfo, all_fileinfo)
     # restrict fileinfo to images belonging to touched pairs before the
     # (quadratic-looking) pair self-join: per-batch work is bounded by
@@ -69,6 +96,8 @@ def incremental_results_batch(
     ).unionByName(touched.select(F.col("imagename_2").alias("imagename"))).distinct()
     fi = all_fileinfo.join(F.broadcast(touched_images), "imagename", "leftsemi")
     fresh = compute_results(fi, phot_long, aperture=aperture)
+    if results_store is None:
+        return fresh
     return upsert(
         results_store.withColumn("_v", F.lit(0)),
         fresh.withColumn("_v", F.lit(1)),
@@ -85,16 +114,22 @@ def maintain_results_stream(
     store_path: str,
     checkpoint: str,
     aperture: int = 3,
+    ingested_path: str | None = None,
 ):
     """Wire the batch step into Structured Streaming via foreachBatch:
     each micro-batch of newly ingested exposures updates only its
     affected pairs in the parquet Results store.
 
-    ``all_fileinfo`` is a static snapshot; the batch rows are unioned
-    into it before pairing, so exposures that are genuinely NEW (absent
-    from the snapshot) still form pairs — otherwise a stale snapshot
-    would make every batch a silent no-op."""
+    ``all_fileinfo`` is a static snapshot; every streamed exposure is
+    persisted to the ``ingested_path`` sidecar and the corpus is snapshot
+    ∪ all-ingested, so exposures that are genuinely NEW (absent from the
+    snapshot) still form pairs — including pairs whose two sides arrived
+    in DIFFERENT batches, which a snapshot-plus-current-batch corpus
+    would silently miss."""
     from pyspark.errors import AnalysisException
+
+    if ingested_path is None:
+        ingested_path = store_path.rstrip("/") + "_ingested"
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         try:
@@ -104,20 +139,8 @@ def maintain_results_stream(
             # read failure must propagate — falling through here would
             # overwrite the whole store with just this batch's pairs
             store = None
-        corpus = all_fileinfo.unionByName(batch_df).dropDuplicates(["imagename"])
-        fresh = (
-            incremental_results_batch(store, batch_df, corpus, phot_long, aperture)
-            if store is not None
-            else compute_results(
-                corpus.join(
-                    F.broadcast(batch_df.select("imagename").distinct()),
-                    "imagename",
-                    "leftsemi",
-                ),
-                phot_long,
-                aperture,
-            )
-        )
+        corpus = _ingest_and_corpus(spark, batch_df, all_fileinfo, ingested_path)
+        fresh = incremental_results_batch(store, batch_df, corpus, phot_long, aperture)
         # materialize BEFORE overwriting: the merged plan lazily reads the
         # store being replaced (read-then-overwrite-same-path corrupts
         # otherwise). A table format with real MERGE (or dynamic partition
@@ -155,6 +178,7 @@ def maintain_trend_stream(
     store_path: str,
     checkpoint: str,
     aperture: int = 3,
+    ingested_path: str | None = None,
 ):
     """Incrementally maintain the cs03 trend view (§3.3) under arriving
     exposures.
@@ -167,14 +191,19 @@ def maintain_trend_stream(
     by (targname, epoch, fluxbin), so targets are independent.
 
     Each micro-batch recomputes the full trend for just its touched
-    targets and replaces exactly those targets' partitions via dynamic
-    partition overwrite (the store is partitioned by targname).
-    Untouched targets' files are never rewritten; re-processing a batch
-    rewrites the same partitions with the same values, so the step is
-    idempotent under checkpointing — exactly-once per batch."""
+    targets — over the snapshot ∪ all-ingested corpus, so a target's
+    earlier-batch exposures stay in its recompute — and replaces exactly
+    those targets' partitions via dynamic partition overwrite (the store
+    is partitioned by targname). Untouched targets' files are never
+    rewritten; re-processing a batch rewrites the same partitions with
+    the same values, so the step is idempotent under checkpointing —
+    exactly-once per batch."""
+
+    if ingested_path is None:
+        ingested_path = store_path.rstrip("/") + "_ingested"
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        corpus = all_fileinfo.unionByName(batch_df).dropDuplicates(["imagename"])
+        corpus = _ingest_and_corpus(spark, batch_df, all_fileinfo, ingested_path)
         fresh = trend_for_targets(
             corpus, phot_long, batch_df.select("targname"), aperture
         )
