@@ -68,6 +68,24 @@ def test_trend_epoch_dimension_has_no_python(spark):
         assert op not in plan, op
 
 
+# A window spec whose FIRST argument carries a sort direction has no
+# partition columns — a global window, i.e. a single-task sort funnel.
+_GLOBAL_WINDOW = re.compile(r"windowspecdefinition\(\s*[^,()]+ (?:ASC|DESC)")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["e02_ann_neardup", "d02_lsh_dedup_pipeline", "cs05_results_wide", "cs03_cte_vs_time"],
+)
+def test_no_global_window_on_scale_paths(spark, name):
+    # every row of these queries flows through data-sized intermediates;
+    # an unpartitioned window would funnel them through one task. (e01 is
+    # exempt by design: its centroid numbering windows a 16-row LIMIT.)
+    plan = _plan(spark, name)
+    m = _GLOBAL_WINDOW.search(plan)
+    assert not m, m.group(0)
+
+
 def test_text_profile_single_scan_before_simhash_join(spark):
     # t02 = one projection branch + one SimHash aggregation branch; the
     # documents parquet must be scanned at most twice

@@ -93,7 +93,11 @@ class CompareResult:
 
 def compare_query(spark, name: str, sf_dir: str) -> CompareResult:
     from ..plans.registry import load_all
+    from ..session import prepare
 
+    # the driver's queries() wrapper runs prepare() before each query;
+    # mirror that so the comparison holds on an arbitrary plain session
+    prepare(spark)
     spec = load_all()[name]
     sdf = spec.fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
