@@ -207,3 +207,22 @@ def test_phot_layout_roundtrip(spark):
     orig = {(r.find_id, r.radius): r.flux for r in mag.collect()}
     back = {(r.find_id, r.radius): r.flux for r in long_again.collect()}
     assert orig == back
+
+
+def test_sigma_clip_bounded_unrolling_is_fixpoint_on_gate_data(spark):
+    """The declarative sigma_clip bounds the reference's iterate-until-
+    convergence at 3 passes, claiming the gate data converges by then
+    (operators/sigma_clip.py module docstring). Check the claim instead
+    of trusting it: a 4th pass over the domain-analog pipeline must
+    change nothing."""
+    from wfc3_cte_monitor_spark.plans.domain_queries import analog_fileinfo, analog_phot
+    from wfc3_cte_monitor_spark.plans.pipeline import compute_results_long
+
+    sf = "/root/testdata/sf0.001"
+    fi, ph = analog_fileinfo(spark, sf), analog_phot(spark, sf)
+    key = lambda r: (r["targname"], r["imagename_1"], r["imagename_2"], r["fluxbin"])
+    three = {key(r): (round(r["slope"], 10), r["num_points"])
+             for r in compute_results_long(fi, ph, iterations=3).collect()}
+    four = {key(r): (round(r["slope"], 10), r["num_points"])
+            for r in compute_results_long(fi, ph, iterations=4).collect()}
+    assert three == four

@@ -30,7 +30,7 @@ def test_header_derivations(spark):
     # y-dithered); |postarg2| >= 80 → chip 1 (dithered by a chip length)
     r1 = out["iabc01x_flc.fits"]
     assert (r1.dateobs, r1.chip, r1.ctecorr, r1.exp_length) == (56123, 2, 1, "l")
-    assert r1.skip_reason == "false_flashlvl"  # flashlvl 12 != desired 0
+    assert r1.skip_reason == "false_pf"  # flashlvl 12 != desired 0 (:279-290)
     r2 = out["iabc01y_flt.fits"]
     assert (r2.dateobs, r2.chip, r2.ctecorr, r2.exp_length) == (56123, 1, 0, "s")
     assert r2.skip_reason is None and r2.flashlvl == 0
@@ -43,6 +43,37 @@ def test_header_derivations(spark):
     # 180° dataset ('6583'): chip hardcoded by imagename code (:348-356)
     r5 = out["ixsq01a_flt.fits"]
     assert r5.chip == 1 and r5.skip_reason is None
+
+
+def test_skip_reason_precedence_and_xdither(spark):
+    """The reference returns the FIRST failed check (:274-340): chinject
+    beats pf beats xdither beats subdither; POSTARG1 > 0.1 on a non-180°
+    target is false_xdither (:332-340, only when the column is present)."""
+    headers = spark.createDataFrame(
+        [
+            # chinject + bad flash + subdither all true -> chinject wins
+            ("a_flt.fits", 56000.0, 0.2, 5.0, 30.0, "009", "NGC104", "CONT"),
+            # bad flash + subdither -> pf wins
+            ("b_flt.fits", 56000.0, 0.0, 5.0, 30.0, "009", "NGC104", "NO"),
+            # xdither + subdither -> xdither wins
+            ("c_flt.fits", 56000.0, 3.0, 5.0, 30.0, "000", "NGC104", "NO"),
+            # subdither alone
+            ("d_flt.fits", 56000.0, 0.1, 5.0, 30.0, "000", "NGC104", "NO"),
+            # xdither does not apply to the 180-degree dataset
+            ("ixsq_flt.fits", 56000.0, 3.0, 5.0, 30.0, "000", "NGC6583", "NO"),
+        ],
+        "imagename string, expstart double, postarg1 double, postarg2 double,"
+        " exptime double, flashlvl string, targname string, chinject string",
+    )
+    out = {r.imagename: r.skip_reason
+           for r in derive_fileinfo_columns(headers, flashlvl_desired=0).collect()}
+    assert out == {
+        "a_flt.fits": "false_chinject",
+        "b_flt.fits": "false_pf",
+        "c_flt.fits": "false_xdither",
+        "d_flt.fits": "false_subdither",
+        "ixsq_flt.fits": None,
+    }
 
 
 def test_totbkgrd_expr(spark):

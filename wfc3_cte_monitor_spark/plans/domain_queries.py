@@ -413,11 +413,11 @@ _S01_WCS_SQL = "(VALUES " + ", ".join(
            CASE WHEN imagename LIKE '%\\_flc%' ESCAPE '\\' THEN 1 ELSE 0 END AS ctecorr,
            CASE WHEN exptime <= 60 THEN 's' ELSE 'l' END AS exp_length,
            CAST(flashlvl AS INT) AS flashlvl,
-           CASE WHEN targname NOT LIKE '%6583%'
+           CASE WHEN chinject <> 'NO' THEN 'false_chinject'
+                WHEN CAST(flashlvl AS INT) <> 0 THEN 'false_pf'
+                WHEN targname NOT LIKE '%6583%'
                      AND abs(postarg2) > 0.1 AND abs(postarg2) < 80.0
-                THEN 'false_subdither'
-                WHEN chinject <> 'NO' THEN 'false_chinject'
-                WHEN CAST(flashlvl AS INT) <> 0 THEN 'false_flashlvl' END AS skip_reason,
+                THEN 'false_subdither' END AS skip_reason,
            current_date AS ingest_date,
            mnbkgrd * (pi() * radius * radius) AS totbkgrd,
            ax * (ra - ra0) + bx * (dec - dec0) + x0 AS xpix,

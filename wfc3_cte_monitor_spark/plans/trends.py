@@ -15,6 +15,15 @@ queries; here each layer is one DataFrame plan —
 Stderr conventions preserved per query (SURVEY §2 F13): cte-vs-time uses
 stdev/n (uvis_external_cte_plots.py:1413), logflux uses stdev/sqrt(n)
 (:1633) — an intentional reference inconsistency.
+
+Aggregation grain: the reference's plot routines scatter the PER-PAIR
+points (one slope per image pair per fluxbin, :377-398 vs-time, :538-553
+logflux — the "need to average" comment at :518 notwithstanding, no
+averaging happens there). Those per-pair rows are exactly the pre-groupBy
+``joined`` relation below; the registered trend view summarizes them per
+(target, epoch, fluxbin) with mean ± stderr, which is the queryable form
+of the same data — drop the groupBy to recover the scatter points
+verbatim.
 """
 
 from __future__ import annotations
@@ -152,7 +161,13 @@ def skipbins_filter(trend: DataFrame, targname_col: str = "targname",
     (uvis_external_cte_plots.py:1648-1653): '6791' targets skip the first
     TWO bins of the config list, every other target skips the first one —
     the low bins fit badly. Bin order is the config-list order
-    (config.py:14-16), i.e. the FLUX_BINS index."""
+    (config.py:14-16), i.e. the FLUX_BINS index.
+
+    The reference implements the skip as list slicing
+    (``log10fluxes[skipbins:]``, :665/:721), which equals a per-bin filter
+    only under its one-point-per-bin layout; this predicate form IS the
+    stated intent ("low flux bins fit badly") and stays correct when a bin
+    holds many pairs."""
     from ..operators.bins import FLUX_BINS
 
     labels = [f"{int(lo)}_{int(hi)}" for lo, hi in FLUX_BINS]

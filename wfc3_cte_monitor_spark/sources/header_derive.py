@@ -23,6 +23,13 @@ vectorized projection that Catalyst folds into the scan:
 Skip-sentinels: the reference returns ``'false_*'`` strings to mark
 unusable exposures (:274-340); here that's a ``skip_reason`` column —
 NULL means usable — so downstream filters are explicit predicates.
+The reference checks (and returns) in a fixed order, so when several
+conditions hold the FIRST one names the skip; the column preserves that
+precedence: ``false_chinject`` (:274-277) > ``false_pf`` (:279-290) >
+``false_xdither`` (:332-340, non-180° POSTARG1 > 0.1) >
+``false_subdither`` (:368-375). ``false_field`` (104-CAL2 special
+fields, :298-305) is out of scope — the synthetic corpus has no such
+targets.
 """
 
 from __future__ import annotations
@@ -59,18 +66,24 @@ def derive_fileinfo_columns(headers: DataFrame,
     ctecorr = F.when(F.col("imagename").contains("_flc"), 1).otherwise(0)
     exp_length = F.when(F.col("exptime") <= 60, "s").otherwise("l")
 
-    skip = F.lit(None).cast("string")
-    if flashlvl_desired is not None:
-        skip = F.when(
-            F.col("flashlvl").cast("int") != int(flashlvl_desired), "false_flashlvl"
-        ).otherwise(skip)
-    skip = F.when(F.col("chinject") != "NO", "false_chinject").otherwise(skip)
+    # build lowest-precedence first; each later when() OVERRIDES, so the
+    # chain ends at the reference's first-returned (highest-precedence)
+    # sentinel: chinject > pf > xdither > subdither
     skip = F.when(
         (~is_180)
         & (F.abs(F.col("postarg2")) > 0.1)
         & (F.abs(F.col("postarg2")) < 80.0),
         "false_subdither",
-    ).otherwise(skip)
+    ).otherwise(F.lit(None).cast("string"))
+    if "postarg1" in headers.columns:
+        skip = F.when(
+            (~is_180) & (F.col("postarg1") > 0.1), "false_xdither"
+        ).otherwise(skip)
+    if flashlvl_desired is not None:
+        skip = F.when(
+            F.col("flashlvl").cast("int") != int(flashlvl_desired), "false_pf"
+        ).otherwise(skip)
+    skip = F.when(F.col("chinject") != "NO", "false_chinject").otherwise(skip)
 
     return (
         headers.withColumn("ingest_date", F.current_date())  # F7 (database_update.py:298)
