@@ -163,23 +163,58 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame, aperture: in
         "imagename", "master_id", "ypix",
         (F.col("flux") - F.col("totbkgrd")).alias("net_flux"),
     )
-    side1 = pairs.join(
-        p.select(
-            F.col("imagename").alias("imagename_1"),
-            "master_id",
-            F.col("ypix").alias("ypos"),
-            F.col("net_flux").alias("flux_1"),
-        ),
-        "imagename_1",
+    # One shuffle of the measurement table, not three. Joining phot once
+    # per pair side shuffles the dominant relation on imagename_1, then
+    # again on (imagename_2, master_id); instead, fan the PAIR map out to
+    # (imagename, side) rows — two per pair, exposure-dimension-sized, so
+    # it broadcasts — tag each measurement with its pair in a map-side
+    # join, and align the two chips with a single groupBy on
+    # (pair, master_id). Rows missing either side (master only found on
+    # one chip) drop exactly as the former inner joins dropped them.
+    pair_map = pairs.select(
+        "targname", "imagename_1", "imagename_2",
+        F.explode(
+            F.array(
+                F.struct(F.col("imagename_1").alias("imagename"), F.lit(1).alias("side")),
+                F.struct(F.col("imagename_2").alias("imagename"), F.lit(2).alias("side")),
+            )
+        ).alias("_s"),
+    ).select(
+        "targname", "imagename_1", "imagename_2",
+        F.col("_s.imagename").alias("imagename"), F.col("_s.side").alias("side"),
     )
-    both = side1.join(
-        p.select(
-            F.col("imagename").alias("imagename_2"),
-            "master_id",
-            F.col("net_flux").alias("flux_2"),
-        ),
-        ["imagename_2", "master_id"],
-    ).withColumn("flux_ratio", F.col("flux_1") / F.col("flux_2"))
+    # broadcast holds while exposures ≪ measurements (the domain reality);
+    # past broadcast size, drop the hint and bucket both sides by imagename
+    tagged = p.join(F.broadcast(pair_map), "imagename")
+    # Collect each side's measurements per (pair, master) and expand their
+    # cross product — exactly the two-sided join's semantics, including on
+    # keys with duplicate measurements (the synthetic lineitem reuses
+    # (orderkey, linenumber), so the oracle's p1×p2 join multiplies them;
+    # a max()/any_value() reduction here would silently collapse those).
+    # collect_list skips the other side's NULLs; explode drops groups
+    # missing either side, as the inner joins did. Group sizes are a few
+    # measurements, so the collected arrays stay tiny at any corpus size.
+    grouped = tagged.groupBy("targname", "imagename_1", "imagename_2", "master_id").agg(
+        F.collect_list(
+            F.when(
+                F.col("side") == 1,
+                F.struct(F.col("ypix").alias("ypos"), F.col("net_flux").alias("flux_1")),
+            )
+        ).alias("_s1"),
+        F.collect_list(F.when(F.col("side") == 2, F.col("net_flux"))).alias("_s2"),
+    )
+    both = (
+        grouped.select(
+            "targname", "imagename_1", "imagename_2", "master_id",
+            F.explode("_s1").alias("_a"), "_s2",
+        )
+        .select(
+            "targname", "imagename_1", "imagename_2", "master_id",
+            F.col("_a.ypos").alias("ypos"), F.col("_a.flux_1").alias("flux_1"),
+            F.explode("_s2").alias("flux_2"),
+        )
+        .withColumn("flux_ratio", F.col("flux_1") / F.col("flux_2"))
+    )
 
     fan = bin_fanout(both, binspec_df(spark, FLUX_BINS), ["flux_1", "flux_2"])
     group = ["targname", "imagename_1", "imagename_2", "fluxbin"]
