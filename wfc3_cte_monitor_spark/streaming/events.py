@@ -18,28 +18,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events parquet physical schema (ts stored as TIMESTAMP(NANOS) → long).
-_EVENTS_RAW = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns → µs truncation as in
-    sources/catalog.py)."""
+    """File-source stream over the events parquet.
+
+    The generated ``ts`` column has shipped as both TIMESTAMP(NANOS)
+    (readable only as a long under nanosAsLong) and TIMESTAMP(MICROS);
+    a stream needs its schema up front, so probe the footer with a batch
+    read (matching sources/catalog.py's adaptive handling) and convert
+    ns → µs only when the physical type actually is the nanos long."""
+    from ..sources.catalog import table_path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks demand TIMESTAMP (ltz); parquet micros arrives as NTZ.
+    # Session TZ is pinned to UTC (session.prepare), so the cast is a
+    # deterministic relabel and window bounds match the batch twin.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
