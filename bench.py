@@ -89,6 +89,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
     timings_best: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for name in names:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -101,12 +102,44 @@ def main() -> None:
             warm.append(time.perf_counter() - t0)
         timings_warm[name] = round(min(warm), 3)
         timings_best[name] = round(min(cold, *warm), 3)
+        passes[name] = [round(t, 3) for t in (cold, *warm)]
         # release dropped shuffle files/broadcasts: the ContextCleaner only
         # frees them after a driver GC, and letting them pile up across ~75
         # executions skews late queries (observed 4s -> 27s on the same plan)
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings_best.values()), 3)
+
+    # Full per-pass detail (cold/warm split + min/median/max spread, so a
+    # noisy-neighbor stall is distinguishable from a plan regression) goes
+    # to a sidecar file: the driver's tail capture truncates long stdout
+    # lines, which made the round-2 headline machine-unreadable.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries_best": timings_best,
+        "queries_cold": timings,
+        "cold_total": round(sum(timings.values()), 3),
+        "queries_warm": timings_warm,
+        "warm_total": round(sum(timings_warm.values()), 3),
+        "passes": passes,
+        "spread": {
+            n: {
+                "min": min(p),
+                "median": sorted(p)[len(p) // 2],
+                "max": max(p),
+            }
+            for n, p in passes.items()
+        },
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # The ONE driver-parsed line: compact — headline value + per-query
+    # best-of-3 only. Keep this under ~2 KB so tail capture can't split it.
     print(
         json.dumps(
             {
@@ -114,12 +147,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings_best,
-                "queries_cold": timings,
-                "cold_total": round(sum(timings.values()), 3),
-                "queries_warm": timings_warm,
-                "warm_total": round(sum(timings_warm.values()), 3),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
