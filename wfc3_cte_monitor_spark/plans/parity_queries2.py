@@ -10,7 +10,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.model import poly2_eval, poly2_eval_sql, quadfit_agg, quadfit_sql
-from ..functions.scalars import davg, davg_sql, dsum, dsum_sql
+from ..functions.scalars import davg, davg_sql, dsum, dsum_sql, round_stable, round_stable_sql
+from ..operators.polyfit import polyfit2d
 from ..operators.pairs import matching_lookup, rank_pairing
 from ..operators.sigma_clip import sigma_clip, sigma_clip_sql
 from ..operators.spatial import point_in_quad, point_in_quad_sql
@@ -576,23 +577,81 @@ def f01_scalar_suite(spark, sf_dir):
     )
 
 
-# N1 — per-group polynomial fit, closed-form (polyfit2d's 1-D core;
-# uvis_external_cte_plots.py:2216-2249). x centered/scaled so the normal-
-# equation moments stay O(1).
+# N1 — per-group polynomial fit, two arms (uvis_external_cte_plots.py
+# :2216-2249, wrapper fit_empirical_model :596-778):
+#
+# - 'quad1d': the closed-form 1-D quadratic via Cramer's rule on the
+#   normal equations (no UDF, map-side combinable). x centered/scaled so
+#   the moments stay O(1).
+# - 'poly2d': the FULL 9-coefficient 2-D surface S(d,f) = Σ c_ij·f^j·d^i
+#   through the applyInPandas np.linalg.lstsq operator
+#   (operators/polyfit.py) — the reference's flagship fit. The fit runs
+#   on a 3×3 tensor grid of data-derived cell means at nodes {-1,0,1},
+#   so the system is exactly determined and the oracle can state the
+#   identical solution in closed form: the interpolant's power-basis
+#   coefficients are c_ij = Σ_kl W[i,k]·W[j,l]·z[k,l], where W holds the
+#   Lagrange basis polynomials' coefficients for nodes (-1, 0, 1). Cell
+#   means use the decimal-exact davg policy and are rounded BEFORE the
+#   fit, so both engines fit the same doubles; lstsq on the
+#   well-conditioned 9×9 Vandermonde then agrees with the closed form to
+#   ~1e-13, far under the round_stable(8) quantum.
+#
+# W[p][k] = coefficient of x^p in the Lagrange polynomial of node k
+# (node values: k=0 → -1, k=1 → 0, k=2 → +1):
+#   L_{-1}(x) = x(x-1)/2,  L_0(x) = 1-x²,  L_{+1}(x) = x(x+1)/2
+_LAGRANGE_W = [
+    (0, 0, 0.0), (0, 1, 1.0), (0, 2, 0.0),
+    (1, 0, -0.5), (1, 1, 0.0), (1, 2, 0.5),
+    (2, 0, 0.5), (2, 1, -1.0), (2, 2, 0.5),
+]
+_LAGRANGE_W_SQL = "(VALUES " + ", ".join(f"({p}, {k}, {wt!r})" for p, k, wt in _LAGRANGE_W) + ") w(p, k, wt)"
+
+_N01_CELLS_SQL = f"""
+    SELECT o_orderpriority AS grp,
+           (o_orderkey % 3) AS k,
+           ((o_orderkey // 3) % 3) AS l,
+           {round_stable_sql(
+               "(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) / 100000.0", 6)} AS z
+    FROM orders
+    GROUP BY 1, 2, 3
+"""
+
+
 @register(
     "n01_quadratic_fit",
-    oracle=quadfit_sql(
-        """SELECT o_orderpriority,
+    oracle=f"""
+    WITH quad AS ({quadfit_sql(
+        '''SELECT o_orderpriority,
                   date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) / 1000.0 - 1.2 AS x,
                   o_totalprice / 100000.0 AS y
-           FROM orders""",
+           FROM orders''',
         x="x", y="y", group_cols=["o_orderpriority"],
-    ),
+    )}),
+    cells AS ({_N01_CELLS_SQL}),
+    w AS (SELECT * FROM {_LAGRANGE_W_SQL})
+    SELECT 'quad1d' AS which, o_orderpriority AS grp, 0 AS i, 0 AS j, c0 AS coeff, num_points FROM quad
+    UNION ALL
+    SELECT 'quad1d', o_orderpriority, 1, 0, c1, num_points FROM quad
+    UNION ALL
+    SELECT 'quad1d', o_orderpriority, 2, 0, c2, num_points FROM quad
+    UNION ALL
+    SELECT 'poly2d' AS which, c.grp, wi.p AS i, wj.p AS j,
+           {round_stable_sql("sum(wi.wt * wj.wt * c.z)", 8)} AS coeff,
+           CAST(count(*) AS BIGINT) AS num_points
+    FROM cells c
+    JOIN w wi ON wi.k = c.k
+    JOIN w wj ON wj.k = c.l
+    GROUP BY c.grp, wi.p, wj.p
+    """,
     tags=("N1",),
 )
 def n01_quadratic_fit(spark, sf_dir):
-    """Quadratic trend fit per group via Cramer closed form (no UDF)."""
-    o = load_table(spark, sf_dir, "orders").select(
+    """Polynomial fits per group: 1-D quadratic via Cramer closed form
+    (no UDF) + the full 2-D 9-coefficient lstsq surface via applyInPandas
+    on an exactly-determined 3×3 node grid."""
+    o = load_table(spark, sf_dir, "orders")
+
+    quad_in = o.select(
         "o_orderpriority",
         (
             F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")) / 1000.0
@@ -600,7 +659,34 @@ def n01_quadratic_fit(spark, sf_dir):
         ).alias("x"),
         (F.col("o_totalprice") / 100000.0).alias("y"),
     )
-    return quadfit_agg(o, x="x", y="y", group_cols=["o_orderpriority"])
+    quad = quadfit_agg(quad_in, x="x", y="y", group_cols=["o_orderpriority"]).select(
+        F.lit("quad1d").alias("which"),
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("stack(3, 0, c0, 1, c1, 2, c2) AS (i, coeff)"),
+        "num_points",
+    ).select("which", "grp", "i", F.lit(0).alias("j"), "coeff", "num_points")
+
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr("o_orderkey % 3").alias("k"),
+            F.expr("(o_orderkey div 3) % 3").alias("l"),
+        )
+        .agg(round_stable(davg("o_totalprice") / 100000.0, 6).alias("z"))
+        .select(
+            "grp",
+            (F.col("k") - 1).cast("double").alias("d"),
+            (F.col("l") - 1).cast("double").alias("f"),
+            "z",
+        )
+    )
+    poly = polyfit2d(cells, d="d", f="f", s="z", group_cols=["grp"]).select(
+        F.lit("poly2d").alias("which"),
+        "grp", "i", "j",
+        round_stable("coeff", 8).alias("coeff"),
+        "num_points",
+    )
+    return quad.unionByName(poly)
 
 
 # N2 — 9-coefficient model evaluation as a pure column expression
