@@ -246,6 +246,29 @@ def decode_media_stats(blobs: DataFrame) -> DataFrame:
     return blobs.select("blob_id", "codec", "content").mapInPandas(stats, schema=out_schema)
 
 
+def decode_image_raster(blobs: DataFrame) -> DataFrame:
+    """PPM blobs → (blob_id, pixels) with the FLAT raster as array<bigint>,
+    decoded by the real P6 parser. This is the hand-off point from the
+    codec boundary to the JVM array operators (operators/image_ops.py):
+    PAM correction and DQ masking then run as zip_with/aggregate column
+    expressions — per-pixel work inside codegen, as at full frame size."""
+    out_schema = "blob_id bigint, pixels array<bigint>"
+
+    def raster(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, arrs = [], []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "ppm":
+                    continue
+                ids.append(r["blob_id"])
+                arrs.append(decode_ppm(bytes(r["content"])).astype(np.int64).ravel().tolist())
+            yield pd.DataFrame({"blob_id": ids, "pixels": arrs})
+
+    return blobs.where(F.col("codec") == "ppm").select("blob_id", "content", "codec").mapInPandas(
+        raster, schema=out_schema
+    )
+
+
 def decode_images(blobs: DataFrame, batch_hint: int = 64) -> DataFrame:
     """binary → per-blob decoded stats via mapInPandas (Arrow batches).
     Output drops the pixels — only reduced stats leave the partition."""

@@ -9,14 +9,28 @@ dimensions, sample rates, means and checksums directly from the
 closed-form pattern (byte k = (doc_id + k) mod 256), so any header-parse
 or sample-extraction defect breaks the match.
 
+The image arm additionally rides the decoded raster through the JVM
+array operators (operators/image_ops.py):
+
+- S2 PAM correction (``apply_pam``, run_image_extraction.py:93-143) with
+  a closed-form pixel-area map stated as integer PERCENTS
+  (pam_pct[i] = 100 + (i mod 7) - 3) so per-pixel products and their
+  sums are exact integers in both engines — divide by 100 at the end to
+  recover the fractional map;
+- N5 DQ masking (``mask_bad_pixels``, :773-840) with a closed-form DQ
+  array mixing good flags {0, 32} and bad flags {4, 8}, so the
+  two-good-flag membership test is what decides each pixel.
+
 Scale shape: encode and decode are Arrow-batched mapInPandas over the
-documents partitioning; only fixed-width stats rows leave the partition —
-the 100 TB posture for opaque media columns (SURVEY-adjacent multimodal
-requirement)."""
+documents partitioning; the PAM/mask per-pixel passes are zip_with /
+aggregate column expressions (whole-stage codegen, pixels never leave
+the executor); only fixed-width stats rows cross stages — the 100 TB
+posture for opaque media columns."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .registry import register
 
@@ -65,6 +79,31 @@ ap AS (
           + (pq // w - (h - 1) / 2.0) * (pq // w - (h - 1) / 2.0)
           <= (least(w, h) / 3.0) * (least(w, h) / 3.0)
     GROUP BY doc_id
+),
+-- S2/N5: per flat byte index i over the whole raster, pixel value
+-- v = (a + i) mod 256, PAM percent pam = 100 + (i mod 7) - 3, DQ flag
+-- from the first-match cascade 4 / 32 / 8 / 0 — good flags are {0, 32}.
+fb AS (
+    SELECT doc_id, a,
+           unnest(range(0, n)) AS i
+    FROM p WHERE kind = 'image'
+),
+fq AS (
+    SELECT doc_id,
+           ((a + i) % 256) AS v,
+           (100 + (i % 7) - 3) AS pam,
+           CASE WHEN (doc_id + i) % 5 = 0 THEN 4
+                WHEN (doc_id + i) % 7 = 0 THEN 32
+                WHEN (doc_id + i) % 11 = 0 THEN 8
+                ELSE 0 END AS dq
+    FROM fb
+),
+corr AS (
+    SELECT doc_id,
+           SUM(v * pam) AS pam_flux,
+           SUM(CASE WHEN dq IN (0, 32) THEN v * pam ELSE 0 END) AS masked_flux,
+           SUM(CASE WHEN dq IN (0, 32) THEN 1 ELSE 0 END) AS n_good
+    FROM fq GROUP BY doc_id
 )
 SELECT t.doc_id AS blob_id, kind,
        (CASE WHEN kind = 'image' THEN w ELSE 0 END)::INT AS width,
@@ -76,20 +115,71 @@ SELECT t.doc_id AS blob_id, kind,
        (CASE WHEN kind = 'image' THEN sum_b
              ELSE (sum_b - 128 * n) * 256 END)::BIGINT AS checksum,
        coalesce(ap.ap_flux, 0)::BIGINT AS ap_flux,
-       coalesce(ap.ap_npix, 0)::INT AS ap_npix
-FROM t LEFT JOIN ap ON t.doc_id = ap.doc_id
+       coalesce(ap.ap_npix, 0)::INT AS ap_npix,
+       coalesce(corr.pam_flux, 0)::BIGINT AS pam_flux,
+       coalesce(corr.masked_flux, 0)::BIGINT AS masked_flux,
+       coalesce(corr.n_good, 0)::INT AS n_good
+FROM t
+LEFT JOIN ap ON t.doc_id = ap.doc_id
+LEFT JOIN corr ON t.doc_id = corr.doc_id
 """
+
+
+def _pam_masked_stats(raster: DataFrame) -> DataFrame:
+    """(blob_id, pixels array<bigint>) → per-blob PAM-corrected and
+    DQ-masked sums via the JVM array operators. The PAM and DQ arrays are
+    closed-form functions of the flat index (and blob_id), generated with
+    sequence/transform so the whole per-pixel pass stays in codegen."""
+    from ..operators.image_ops import apply_pam, mask_bad_pixels
+
+    idx = F.sequence(F.lit(0), F.size("pixels") - 1)
+    pam = F.transform(idx, lambda i: (F.lit(100) + (i % 7) - 3).cast("bigint"))
+    blob = F.col("blob_id")
+    dq = F.transform(
+        idx,
+        lambda i: F.when((blob + i) % 5 == 0, 4)
+        .when((blob + i) % 7 == 0, 32)
+        .when((blob + i) % 11 == 0, 8)
+        .otherwise(0),
+    )
+    corrected = apply_pam(F.col("pixels"), pam)
+    masked = mask_bad_pixels(corrected, dq)
+    zero = F.lit(0).cast("bigint")
+    return raster.select(
+        "blob_id",
+        F.aggregate(corrected, zero, lambda acc, x: acc + x).alias("pam_flux"),
+        F.aggregate(masked, zero, lambda acc, x: acc + F.coalesce(x, zero)).alias("masked_flux"),
+        F.size(F.filter(masked, lambda x: x.isNotNull())).cast("int").alias("n_good"),
+    )
 
 
 @register(
     "m01_multimodal_decode",
     oracle=_M01_ORACLE,
-    tags=("multimodal", "codec", "mapInPandas"),
+    tags=("multimodal", "codec", "mapInPandas", "S2", "N5"),
 )
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode→decode round trip through real PPM/WAV parsers: per-blob
-    header dims, sample rate, pixel/sample mean and checksum, verified
-    against the closed-form oracle."""
-    from ..multimodal.blobs import decode_media_stats, synthesize_media_blobs
+    header dims, sample rate, pixel/sample mean and checksum, plus the
+    PAM-corrected / DQ-masked pixel sums (S2 + N5 through the decoded
+    raster), verified against the closed-form oracle."""
+    from ..multimodal.blobs import (
+        decode_image_raster,
+        decode_media_stats,
+        synthesize_media_blobs,
+    )
 
-    return decode_media_stats(synthesize_media_blobs(spark, sf_dir))
+    blobs = synthesize_media_blobs(spark, sf_dir)
+    stats = decode_media_stats(blobs)
+    corr = _pam_masked_stats(decode_image_raster(blobs))
+    zero = F.lit(0).cast("bigint")
+    return (
+        stats.join(corr, "blob_id", "left")
+        .select(
+            "blob_id", "kind", "width", "height", "n_samples", "sample_rate",
+            "mean_val", "checksum", "ap_flux", "ap_npix",
+            F.coalesce("pam_flux", zero).alias("pam_flux"),
+            F.coalesce("masked_flux", zero).alias("masked_flux"),
+            F.coalesce(F.col("n_good"), F.lit(0)).cast("int").alias("n_good"),
+        )
+    )
