@@ -209,12 +209,20 @@ def d03_minhash_lsh(spark, sf_dir):
 
 # D5 — MinHash accuracy: estimated vs exact Jaccard on high-overlap pairs
 # (unigram signatures so the estimate targets the same token-set Jaccard
-# d02 computes exactly).
+# d02 computes exactly). The audit runs on a FIXED-COUNT deterministic
+# sample (smallest D05_SAMPLE_K doc_ids — a bounded top-k scan, not a
+# proportional slice), so its all-pairs stage is O(k²) CONSTANT work no
+# matter how large the corpus grows: the audit's cost is independent of
+# scale, which is the whole point of auditing on a sample.
+D05_SAMPLE_K = 400
+
+
 def _d05_sql() -> str:
     from ..functions.dedup import N_HASHES
 
+    sample = f"(SELECT * FROM documents ORDER BY doc_id LIMIT {D05_SAMPLE_K})"
     sig = minhash_signature_sql(
-        "(SELECT * FROM documents WHERE doc_id % 5 = 0)", "doc_id",
+        sample, "doc_id",
         f"list_distinct({tokens_sql('text')})",
     )
     agree = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
@@ -222,7 +230,7 @@ def _d05_sql() -> str:
     WITH sig AS ({sig}),
     toks AS (
         SELECT doc_id, list_sort(list_distinct({tokens_sql('text')})) AS t
-        FROM documents WHERE doc_id % 5 = 0
+        FROM {sample} s
     ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -244,10 +252,15 @@ def _d05_sql() -> str:
 def d05_minhash_accuracy(spark, sf_dir):
     """Estimated (signature-agreement) vs exact Jaccard side by side for
     high-overlap pairs — the quality check a production dedup pipeline
-    runs on a sample before trusting LSH at full scale."""
+    runs on a sample before trusting LSH at full scale. The sample is a
+    bounded top-k (smallest D05_SAMPLE_K doc_ids — TakeOrdered, no full
+    sort), so the all-pairs audit is O(k²) regardless of corpus size."""
     from ..functions.dedup import N_HASHES, minhash_signature
 
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").where(F.col("doc_id") % 5 == 0)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(D05_SAMPLE_K),
+        "doc_id",
+    )
     toks = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
     sig = minhash_signature(toks, "doc_id", F.col("t"))
 
