@@ -17,6 +17,7 @@ from ..operators.sigma_clip import sigma_clip, sigma_clip_sql
 from ..operators.spatial import point_in_quad, point_in_quad_sql
 from ..operators.upsert import upsert
 from ..sources.catalog import load_table
+from .ascii_roundtrip import ASCII_ARMS_SQL, ascii_roundtrip_arms
 from .registry import register
 
 
@@ -824,11 +825,15 @@ def f02_json_extract(spark, sf_dir):
 
 
 # S7 — insert-or-update by natural key (database_update.py:214-255):
-# latest-wins merge, idempotent on re-run.
+# latest-wins merge, idempotent on re-run — plus the S3/S4/S5/S6 ASCII
+# sidecar round-trip arms (plans/ascii_roundtrip.py): write the
+# reference's .cat/.coo/.mag/slope formats and a discovery fixture,
+# read them back through sources/ascii_io.py + sources/discovery.py,
+# fingerprint; the oracle recomputes the fingerprints from parquet.
 @register(
     "s07_upsert_merge",
     oracle="""
-    SELECT o_orderkey, o_totalprice, version FROM (
+    SELECT 'upsert' AS which, o_orderkey AS k, o_totalprice AS v, version AS ver FROM (
         SELECT *, row_number() OVER (PARTITION BY o_orderkey
                                      ORDER BY version DESC, _src DESC) AS _rn
         FROM (
@@ -838,11 +843,13 @@ def f02_json_extract(spark, sf_dir):
             FROM orders WHERE o_orderkey % 100 = 0
         )
     ) WHERE _rn = 1
-    """,
-    tags=("S7",),
+    UNION ALL
+    """ + ASCII_ARMS_SQL,
+    tags=("S7", "S3", "S4", "S5", "S6"),
 )
 def s07_upsert_merge(spark, sf_dir):
-    """MERGE-without-Delta: union + row_number latest-wins on the natural key."""
+    """MERGE-without-Delta (union + row_number latest-wins on the natural
+    key) + the ASCII sidecar write→read→fingerprint round-trip arms."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = o.withColumn("version", F.lit(1))
     updates = (
@@ -850,4 +857,10 @@ def s07_upsert_merge(spark, sf_dir):
         .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
         .withColumn("version", F.lit(2))
     )
-    return upsert(base, updates, keys=["o_orderkey"], version_col="version")
+    merged = upsert(base, updates, keys=["o_orderkey"], version_col="version").select(
+        F.lit("upsert").alias("which"),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.col("version").cast("int").alias("ver"),
+    )
+    return merged.unionByName(ascii_roundtrip_arms(spark, sf_dir))
