@@ -49,6 +49,46 @@ from .registry import register
 _EPOCH0 = "1992-01-01"
 _WEEK_SUBSET = "week % 7 < 3"  # gap pattern 7,7,35 → both epoch-walk branches
 
+# One analog target carries a '6791'-bearing name so BOTH branches of the
+# skipbins rule (skip two bins for '6791' targets, one otherwise —
+# uvis_external_cte_plots.py:1648-1653, plans/trends.skipbins_filter) are
+# exercised by the cs04 oracle gate, not just the default branch.
+_TARG_6791_SRC = "5-LOW"
+_TARG_6791 = "ngc6791-low"
+_TARG_SQL = (
+    f"CASE WHEN o_orderpriority = '{_TARG_6791_SRC}' THEN '{_TARG_6791}' "
+    "ELSE o_orderpriority END"
+)
+
+# Two faint targets whose analog fluxes are scaled down 8x so they
+# populate the two lowest flux bins (250-500, 500-1000): with real rows
+# there, the skipbins filter's one-bin branch ('3-MEDIUM' drops 250_500)
+# AND its two-bin branch (the 6791 target drops both) each remove rows
+# under the cs04 oracle gate instead of filtering bins that were empty.
+_FAINT_TARGS = (_TARG_6791_SRC, "3-MEDIUM")
+_FAINT_SQL = (
+    "CASE WHEN o_orderpriority IN ("
+    + ", ".join(f"'{t}'" for t in _FAINT_TARGS)
+    + ") THEN 8.0 ELSE 1.0 END"
+)
+
+
+def _targname_col():
+    return F.when(
+        F.col("o_orderpriority") == _TARG_6791_SRC, F.lit(_TARG_6791)
+    ).otherwise(F.col("o_orderpriority"))
+
+
+_FAINT_TARGNAMES = (_TARG_6791, "3-MEDIUM")
+
+
+def _faint_divisor():
+    # keyed off the renamed targname (same targets as _FAINT_SQL's
+    # o_orderpriority form — '5-LOW' becomes the 6791 name)
+    return F.when(
+        F.col("targname").isin(*_FAINT_TARGNAMES), F.lit(8.0)
+    ).otherwise(F.lit(1.0))
+
 
 # --- analog builders (Spark) ------------------------------------------------
 
@@ -59,7 +99,7 @@ def _orders_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return o.select(
         F.col("o_orderkey"),
-        F.col("o_orderpriority").alias("targname"),
+        _targname_col().alias("targname"),
         week.alias("week"),
     )
 
@@ -98,7 +138,7 @@ def analog_phot(spark: SparkSession, sf_dir: str, week_subset: bool = False) -> 
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("master_id"),
         (F.lit(2) + F.col("l_partkey") % 3).cast("int").alias("radius"),
         (F.col("l_quantity").cast("double") * 40.0).alias("ypix"),
-        (F.col("l_extendedprice").cast("double") / 3.2).alias("_fluxbase"),
+        (F.col("l_extendedprice").cast("double") / 3.2 / _faint_divisor()).alias("_fluxbase"),
         F.col("l_discount").cast("double").alias("_disc"),
         F.col("l_tax").cast("double").alias("_tax"),
     )
@@ -129,7 +169,7 @@ def _fileinfo_sql(week_subset: bool = False) -> str:
            (week * 7)::INT AS dateobs,
            'F502N' AS "filter", 60.0 AS exptime, 'NONE' AS chinject,
            0 AS flashlvl, (week % 2)::INT AS ctecorr, 0.0 AS postarg1, chip
-    FROM (SELECT DISTINCT o_orderpriority AS targname,
+    FROM (SELECT DISTINCT {_TARG_SQL} AS targname,
                  (date_diff('day', DATE '{_EPOCH0}', CAST(o_orderdate AS DATE)) // 7)::INT AS week
           FROM orders) CROSS JOIN (VALUES (1), (2)) c(chip)
     {where}
@@ -146,12 +186,12 @@ def _phot_sql(week_subset: bool = False) -> str:
            _tax * 10.0 AS mnbkgrd,
            _tax * 100.0 AS totbkgrd
     FROM (
-        SELECT o.o_orderpriority AS targname,
+        SELECT {_TARG_SQL} AS targname,
                (date_diff('day', DATE '{_EPOCH0}', CAST(o.o_orderdate AS DATE)) // 7)::INT AS week,
                (l.l_orderkey * 10 + l.l_linenumber)::BIGINT AS master_id,
                (2 + l.l_partkey % 3)::INT AS radius,
                CAST(l.l_quantity AS DOUBLE) * 40.0 AS ypix,
-               CAST(l.l_extendedprice AS DOUBLE) / 3.2 AS _fluxbase,
+               CAST(l.l_extendedprice AS DOUBLE) / 3.2 / ({_FAINT_SQL}) AS _fluxbase,
                CAST(l.l_discount AS DOUBLE) AS _disc,
                CAST(l.l_tax AS DOUBLE) AS _tax
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
