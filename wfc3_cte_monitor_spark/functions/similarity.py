@@ -300,25 +300,42 @@ def ivf_centroids(embeddings: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _collect_centroid_matrix(centroids: DataFrame):
+    """Materialize the coarse quantizer (nlist rows — the same bounded
+    relation the fan-out form would broadcast) as a numpy matrix for
+    closure into one Arrow pass. Returns (list_ids, unit-norm matrix)."""
+    rows = centroids.orderBy("list_id").collect()
+    ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    return ids, C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                emb_col: str = "embedding") -> DataFrame:
-    """Corpus → (vec_id, v, list_id): nearest-centroid assignment via a
-    broadcast nlist-way fan-out + max_by. This is the IVF build step; at
-    scale the output is written partitioned/bucketed by list_id so probes
-    read only nprobe lists."""
-    cos = cosine_pd()
-    # centroid similarity rounds to 6 BEFORE ranking (module floating
-    # policy): the engines sum in different orders, and an unrounded
-    # ORDER BY could rank near-tied centroids differently per engine
-    scored = embeddings.select(
+    """Corpus → (vec_id, v, list_id): nearest-centroid assignment in ONE
+    Arrow pass — the nlist×dim centroid matrix is closed over the UDF
+    (it is broadcast-sized by construction), each batch scores all lists
+    with one matmul, and only the winning list_id leaves the pass. This
+    replaces the earlier nlist-way fan-out + vector-carrying groupBy:
+    same result, no shuffle, no 16x row amplification. At scale the
+    output is written partitioned/bucketed by list_id so probes read
+    only nprobe lists."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ids, Cn = _collect_centroid_matrix(centroids)
+
+    @pandas_udf("int")
+    def _best(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        # round to 6 BEFORE ranking (module floating policy); rows are
+        # ordered by list_id, so argmax's first-max rule reproduces the
+        # (sim desc, list_id asc) tiebreak
+        sims = np.round((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True), 6)
+        return pd.Series(ids[np.argmax(sims, axis=1)]).astype("int32")
+
+    return embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(emb_col)).alias("v")
-    ).join(F.broadcast(centroids)).select(
-        "vec_id", "v", "list_id", F.round(cos(F.col("v"), F.col("cv")), 6).alias("_sim")
-    )
-    # max_by with (sim, -list_id) tiebreak → deterministic assignment
-    return scored.groupBy("vec_id", "v").agg(
-        F.max_by("list_id", F.struct(F.col("_sim"), -F.col("list_id"))).alias("list_id")
-    )
+    ).withColumn("list_id", _best(F.col("v")))
 
 
 def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
@@ -344,14 +361,24 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
     )
     cos = cosine_pd()
     # probe ranking on the ROUNDED centroid similarity — same cross-engine
-    # rationale as ivf_assign
-    wq = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("list_id"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .select("query_id", "qv", "list_id", F.round(cos(F.col("qv"), F.col("cv")), 6).alias("_csim"))
-        .withColumn("_pr", F.row_number().over(wq))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "qv", "list_id")
+    # rationale as ivf_assign, fused into the same one-Arrow-pass shape:
+    # each query's nprobe nearest lists come out of a single matmul
+    # against the closed-over centroid matrix (sim desc, list_id asc).
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ids, Cn = _collect_centroid_matrix(cents)
+
+    @pandas_udf("array<int>")
+    def _probe_lists(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        sims = np.round((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True), 6)
+        # stable argsort on -sim keeps the id-ascending input order for
+        # rounded ties → (sim desc, list_id asc), same as the window form
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series([ids[row[:nprobe]].astype("int32").tolist() for row in order])
+
+    probes = q.select(
+        "query_id", "qv", F.explode(_probe_lists(F.col("qv"))).alias("list_id")
     )
     cands = (
         assigned.join(F.broadcast(probes), "list_id")
