@@ -36,21 +36,54 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def events_ts_kind(path: str) -> str | None:
+    """Parquet logical-type probe for events.ts, keyed off the FOOTER
+    ANNOTATION rather than the Spark-facing type: under nanosAsLong both
+    TIMESTAMP(NANOS) and a plain unannotated INT64 surface as LongType,
+    and dividing an already-µs INT64 by 1000 would silently corrupt it.
+    Returns 'ns' (nanos timestamp), 'us' (any other timestamp unit —
+    Spark reads those natively), 'long' (unannotated INT64, interpreted
+    as µs), or None (file missing/unreadable — callers assume the
+    generator's historical nanos layout)."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        return None
+    if t.startswith("timestamp[ns"):
+        return "ns"
+    if t.startswith("timestamp"):
+        return "us"
+    return "long"
+
+
+def _ts_long_to_micros(kind: str | None):
+    """Long-read ts → µs epoch expression for the given footer kind."""
+    if kind in ("ns", None):
+        return F.expr("ts div 1000")
+    return F.col("ts")  # unannotated INT64: already micros by convention
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as a long and truncate ns → µs, exactly
-        # matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read it as a long and truncate ns → µs,
+        # exactly matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        path = table_path(sf_dir, name)
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # → TIMESTAMP_NTZ to match the other tables' parquet timestamps
             # and DuckDB's naive TIMESTAMP (session TZ pinned to UTC by
             # session.prepare, so the ltz→ntz hop is deterministic)
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts",
+                F.timestamp_micros(_ts_long_to_micros(events_ts_kind(path))).cast(
+                    "timestamp_ntz"
+                ),
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))

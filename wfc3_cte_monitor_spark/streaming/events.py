@@ -18,18 +18,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Schema the stream falls back to when the events file doesn't exist yet
+# (declaring a stream over a not-yet-populated directory is a standard
+# file-source setup): the generator's historical nanos-long layout.
+_EVENTS_FALLBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos under nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet.
 
     The generated ``ts`` column has shipped as both TIMESTAMP(NANOS)
     (readable only as a long under nanosAsLong) and TIMESTAMP(MICROS);
     a stream needs its schema up front, so probe the footer with a batch
-    read (matching sources/catalog.py's adaptive handling) and convert
-    ns → µs only when the physical type actually is the nanos long."""
-    from ..sources.catalog import table_path
+    read. If the file doesn't exist yet, fall back to the documented
+    nanos-long schema so the stream can still be declared before data
+    arrives. The ns → µs conversion is keyed off the parquet logical-type
+    ANNOTATION (events_ts_kind), not the Spark-facing LongType, so an
+    unannotated INT64 micros column is never wrongly divided."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from ..sources.catalog import events_ts_kind, table_path
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    path = table_path(sf_dir, "events")
+    try:
+        batch_schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        batch_schema = _EVENTS_FALLBACK_SCHEMA
     ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
     raw = (
         spark.readStream.schema(batch_schema)
@@ -38,10 +62,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     if ts_is_long:
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # Watermarks demand TIMESTAMP (ltz); parquet micros arrives as NTZ.
-    # Session TZ is pinned to UTC (session.prepare), so the cast is a
-    # deterministic relabel and window bounds match the batch twin.
+        kind = events_ts_kind(path)
+        micros = F.expr("ts div 1000") if kind in ("ns", None) else F.col("ts")
+        raw = raw.withColumn("ts", F.timestamp_micros(micros))
+    # Watermarks demand TIMESTAMP (ltz) — this Spark build rejects NTZ
+    # event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — so the
+    # in-stream event-time column stays LTZ. Session TZ is pinned to UTC
+    # (session.prepare), making the relabel deterministic; the window
+    # functions below cast their OUTPUT time columns back to
+    # TIMESTAMP_NTZ so batch/stream twins share one schema and collected
+    # values never route through the driver OS timezone.
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -56,7 +86,12 @@ def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .select(
+            # NTZ output (batch-twin schema); deterministic under the
+            # pinned-UTC session TZ
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
     )
 
 
@@ -70,8 +105,8 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
         )
     )
@@ -79,8 +114,13 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
 
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful natural-key dedup within the watermark — the streaming
-    form of the reference's insert-or-update idempotency (S7)."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    form of the reference's insert-or-update idempotency (S7). Output ts
+    is NTZ (batch-twin schema)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
