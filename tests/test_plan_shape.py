@@ -92,3 +92,20 @@ def test_text_profile_single_scan_before_simhash_join(spark):
     plan = _plan(spark, "t02_text_profile")
     nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(nodes) <= 2, nodes
+
+
+def test_ivf_assign_is_single_pass(spark):
+    # the fused nearest-centroid assignment must be one Arrow pass over
+    # the corpus: no Exchange (the old fan-out + groupBy shuffled N×nlist
+    # vector-carrying rows) and exactly one Python eval operator
+    from wfc3_cte_monitor_spark.functions.similarity import ivf_assign, ivf_centroids
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = ivf_assign(emb, ivf_centroids(emb))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, "assignment must not shuffle the corpus"
+    evals = re.findall(r"\(\d+\) ArrowEvalPython", plan)
+    assert len(evals) == 1, evals
