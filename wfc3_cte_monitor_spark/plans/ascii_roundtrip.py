@@ -172,12 +172,47 @@ def ascii_roundtrip_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("visit"),
         )
     )
-    return cat.unionByName(coo).unionByName(mag).unionByName(slope).unionByName(disc)
+
+    # S8 — storage-layout round trip: write a domain table with its
+    # canonical partitioning (dynamic partition overwrite), read it back
+    # through a PARTITION-PRUNED filter, fingerprint. The layout
+    # convention (sources/layout.py) replaces the reference's sorted
+    # loose-file outputs; the pruned read is the 100 TB point of it.
+    from ..sources.layout import read_domain_table, write_domain_table
+    from .domain_queries import analog_fileinfo
+
+    dom = f"{base}/domain"
+    fi = analog_fileinfo(spark, sf_dir).select("targname", "proposid", "dateobs", "ctecorr")
+    write_domain_table(fi, "master", dom)  # master layout: partition by targname
+    layout = (
+        read_domain_table(spark, "master", dom)
+        .where(F.col("targname") == "1-URGENT")
+        .agg(
+            *_fingerprint(
+                "layout",
+                F.sum("dateobs"),
+                F.sum("ctecorr"),
+                F.count_distinct("proposid"),
+            )
+        )
+    )
+
+    return (
+        cat.unionByName(coo)
+        .unionByName(mag)
+        .unionByName(slope)
+        .unionByName(disc)
+        .unionByName(layout)
+    )
 
 
 # The oracle recomputes every fingerprint from parquet — the files never
 # enter DuckDB, so the comparison proves the write→read round trip.
-ASCII_ARMS_SQL = """
+from .domain_queries import _fileinfo_sql as _domain_fileinfo_sql  # noqa: E402
+
+_FILEINFO_FULL_SQL = _domain_fileinfo_sql()
+
+ASCII_ARMS_SQL = f"""
     SELECT 'cat' AS which,
            CAST(sum(c_custkey) AS BIGINT) AS k,
            CAST(sum((c_custkey % 4096) + 0.5) + sum((c_custkey % 2051) + 0.25)
@@ -213,4 +248,10 @@ ASCII_ARMS_SQL = """
            CAST(count(DISTINCT c_custkey % 4) AS INT)
     FROM customer
     WHERE c_custkey BETWEEN 1 AND 12 AND c_custkey % 4 <> 1
+    UNION ALL
+    SELECT 'layout',
+           CAST(sum(dateobs) AS BIGINT),
+           CAST(sum(ctecorr) AS DOUBLE),
+           CAST(count(DISTINCT proposid) AS INT)
+    FROM ({_FILEINFO_FULL_SQL}) WHERE targname = '1-URGENT'
 """
