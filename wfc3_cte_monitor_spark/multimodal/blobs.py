@@ -189,16 +189,23 @@ def synthesize_media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(build, schema=out_schema)
 
 
-def decode_media_stats(blobs: DataFrame) -> DataFrame:
+def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame:
     """binary → per-blob reduced statistics via the REAL codec parsers.
     Dimensions/sample_rate come from the FILE HEADERS (not the metadata
     struct), so the query validates the full encode→decode round trip;
-    pixels/samples never leave the partition."""
+    pixels/samples never leave the partition.
+
+    ``with_raster=True`` additionally emits the flat image raster as an
+    array<bigint> column (empty for audio) from the SAME decode pass —
+    the hand-off to the JVM array operators (operators/image_ops.py) for
+    PAM/DQ work without a second decode or a join."""
     out_schema = (
         "blob_id bigint, kind string, width int, height int,"
         " n_samples int, sample_rate int, mean_val double, checksum bigint,"
         " ap_flux bigint, ap_npix int"
     )
+    if with_raster:
+        out_schema += ", pixels array<bigint>"
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,7 +223,7 @@ def decode_media_stats(blobs: DataFrame) -> DataFrame:
                     xc, yc = (w - 1) / 2.0, (h - 1) / 2.0
                     rad = min(w, h) / 3.0
                     mask = (xs - xc) * (xs - xc) + (ys - yc) * (ys - yc) <= rad * rad
-                    rows.append({
+                    row = {
                         "blob_id": r["blob_id"], "kind": "image",
                         "width": w, "height": h,
                         "n_samples": 0, "sample_rate": 0,
@@ -224,49 +231,32 @@ def decode_media_stats(blobs: DataFrame) -> DataFrame:
                         "checksum": int(img.astype(np.int64).sum()),
                         "ap_flux": int(img[mask].astype(np.int64).sum()),
                         "ap_npix": int(mask.sum()),
-                    })
+                    }
+                    if with_raster:
+                        row["pixels"] = img.astype(np.int64).ravel().tolist()
+                    rows.append(row)
                 elif r["codec"] == "wav":
                     samp, rate = decode_wav(content)
-                    rows.append({
+                    row = {
                         "blob_id": r["blob_id"], "kind": "audio",
                         "width": 0, "height": 0,
                         "n_samples": len(samp), "sample_rate": rate,
                         "mean_val": float(samp.astype(np.float64).mean()),
                         "checksum": int(samp.astype(np.int64).sum()),
                         "ap_flux": 0, "ap_npix": 0,
-                    })
+                    }
+                    if with_raster:
+                        row["pixels"] = []
+                    rows.append(row)
                 else:
                     raise NotImplementedError(f"stats for codec {r['codec']!r}")
-            yield pd.DataFrame(
-                rows,
-                columns=["blob_id", "kind", "width", "height", "n_samples",
-                         "sample_rate", "mean_val", "checksum", "ap_flux", "ap_npix"],
-            )
+            cols = ["blob_id", "kind", "width", "height", "n_samples",
+                    "sample_rate", "mean_val", "checksum", "ap_flux", "ap_npix"]
+            if with_raster:
+                cols.append("pixels")
+            yield pd.DataFrame(rows, columns=cols)
 
     return blobs.select("blob_id", "codec", "content").mapInPandas(stats, schema=out_schema)
-
-
-def decode_image_raster(blobs: DataFrame) -> DataFrame:
-    """PPM blobs → (blob_id, pixels) with the FLAT raster as array<bigint>,
-    decoded by the real P6 parser. This is the hand-off point from the
-    codec boundary to the JVM array operators (operators/image_ops.py):
-    PAM correction and DQ masking then run as zip_with/aggregate column
-    expressions — per-pixel work inside codegen, as at full frame size."""
-    out_schema = "blob_id bigint, pixels array<bigint>"
-
-    def raster(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, arrs = [], []
-            for _, r in pdf.iterrows():
-                if r["codec"] != "ppm":
-                    continue
-                ids.append(r["blob_id"])
-                arrs.append(decode_ppm(bytes(r["content"])).astype(np.int64).ravel().tolist())
-            yield pd.DataFrame({"blob_id": ids, "pixels": arrs})
-
-    return blobs.where(F.col("codec") == "ppm").select("blob_id", "content", "codec").mapInPandas(
-        raster, schema=out_schema
-    )
 
 
 def decode_images(blobs: DataFrame, batch_hint: int = 64) -> DataFrame:

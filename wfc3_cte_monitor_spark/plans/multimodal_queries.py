@@ -125,14 +125,21 @@ LEFT JOIN corr ON t.doc_id = corr.doc_id
 """
 
 
-def _pam_masked_stats(raster: DataFrame) -> DataFrame:
-    """(blob_id, pixels array<bigint>) → per-blob PAM-corrected and
-    DQ-masked sums via the JVM array operators. The PAM and DQ arrays are
-    closed-form functions of the flat index (and blob_id), generated with
-    sequence/transform so the whole per-pixel pass stays in codegen."""
+def _pam_masked_cols() -> list:
+    """PAM-corrected and DQ-masked sums over a ``pixels`` array column
+    via the JVM array operators (audio rows carry an empty array → all
+    three reduce to 0, matching the oracle's coalesce). The PAM and DQ
+    arrays are closed-form functions of the flat index (and blob_id),
+    generated with sequence/transform so the whole per-pixel pass stays
+    in codegen — no second decode, no join."""
     from ..operators.image_ops import apply_pam, mask_bad_pixels
 
-    idx = F.sequence(F.lit(0), F.size("pixels") - 1)
+    # guard the empty (audio) case: sequence(0, -1) would DESCEND to a
+    # 2-element array, zip_with would then outer-pad the empty pixels
+    # side with nulls and poison the unguarded sum
+    idx = F.when(
+        F.size("pixels") > 0, F.sequence(F.lit(0), F.size("pixels") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     pam = F.transform(idx, lambda i: (F.lit(100) + (i % 7) - 3).cast("bigint"))
     blob = F.col("blob_id")
     dq = F.transform(
@@ -145,12 +152,11 @@ def _pam_masked_stats(raster: DataFrame) -> DataFrame:
     corrected = apply_pam(F.col("pixels"), pam)
     masked = mask_bad_pixels(corrected, dq)
     zero = F.lit(0).cast("bigint")
-    return raster.select(
-        "blob_id",
+    return [
         F.aggregate(corrected, zero, lambda acc, x: acc + x).alias("pam_flux"),
         F.aggregate(masked, zero, lambda acc, x: acc + F.coalesce(x, zero)).alias("masked_flux"),
         F.size(F.filter(masked, lambda x: x.isNotNull())).cast("int").alias("n_good"),
-    )
+    ]
 
 
 @register(
@@ -162,24 +168,14 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode→decode round trip through real PPM/WAV parsers: per-blob
     header dims, sample rate, pixel/sample mean and checksum, plus the
     PAM-corrected / DQ-masked pixel sums (S2 + N5 through the decoded
-    raster), verified against the closed-form oracle."""
-    from ..multimodal.blobs import (
-        decode_image_raster,
-        decode_media_stats,
-        synthesize_media_blobs,
-    )
+    raster), verified against the closed-form oracle. One synthesis, one
+    decode pass; the per-pixel PAM/DQ work is JVM column expressions over
+    the emitted raster, which is dropped before anything crosses stages."""
+    from ..multimodal.blobs import decode_media_stats, synthesize_media_blobs
 
-    blobs = synthesize_media_blobs(spark, sf_dir)
-    stats = decode_media_stats(blobs)
-    corr = _pam_masked_stats(decode_image_raster(blobs))
-    zero = F.lit(0).cast("bigint")
-    return (
-        stats.join(corr, "blob_id", "left")
-        .select(
-            "blob_id", "kind", "width", "height", "n_samples", "sample_rate",
-            "mean_val", "checksum", "ap_flux", "ap_npix",
-            F.coalesce("pam_flux", zero).alias("pam_flux"),
-            F.coalesce("masked_flux", zero).alias("masked_flux"),
-            F.coalesce(F.col("n_good"), F.lit(0)).cast("int").alias("n_good"),
-        )
+    stats = decode_media_stats(synthesize_media_blobs(spark, sf_dir), with_raster=True)
+    return stats.select(
+        "blob_id", "kind", "width", "height", "n_samples", "sample_rate",
+        "mean_val", "checksum", "ap_flux", "ap_npix",
+        *_pam_masked_cols(),
     )
