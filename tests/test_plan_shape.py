@@ -109,3 +109,20 @@ def test_ivf_assign_is_single_pass(spark):
     assert "Exchange" not in plan, "assignment must not shuffle the corpus"
     evals = re.findall(r"\(\d+\) ArrowEvalPython", plan)
     assert len(evals) == 1, evals
+
+
+def test_d05_sample_is_bounded_topk(spark):
+    # the audit sample must plan as TakeOrdered (bounded top-k scan of
+    # the corpus), never a global Sort feeding a Limit — the fixed-count
+    # sample is what keeps the all-pairs audit O(k²) at any corpus size
+    plan = _plan(spark, "d05_minhash_accuracy")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_events_ts_kind_probe():
+    # conversion keying must come from the parquet footer annotation
+    from wfc3_cte_monitor_spark.sources.catalog import events_ts_kind
+
+    assert events_ts_kind(f"{SF}/events.parquet") in ("ns", "us")
+    assert events_ts_kind("/nonexistent/events.parquet") is None
