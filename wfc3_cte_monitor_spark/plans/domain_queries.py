@@ -292,7 +292,8 @@ def cs05_results_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     fileinfo/phot tables."""
     from .pipeline import compute_results
 
-    fi = analog_fileinfo(spark, sf_dir)
+    # fi feeds the pair map and the master-id alignment — materialize once
+    fi = analog_fileinfo(spark, sf_dir).localCheckpoint(eager=True)
     ph = analog_phot(spark, sf_dir)
     return compute_results(fi, ph, aperture=3)
 
@@ -326,7 +327,11 @@ def cs03_cte_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import compute_results_long
     from .trends import cte_slope_vs_time, epoch_dimension
 
-    fi = analog_fileinfo(spark, sf_dir, week_subset=True)
+    # fi is the mode dimension (exposures ≪ measurements) and feeds the
+    # pair map, the epoch dimension and the band join — materialize the
+    # tiny relation once instead of re-embedding its orders scan +
+    # distinct per use (same rationale as n03's trend checkpoint)
+    fi = analog_fileinfo(spark, sf_dir, week_subset=True).localCheckpoint(eager=True)
     ph = analog_phot(spark, sf_dir, week_subset=True)
     slopes = compute_results_long(fi, ph, aperture=3)
     trend = cte_slope_vs_time(fi, slopes, epoch_dimension(fi))
@@ -384,7 +389,9 @@ def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import compute_results_long
     from .trends import cte_slope_vs_logflux, epoch_dimension, skipbins_filter
 
-    fi = analog_fileinfo(spark, sf_dir, week_subset=True)
+    # see cs03: fi is reused across the pair map, epoch dimension, band
+    # join AND the flux clip — one materialization of the tiny relation
+    fi = analog_fileinfo(spark, sf_dir, week_subset=True).localCheckpoint(eager=True)
     ph = analog_phot(spark, sf_dir, week_subset=True)
     slopes = compute_results_long(fi, ph, aperture=3)
     trend = cte_slope_vs_logflux(fi, ph, slopes, epoch_dimension(fi), aperture=3)
@@ -571,7 +578,7 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import compute_results_long
     from .trends import cte_slope_vs_time, epoch_dimension
 
-    fi = analog_fileinfo(spark, sf_dir, week_subset=True)
+    fi = analog_fileinfo(spark, sf_dir, week_subset=True).localCheckpoint(eager=True)
     ph = analog_phot(spark, sf_dir, week_subset=True)
     slopes = compute_results_long(fi, ph, aperture=3)
     trend = (
