@@ -90,6 +90,11 @@ def main() -> None:
     timings_warm: dict[str, float] = {}
     timings_best: dict[str, float] = {}
     passes: dict[str, list[float]] = {}
+    # Stall-retry budget: when a query's 3 passes all disagree wildly
+    # (max/min > 3 — the noisy-neighbor signature, not a plan property),
+    # grant up to 2 extra passes so one quiet pass can record the real
+    # cost. Globally bounded so a fully-loaded host can't run away.
+    retry_budget = 10
     for name in names:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -100,9 +105,22 @@ def main() -> None:
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             warm.append(time.perf_counter() - t0)
+        all_passes = [cold, *warm]
+        extra = 0
+        while (
+            extra < 2
+            and retry_budget > 0
+            and max(all_passes) / max(min(all_passes), 1e-9) > 3.0
+        ):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            warm.append(time.perf_counter() - t0)
+            all_passes.append(warm[-1])
+            extra += 1
+            retry_budget -= 1
         timings_warm[name] = round(min(warm), 3)
-        timings_best[name] = round(min(cold, *warm), 3)
-        passes[name] = [round(t, 3) for t in (cold, *warm)]
+        timings_best[name] = round(min(all_passes), 3)
+        passes[name] = [round(t, 3) for t in all_passes]
         # release dropped shuffle files/broadcasts: the ContextCleaner only
         # frees them after a driver GC, and letting them pile up across ~75
         # executions skews late queries (observed 4s -> 27s on the same plan)
