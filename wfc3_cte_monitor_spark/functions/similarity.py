@@ -46,6 +46,14 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _round6_half_away(a: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals HALF AWAY FROM ZERO — the convention of both
+    `F.round` (HALF_UP) and DuckDB's `round`. np.round is banker's
+    (half-to-even), which would flip an assignment/probe choice against
+    the oracle on a representable .xxxxxx5 boundary (dyadic sims)."""
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -320,17 +328,24 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     same result, no shuffle, no 16x row amplification. At scale the
     output is written partitioned/bucketed by list_id so probes read
     only nprobe lists."""
-    from pyspark.sql.pandas.functions import pandas_udf
-
     ids, Cn = _collect_centroid_matrix(centroids)
+    return _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col)
+
+
+def _assign_with_matrix(embeddings: DataFrame, ids, Cn, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> DataFrame:
+    """ivf_assign body against an already-collected centroid matrix, so
+    callers that need the matrix for several stages (assignment + probe
+    selection) materialize the centroid relation exactly once."""
+    from pyspark.sql.pandas.functions import pandas_udf
 
     @pandas_udf("int")
     def _best(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy())
-        # round to 6 BEFORE ranking (module floating policy); rows are
-        # ordered by list_id, so argmax's first-max rule reproduces the
-        # (sim desc, list_id asc) tiebreak
-        sims = np.round((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True), 6)
+        # round to 6 BEFORE ranking (module floating policy, same half-up
+        # rule as the oracle); rows are ordered by list_id, so argmax's
+        # first-max rule reproduces the (sim desc, list_id asc) tiebreak
+        sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
         return pd.Series(ids[np.argmax(sims, axis=1)]).astype("int32")
 
     return embeddings.select(
@@ -340,10 +355,17 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
 
 def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
             query_pred: Column | None = None, query_ids: list[int] | None = None,
-            id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            refine_iterations: int = 0) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     lists; candidates come from an equi-join on list_id (never a cross
     join against the corpus); exact cosine re-ranks candidates only.
+
+    ``refine_iterations`` Lloyd steps (``ivf_refine``) run between
+    centroid init and assignment; the refined centroid matrix is
+    collected ONCE and closed over both the assignment and probe passes,
+    so refinement costs its own corpus passes but never re-executes for
+    the downstream stages.
 
     Complement to the LSH path: LSH buys recall with independent tables,
     IVF with probed lists — both confine the quadratic work to buckets."""
@@ -354,7 +376,10 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
             raise ValueError("ivf_ann needs query_ids or query_pred")
         query_pred = F.col(id_col).isin(query_ids)
     cents = ivf_centroids(embeddings, id_col, emb_col)
-    assigned = ivf_assign(embeddings, cents, id_col, emb_col)
+    if refine_iterations:
+        cents = ivf_refine(embeddings, cents, refine_iterations, id_col, emb_col)
+    ids, Cn = _collect_centroid_matrix(cents)
+    assigned = _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col)
 
     q = embeddings.where(query_pred).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
@@ -366,12 +391,10 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
     # against the closed-over centroid matrix (sim desc, list_id asc).
     from pyspark.sql.pandas.functions import pandas_udf
 
-    ids, Cn = _collect_centroid_matrix(cents)
-
     @pandas_udf("array<int>")
     def _probe_lists(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy())
-        sims = np.round((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True), 6)
+        sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
         # stable argsort on -sim keeps the id-ascending input order for
         # rounded ties → (sim desc, list_id asc), same as the window form
         order = np.argsort(-sims, axis=1, kind="stable")
@@ -399,23 +422,54 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
 
 
 def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
-                n_lists: int = N_LISTS, query_pred: str = "vec_id < 10") -> str:
+                n_lists: int = N_LISTS, query_pred: str = "vec_id < 10",
+                refine_iterations: int = 0) -> str:
     """DuckDB twin of ``ivf_ann``'s deterministic structure: sampled-init
-    centroids (first n_lists by id), nearest-centroid assignment with the
-    (sim desc, list_id) tiebreak, nprobe probed lists per query, exact
+    centroids (first n_lists by id), ``refine_iterations`` Lloyd steps
+    (assignment with the (sim desc, list_id) tiebreak → per-list
+    component-wise ROUNDED mean → empty lists keep the old centroid),
+    nearest-centroid assignment, nprobe probed lists per query, exact
     cosine re-rank on candidates. Returns a SELECT producing
     (query_id, neighbor_id, sim, rank)."""
     cos_ec = cosine_sql("CAST(e.embedding AS DOUBLE[])", "c.cv")
     cos_ab = cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    refine_ctes = ""
+    for i in range(1, refine_iterations + 1):
+        prev = f"ivf_cents{i - 1}" if i > 1 else "ivf_cents0"
+        # zipped unnests (DuckDB unnests in the same SELECT align
+        # positionally) give (component position, value); the rebuilt
+        # centroid is an ordered list() of the per-position rounded means
+        refine_ctes += f"""
+    asg{i} AS (
+        SELECT vec_id, v, list_id FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY round({cos_ec}, 6) DESC, c.list_id) AS rn
+            FROM {source} e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    mean{i} AS (
+        SELECT list_id, pos, round(avg(x), 6) AS m FROM (
+            SELECT list_id, unnest(v) AS x,
+                   unnest(generate_series(1, len(v))) AS pos
+            FROM asg{i}
+        ) GROUP BY list_id, pos
+    ),
+    newc{i} AS (SELECT list_id, list(m ORDER BY pos) AS cv FROM mean{i} GROUP BY list_id),
+    ivf_cents{i} AS (
+        SELECT c.list_id, COALESCE(n.cv, c.cv) AS cv
+        FROM {prev} c LEFT JOIN newc{i} n USING (list_id)
+    ),"""
+    final_cents = f"ivf_cents{refine_iterations}" if refine_iterations else "ivf_cents0"
     return f"""
-    WITH ivf_cents AS (
+    WITH ivf_cents0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
                CAST(embedding AS DOUBLE[]) AS cv
         FROM (SELECT vec_id, embedding FROM {source} ORDER BY vec_id LIMIT {n_lists})
-    ),
+    ),{refine_ctes}
     ivf_csim AS (
         SELECT e.vec_id, c.list_id, round({cos_ec}, 6) AS csim
-        FROM {source} e CROSS JOIN ivf_cents c
+        FROM {source} e CROSS JOIN {final_cents} c
     ),
     ivf_assigned AS (
         SELECT vec_id, list_id FROM (
@@ -460,6 +514,10 @@ def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
     array with an order-pinned collect (sort by pos inside array_sort of
     (pos, mean) structs) — no Python, map-side combinable.
 
+    The mean rounds to 6 decimals (module floating policy): the engines
+    don't share summation order, so the rounding quantum — not fold
+    order — is what makes refined centroids oracle-comparable.
+
     Empty lists keep their previous centroid (left join + coalesce), so
     the list count is stable across iterations."""
     cents = centroids
@@ -468,7 +526,7 @@ def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
         comp = assigned.select(
             "list_id", F.posexplode("v").alias("pos", "x")
         )
-        means = comp.groupBy("list_id", "pos").agg(F.avg("x").alias("m"))
+        means = comp.groupBy("list_id", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
         new_cents = (
             means.groupBy("list_id")
             .agg(F.collect_list(F.struct("pos", "m")).alias("_pm"))

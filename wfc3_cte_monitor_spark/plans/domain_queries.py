@@ -49,6 +49,30 @@ from .registry import register
 _EPOCH0 = "1992-01-01"
 _WEEK_SUBSET = "week % 7 < 3"  # gap pattern 7,7,35 → both epoch-walk branches
 
+
+def _materialize_fi(df: DataFrame) -> DataFrame:
+    """Materialization strategy for the tiny fileinfo analog that fans out
+    into the pair map / epoch dimension / band join.
+
+    Round-3 added an eager localCheckpoint here and the trend-query bench
+    regressed ~2x on a noisy host; the env knob lets an interleaved A/B
+    (scripts/ab_checkpoint.py) compare eager / lazy / none within one JVM
+    without code edits. Measured (sf0.1, local[32], interleaved best-of-5):
+    cs03 eager 5.78 / lazy 4.75 / none 4.59; n03 eager 5.81 / lazy 4.50 /
+    none 5.86. Eager loses on both — the blocking serial materialization
+    sits inside the timed query. Default is the overall winner: LAZY
+    checkpoint — the fan-out still collapses to one scan of cached blocks
+    on first use, without the up-front serial barrier.
+    """
+    import os
+
+    mode = os.environ.get("WFC3_TREND_FI_CKPT", "lazy")
+    if mode == "eager":
+        return df.localCheckpoint(eager=True)
+    if mode == "lazy":
+        return df.localCheckpoint(eager=False)
+    return df
+
 # One analog target carries a '6791'-bearing name so BOTH branches of the
 # skipbins rule (skip two bins for '6791' targets, one otherwise —
 # uvis_external_cte_plots.py:1648-1653, plans/trends.skipbins_filter) are
@@ -214,24 +238,37 @@ _PAIRS_SQL = (
 _GROUP4 = ["targname", "imagename_1", "imagename_2", "fluxbin"]
 
 
-def _slope_pipeline_ctes(week_subset: bool) -> str:
+def _slope_pipeline_ctes(week_subset: bool, apertures: tuple[int, ...] = (3,)) -> str:
     """Shared oracle CTE chain: analogs → pairs → phot align → bin fan-out
-    → σ-clip → per-bin regression (valid fits carry non-NULL slope)."""
-    clip = sigma_clip_sql("fan", "flux_ratio", _GROUP4, sigma=4.0, iterations=3)
-    reg = linregress_sql("SELECT * FROM clipped", x="ypos", y="flux_ratio", group_cols=_GROUP4)
+    → σ-clip → per-bin regression (valid fits carry non-NULL slope).
+
+    With multiple apertures the chain mirrors the engine's single-pass
+    sweep: radius rides as an ``aperture`` column through every stage and
+    joins the group keys."""
+    multi = len(apertures) > 1
+    group = (
+        ["targname", "imagename_1", "imagename_2", "aperture", "fluxbin"]
+        if multi else _GROUP4
+    )
+    ap_list = ", ".join(str(a) for a in apertures)
+    ap_col = ", radius AS aperture" if multi else ""
+    ap_sel = ", p1.aperture" if multi else ""
+    ap_join = " AND p2.aperture = p1.aperture" if multi else ""
+    clip = sigma_clip_sql("fan", "flux_ratio", group, sigma=4.0, iterations=3)
+    reg = linregress_sql("SELECT * FROM clipped", x="ypos", y="flux_ratio", group_cols=group)
     return f"""
     fi AS ({_fileinfo_sql(week_subset)}),
     ph AS ({_phot_sql(week_subset)}),
     pairs AS ({_PAIRS_SQL}),
-    plong AS (SELECT imagename, master_id, ypix, flux - totbkgrd AS net_flux
-              FROM ph WHERE radius = 3),
+    plong AS (SELECT imagename, master_id, ypix, flux - totbkgrd AS net_flux{ap_col}
+              FROM ph WHERE radius IN ({ap_list})),
     bothsides AS (
-        SELECT pr.targname, pr.imagename_1, pr.imagename_2, p1.master_id,
+        SELECT pr.targname, pr.imagename_1, pr.imagename_2{ap_sel}, p1.master_id,
                p1.ypix AS ypos, p1.net_flux AS flux_1, p2.net_flux AS flux_2,
                p1.net_flux / p2.net_flux AS flux_ratio
         FROM pairs pr
         JOIN plong p1 ON p1.imagename = pr.imagename_1
-        JOIN plong p2 ON p2.imagename = pr.imagename_2 AND p2.master_id = p1.master_id
+        JOIN plong p2 ON p2.imagename = pr.imagename_2 AND p2.master_id = p1.master_id{ap_join}
     ),
     fan AS (
         SELECT bs.*, b.fluxbin
@@ -270,18 +307,26 @@ def _wide_sql_cols() -> str:
     return ",\n           ".join(cols)
 
 
+# The analog's radius domain is {2, 3, 4} (2 + l_partkey % 3), so the
+# second swept aperture is 4 — a radius with real measurement rows —
+# rather than a value that would gate nothing but the zero-fill.
+_CS05_APERTURES = (3, 4)
+
+
 @register(
     "cs05_results_wide",
     oracle=f"""
-    WITH {_slope_pipeline_ctes(week_subset=False)}
+    WITH {_slope_pipeline_ctes(week_subset=False, apertures=_CS05_APERTURES)}
     SELECT p.targname, p.imagename_1, p.imagename_2,
            {_wide_sql_cols()},
-           3.0 AS aperture
+           CAST(a.aperture AS DOUBLE) AS aperture
     FROM pairs p
+    CROSS JOIN (VALUES {", ".join(f"({a})" for a in _CS05_APERTURES)}) a(aperture)
     LEFT JOIN reg r ON p.targname = r.targname
                    AND p.imagename_1 = r.imagename_1
                    AND p.imagename_2 = r.imagename_2
-    GROUP BY p.targname, p.imagename_1, p.imagename_2
+                   AND r.aperture = a.aperture
+    GROUP BY p.targname, p.imagename_1, p.imagename_2, a.aperture
     """,
     tags=("flagship", "A7", "J1", "J2", "J5", "A4", "A5", "A6"),
 )
@@ -289,13 +334,16 @@ def cs05_results_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The domain flagship in domain shape: compute_results (§3.2 DAG →
     wide Results layout with zero-filled empty bins,
     uvis_external_cte_plots.py:1119-1292 + :198-201) over analog
-    fileinfo/phot tables."""
+    fileinfo/phot tables — swept over TWO apertures in one pass, the
+    reference's per-aperture output loop (run_outputs.py:225-295; Results
+    keyed (imagename_1, imagename_2, aperture),
+    table_definitions/results.txt:1-29) as a grouping column."""
     from .pipeline import compute_results
 
     # fi feeds the pair map and the master-id alignment — materialize once
-    fi = analog_fileinfo(spark, sf_dir).localCheckpoint(eager=True)
+    fi = _materialize_fi(analog_fileinfo(spark, sf_dir))
     ph = analog_phot(spark, sf_dir)
-    return compute_results(fi, ph, aperture=3)
+    return compute_results(fi, ph, aperture=list(_CS05_APERTURES))
 
 
 # --- cs03: CTE slope vs time (stderr = stdev / n) ---------------------------
@@ -331,7 +379,7 @@ def cs03_cte_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair map, the epoch dimension and the band join — materialize the
     # tiny relation once instead of re-embedding its orders scan +
     # distinct per use (same rationale as n03's trend checkpoint)
-    fi = analog_fileinfo(spark, sf_dir, week_subset=True).localCheckpoint(eager=True)
+    fi = _materialize_fi(analog_fileinfo(spark, sf_dir, week_subset=True))
     ph = analog_phot(spark, sf_dir, week_subset=True)
     slopes = compute_results_long(fi, ph, aperture=3)
     trend = cte_slope_vs_time(fi, slopes, epoch_dimension(fi))
@@ -391,7 +439,7 @@ def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # see cs03: fi is reused across the pair map, epoch dimension, band
     # join AND the flux clip — one materialization of the tiny relation
-    fi = analog_fileinfo(spark, sf_dir, week_subset=True).localCheckpoint(eager=True)
+    fi = _materialize_fi(analog_fileinfo(spark, sf_dir, week_subset=True))
     ph = analog_phot(spark, sf_dir, week_subset=True)
     slopes = compute_results_long(fi, ph, aperture=3)
     trend = cte_slope_vs_logflux(fi, ph, slopes, epoch_dimension(fi), aperture=3)
@@ -578,7 +626,7 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import compute_results_long
     from .trends import cte_slope_vs_time, epoch_dimension
 
-    fi = analog_fileinfo(spark, sf_dir, week_subset=True).localCheckpoint(eager=True)
+    fi = _materialize_fi(analog_fileinfo(spark, sf_dir, week_subset=True))
     ph = analog_phot(spark, sf_dir, week_subset=True)
     slopes = compute_results_long(fi, ph, aperture=3)
     trend = (

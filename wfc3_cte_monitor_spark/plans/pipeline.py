@@ -11,6 +11,8 @@ uvis_external_cte_plots.py:295-305 → database_update.py:566-635).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -142,7 +144,8 @@ def query_for_180pair(fileinfo: DataFrame, filt: str, exptime: float,
 
 # --- flagship: Results computation (§3.2) ----------------------------------
 
-def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3,
+def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
+                         aperture: int | Sequence[int] = 3,
                          sigma: float = 4.0, iterations: int = 3) -> DataFrame:
     """fileinfo + phot (long view) → valid-fit slope rows in LONG form:
     (targname, imagename_1, imagename_2, fluxbin, slope, slopestdev,
@@ -155,13 +158,25 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame, aperture: in
     invalid (NULL slope: n <= 2 or zero x-variance) are dropped here,
     exactly the rows the wide layout zero-fills and every downstream
     consumer filters back out.
+
+    ``aperture`` may be a list: the reference runs its whole output loop
+    once per aperture (run_outputs.py:225-295); here extra apertures are
+    one more value of a grouping column, not another pass over the data —
+    the phot table is scanned and shuffled ONCE for all apertures, and
+    every downstream stage (bin fan-out, σ-clip, regression) groups by
+    (pair, aperture, fluxbin). With a list, the output carries an
+    ``aperture`` column; the scalar form keeps the historical schema.
     """
     spark = fileinfo.sparkSession
+    apertures = [aperture] if isinstance(aperture, int) else sorted(aperture)
+    multi = len(apertures) > 1
+    ap_cols = ["aperture"] if multi else []
     pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
 
-    p = phot_long.where(F.col("radius") == aperture).select(
+    p = phot_long.where(F.col("radius").isin(apertures)).select(
         "imagename", "master_id", "ypix",
         (F.col("flux") - F.col("totbkgrd")).alias("net_flux"),
+        *([F.col("radius").alias("aperture")] if multi else []),
     )
     # One shuffle of the measurement table, not three. Joining phot once
     # per pair side shuffles the dominant relation on imagename_1, then
@@ -194,7 +209,7 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame, aperture: in
     # collect_list skips the other side's NULLs; explode drops groups
     # missing either side, as the inner joins did. Group sizes are a few
     # measurements, so the collected arrays stay tiny at any corpus size.
-    grouped = tagged.groupBy("targname", "imagename_1", "imagename_2", "master_id").agg(
+    grouped = tagged.groupBy("targname", "imagename_1", "imagename_2", *ap_cols, "master_id").agg(
         F.collect_list(
             F.when(
                 F.col("side") == 1,
@@ -205,11 +220,11 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame, aperture: in
     )
     both = (
         grouped.select(
-            "targname", "imagename_1", "imagename_2", "master_id",
+            "targname", "imagename_1", "imagename_2", *ap_cols, "master_id",
             F.explode("_s1").alias("_a"), "_s2",
         )
         .select(
-            "targname", "imagename_1", "imagename_2", "master_id",
+            "targname", "imagename_1", "imagename_2", *ap_cols, "master_id",
             F.col("_a.ypos").alias("ypos"), F.col("_a.flux_1").alias("flux_1"),
             F.explode("_s2").alias("flux_2"),
         )
@@ -217,13 +232,14 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame, aperture: in
     )
 
     fan = bin_fanout(both, binspec_df(spark, FLUX_BINS), ["flux_1", "flux_2"])
-    group = ["targname", "imagename_1", "imagename_2", "fluxbin"]
+    group = ["targname", "imagename_1", "imagename_2", *ap_cols, "fluxbin"]
     clipped = sigma_clip(fan, "flux_ratio", group, sigma=sigma, iterations=iterations)
     reg = linregress_agg(clipped, x="ypos", y="flux_ratio", group_cols=group)
     return reg.where(F.col("slope").isNotNull())
 
 
-def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3,
+def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
+                    aperture: int | Sequence[int] = 3,
                     sigma: float = 4.0, iterations: int = 3) -> DataFrame:
     """fileinfo + phot (long view) → wide Results rows, one per
     (imagename_1, imagename_2, aperture).
@@ -234,17 +250,34 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3
     (J5) → background subtraction (F11) → overlapping-bin fan-out (A6,
     both chips in bin) → σ-clip (A4) → regression (A5) → pivot to wide
     (Results layout) with empty bins as zeros (:198-201).
+
+    A list ``aperture`` yields the reference's per-aperture Results sweep
+    (run_outputs.py:225-295; Results rows are keyed (imagename_1,
+    imagename_2, aperture), table_definitions/results.txt:1-29) in ONE
+    pass — aperture rides as a grouping column end-to-end instead of
+    re-running the DAG per radius.
     """
     spark = fileinfo.sparkSession
+    apertures = [aperture] if isinstance(aperture, int) else sorted(aperture)
+    multi = len(apertures) > 1
+    ap_cols = ["aperture"] if multi else []
     reg = compute_results_long(fileinfo, phot_long, aperture, sigma, iterations)
     pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
-    group = ["targname", "imagename_1", "imagename_2", "fluxbin"]
+    group = ["targname", "imagename_1", "imagename_2", *ap_cols, "fluxbin"]
 
-    all_bins = pairs.crossJoin(
-        F.broadcast(binspec_df(spark, FLUX_BINS).select("fluxbin"))
-    )
+    # zero-fill spec: bins (× apertures) — both literal constants, so the
+    # product is built driver-side (a runtime crossJoin of two literal
+    # relations would plan a needless extra BroadcastNestedLoopJoin)
+    if multi:
+        zero_fill = spark.createDataFrame(
+            [(f"{lo}_{hi}", a) for lo, hi in FLUX_BINS for a in apertures],
+            "fluxbin string, aperture int",
+        )
+    else:
+        zero_fill = binspec_df(spark, FLUX_BINS).select("fluxbin")
+    all_bins = pairs.crossJoin(F.broadcast(zero_fill))
     long = all_bins.join(reg, group, "left").select(
-        *group[:3],
+        "targname", "imagename_1", "imagename_2", *ap_cols,
         "fluxbin",
         F.coalesce("slope", F.lit(0.0)).alias("slope"),
         F.coalesce("slopestdev", F.lit(0.0)).alias("slopestdev"),
@@ -253,5 +286,9 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame, aperture: int = 3
         # source — the reference's empty-bin (0, 0, 0) convention (:198-201)
         F.coalesce("num_points", F.lit(0)).cast("int").alias("num_points"),
     )
-    wide = results_long_to_wide(long, id_cols=["targname", "imagename_1", "imagename_2"])
-    return wide.withColumn("aperture", F.lit(float(aperture)))
+    wide = results_long_to_wide(
+        long, id_cols=["targname", "imagename_1", "imagename_2", *ap_cols]
+    )
+    if multi:
+        return wide.withColumn("aperture", F.col("aperture").cast("double"))
+    return wide.withColumn("aperture", F.lit(float(apertures[0])))

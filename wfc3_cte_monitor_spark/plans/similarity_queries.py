@@ -27,13 +27,18 @@ _Q = "vec_id < 10"  # deterministic query set at every scale factor
 #   kind='brute' — brute-force cosine top-5: query set broadcast against
 #                  the streaming corpus (the correctness baseline).
 #   kind='ivf'   — IVF (inverted-file) ANN top-5: sampled-init coarse
-#                  quantizer (first nlist ids), nearest-centroid
-#                  assignment, nprobe probed lists per query, exact
-#                  cosine re-rank on candidates only. Complements e02's
-#                  LSH: recall bought with probed lists, not tables.
+#                  quantizer (first nlist ids) REFINED with one
+#                  deterministic Lloyd iteration (assign → per-list
+#                  rounded component mean → reassign), nprobe probed
+#                  lists per query, exact cosine re-rank on candidates
+#                  only. Complements e02's LSH: recall bought with
+#                  probed lists, not tables.
 # Both branches gate against the same DuckDB twin structure, so IVF's
-# deterministic build (centroid choice, tiebreaks) is oracle-checked —
-# and its recall is directly readable against the brute rows.
+# deterministic build (centroid choice, Lloyd step, tiebreaks) is
+# oracle-checked — and its recall is readable against the brute rows.
+_IVF_REFINE_ITERS = 1
+
+
 @register(
     "e01_cosine_topk",
     oracle=f"""
@@ -55,7 +60,8 @@ _Q = "vec_id < 10"  # deterministic query set at every scale factor
             FROM scored
         ) WHERE rank <= 5
     ),
-    ivf AS ({ivf_ann_sql('embeddings', k=5, query_pred=_Q)})
+    ivf AS ({ivf_ann_sql('embeddings', k=5, query_pred=_Q,
+                         refine_iterations=_IVF_REFINE_ITERS)})
     SELECT * FROM brute
     UNION ALL
     SELECT 'ivf' AS kind, query_id, neighbor_id, sim, rank FROM ivf
@@ -65,14 +71,15 @@ _Q = "vec_id < 10"  # deterministic query set at every scale factor
 def e01_cosine_topk(spark, sf_dir):
     """Top-5 cosine neighbors for 10 query vectors: exact brute-force
     baseline (query table broadcast, no corpus shuffle) unioned with the
-    IVF approximate path (candidates via an equi-join on list_id — the
-    probed-lists layout that at scale reads nprobe bucketed lists
-    instead of the corpus)."""
+    IVF approximate path (Lloyd-refined centroids; candidates via an
+    equi-join on list_id — the probed-lists layout that at scale reads
+    nprobe bucketed lists instead of the corpus)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     brute = cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10).select(
         F.lit("brute").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
     )
-    ivf = ivf_ann(emb, k=5, query_pred=F.col("vec_id") < 10).select(
+    ivf = ivf_ann(emb, k=5, query_pred=F.col("vec_id") < 10,
+                  refine_iterations=_IVF_REFINE_ITERS).select(
         F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
     )
     return brute.unionAll(ivf)
