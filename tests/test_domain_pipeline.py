@@ -163,6 +163,22 @@ def test_polyfit2d_matches_numpy(spark):
     assert out[0].num_points == n
 
 
+def test_polyfit2d_strict_raises_on_underdetermined(spark):
+    # 4 points < 9 needed: default emits NaN coeffs; strict raises — the
+    # n01 exactly-determined grid wants a loud failure, not a NaN row set
+    import pytest as _pytest
+
+    rows = [(0.0, 0.0, 1.0, "g"), (1.0, 0.0, 2.0, "g"),
+            (0.0, 1.0, 3.0, "g"), (1.0, 1.0, 4.0, "g")]
+    df = spark.createDataFrame(rows, "d double, f double, s double, grp string")
+    lax = polyfit2d(df, "d", "f", "s", ["grp"]).collect()
+    # applyInPandas surfaces the NaN sentinel as NULL after Arrow transfer
+    assert len(lax) == 9
+    assert all(r.coeff is None or np.isnan(r.coeff) for r in lax)
+    with _pytest.raises(Exception, match="polyfit2d.strict."):
+        polyfit2d(df, "d", "f", "s", ["grp"], strict=True).collect()
+
+
 def test_upsert_idempotent(spark):
     base = spark.createDataFrame(
         [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)], "k int, v double, version int"

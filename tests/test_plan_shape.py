@@ -120,9 +120,36 @@ def test_d05_sample_is_bounded_topk(spark):
     assert "GlobalLimit" not in plan
 
 
-def test_events_ts_kind_probe():
+def test_events_ts_kind_probe(tmp_path):
     # conversion keying must come from the parquet footer annotation
     from wfc3_cte_monitor_spark.sources.catalog import events_ts_kind
 
     assert events_ts_kind(f"{SF}/events.parquet") in ("ns", "us")
     assert events_ts_kind("/nonexistent/events.parquet") is None
+
+    # a multi-file dataset directory probes via its first part file — an
+    # unannotated-INT64 dir must NOT silently fall into the ns assumption
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events_dir.parquet"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    pq.write_table(
+        pa.table({"ts": pa.array([1_000_000, 2_000_000], type=pa.int64())}),
+        d / "part-00000.parquet",
+    )
+    assert events_ts_kind(str(d)) == "long"
+    # empty (not-yet-populated) dataset dir: nothing to probe
+    e = tmp_path / "empty_dir.parquet"
+    e.mkdir()
+    assert events_ts_kind(str(e)) is None
+    # present-but-unprobeable file warns before assuming ns
+    import warnings
+
+    bad = tmp_path / "bad.parquet"
+    bad.write_text("not parquet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert events_ts_kind(str(bad)) is None
+    assert any("probe failed" in str(x.message) for x in w)

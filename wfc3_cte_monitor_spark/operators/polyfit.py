@@ -40,8 +40,16 @@ def polyfit2d(
     s: str,
     group_cols: Sequence[str],
     order: int = 2,
+    strict: bool = False,
 ) -> DataFrame:
-    """Per-group 2-D polynomial fit → one row per (group, i, j) coefficient."""
+    """Per-group 2-D polynomial fit → one row per (group, i, j) coefficient.
+
+    Underdetermined groups (n < (order+1)²) emit NaN coefficients by
+    default — the sparse-data convention. ``strict=True`` RAISES on such
+    a group instead: callers whose input is an exactly-determined grid by
+    construction (the n01 gate's 3×3 node grid) want a loud failure, not
+    a NaN-vs-partial-oracle hash mismatch, when an input cell goes
+    missing at some scale factor."""
     in_schema = {fld.name: fld.dataType.simpleString() for fld in df.schema.fields}
     group_fields = ", ".join(f"{c} {in_schema[c]}" for c in group_cols)
     out_schema = f"{group_fields}, i int, j int, coeff double, num_points bigint"
@@ -54,6 +62,11 @@ def polyfit2d(
         if n >= (order + 1) ** 2:
             coeffs = polyfit2d_np(
                 sub[d].to_numpy(float), sub[f].to_numpy(float), sub[s].to_numpy(float), order
+            )
+        elif strict:
+            raise ValueError(
+                f"polyfit2d(strict): group {base!r} has {n} usable points, "
+                f"needs >= {(order + 1) ** 2} for an order-{order} 2-D fit"
             )
         else:
             coeffs = np.full((order + 1) ** 2, np.nan)

@@ -22,6 +22,16 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Unroll bound for AGGRESSIVE (σ ≈ 1.3) clips, where even Gaussian groups
+# keep shedding tail mass for dozens of passes before scipy's fixpoint
+# (measured on the a09 data: 23/33/38 passes at sf0.001/0.01/0.1; growth
+# is ~log n, so 48 covers ~10× beyond the largest tested corpus). Extra
+# passes beyond the fixpoint are identity filters, so a generous matched
+# engine+oracle bound IS fixpoint semantics for any group that converges
+# within it. Convergence audit: tests/test_properties.py. Mild clips
+# (σ = 4) converge in ≤3 passes on realistic near-Gaussian data.
+SIGMA13_ITERS = 48
+
 
 def sigma_clip(
     df: DataFrame,

@@ -26,9 +26,16 @@ c_custkey, globs them back via ``sources/discovery.py``, and anti-joins
 the skip-list — the oracle recomputes the surviving-file fingerprint
 from the same closed form.
 
-Files land under a fixed local temp dir (overwritten per run). On a real
-cluster the sidecar dir would be shared storage; the round-trip gate
-itself is a local-mode correctness harness, not a scale surface.
+Files land under a temp dir keyed on (sf_dir, pid) — two concurrent
+harness runs with different scale factors (or processes) can't
+cross-contaminate each other's round-trip reads. On a real cluster the
+sidecar dir would be shared storage; the round-trip gate itself is a
+local-mode correctness harness, not a scale surface.
+
+The sidecar writes are independent tiny Spark jobs, so they are
+SUBMITTED CONCURRENTLY from a thread pool (Spark's scheduler handles
+multi-threaded job submission); serial submission made this fixture I/O
+the arm's critical path (~1.3s of the s07 bench time at sf0.1).
 """
 
 from __future__ import annotations
@@ -38,7 +45,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-ROUNDTRIP_DIR = "/tmp/wfc3_cte_s07_ascii"
+
+def _roundtrip_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"/tmp/wfc3_cte_s07_ascii_{tag}_pid{os.getpid()}"
+
+
+# dirs whose static discovery fixture files were already laid down by this
+# process — the 12 touched files are constants, one pass per session
+_FIXTURES_DONE: set[str] = set()
 
 # Discovery fixture: one file per c_custkey 1..12, visit = custkey mod 4,
 # flc (ctecorr) for even keys. Skip-list drops visit '01' proposals
@@ -113,22 +128,46 @@ def ascii_roundtrip_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import load_table
     from ..sources.discovery import apply_skip_lists, discover_images
 
+    from ..sources.layout import read_domain_table, write_domain_table
+    from .domain_queries import analog_fileinfo
+
     customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    base = ROUNDTRIP_DIR
-
-    _cat_rows(customer).write.mode("overwrite").option("delimiter", " ").csv(f"{base}/cat")
-    _coo_rows(customer).write.mode("overwrite").option("delimiter", "\t").csv(f"{base}/coo")
-    _mag_rows(customer).write.mode("overwrite").option("delimiter", "\t").csv(f"{base}/mag")
-    _slope_rows(customer).write.mode("overwrite").option("delimiter", "\t").csv(f"{base}/slope")
-
+    base = _roundtrip_dir(sf_dir)
     img_dir = f"{base}/images"
-    os.makedirs(img_dir, exist_ok=True)
-    for old in os.listdir(img_dir):
-        os.unlink(os.path.join(img_dir, old))
-    for k in _DISC_KEYS:
-        suffix = "flc" if k % 2 == 0 else "flt"
-        with open(os.path.join(img_dir, f"c{k:03d}{k % 4:02d}x_{suffix}.txt"), "w") as fh:
-            fh.write("x")
+    dom = f"{base}/domain"
+
+    def _touch_fixtures() -> None:
+        if img_dir in _FIXTURES_DONE:
+            return
+        os.makedirs(img_dir, exist_ok=True)
+        for old in os.listdir(img_dir):
+            os.unlink(os.path.join(img_dir, old))
+        for k in _DISC_KEYS:
+            suffix = "flc" if k % 2 == 0 else "flt"
+            with open(os.path.join(img_dir, f"c{k:03d}{k % 4:02d}x_{suffix}.txt"), "w") as fh:
+                fh.write("x")
+        _FIXTURES_DONE.add(img_dir)
+
+    # S8 input: the domain table written with its canonical partitioning
+    fi = analog_fileinfo(spark, sf_dir).select("targname", "proposid", "dateobs", "ctecorr")
+
+    # The four sidecar formats keep the reference's exact delimiters (the
+    # .cat is space-delimited, the rest tabs — database_reset.py:304-344,
+    # database_update.py:356-376), so they stay separate writes; the jobs
+    # are independent and tiny, so submit them in parallel.
+    writes = [
+        lambda: _cat_rows(customer).write.mode("overwrite").option("delimiter", " ").csv(f"{base}/cat"),
+        lambda: _coo_rows(customer).write.mode("overwrite").option("delimiter", "\t").csv(f"{base}/coo"),
+        lambda: _mag_rows(customer).write.mode("overwrite").option("delimiter", "\t").csv(f"{base}/mag"),
+        lambda: _slope_rows(customer).write.mode("overwrite").option("delimiter", "\t").csv(f"{base}/slope"),
+        lambda: write_domain_table(fi, "master", dom),  # master layout: partition by targname
+        _touch_fixtures,
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        for fut in [ex.submit(w) for w in writes]:
+            fut.result()
 
     cat = ascii_io.read_master_cat(spark, f"{base}/cat").agg(
         *_fingerprint(
@@ -173,17 +212,11 @@ def ascii_roundtrip_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # S8 — storage-layout round trip: write a domain table with its
-    # canonical partitioning (dynamic partition overwrite), read it back
-    # through a PARTITION-PRUNED filter, fingerprint. The layout
-    # convention (sources/layout.py) replaces the reference's sorted
-    # loose-file outputs; the pruned read is the 100 TB point of it.
-    from ..sources.layout import read_domain_table, write_domain_table
-    from .domain_queries import analog_fileinfo
-
-    dom = f"{base}/domain"
-    fi = analog_fileinfo(spark, sf_dir).select("targname", "proposid", "dateobs", "ctecorr")
-    write_domain_table(fi, "master", dom)  # master layout: partition by targname
+    # S8 — storage-layout round trip (written above with its canonical
+    # partitioning, dynamic partition overwrite): read it back through a
+    # PARTITION-PRUNED filter, fingerprint. The layout convention
+    # (sources/layout.py) replaces the reference's sorted loose-file
+    # outputs; the pruned read is the 100 TB point of it.
     layout = (
         read_domain_table(spark, "master", dom)
         .where(F.col("targname") == "1-URGENT")

@@ -13,7 +13,7 @@ from ..functions.model import poly2_eval, poly2_eval_sql, quadfit_agg, quadfit_s
 from ..functions.scalars import davg, davg_sql, dsum, dsum_sql, round_stable, round_stable_sql
 from ..operators.polyfit import polyfit2d
 from ..operators.pairs import matching_lookup, rank_pairing
-from ..operators.sigma_clip import sigma_clip, sigma_clip_sql
+from ..operators.sigma_clip import SIGMA13_ITERS, sigma_clip, sigma_clip_sql
 from ..operators.spatial import point_in_quad, point_in_quad_sql
 from ..operators.upsert import upsert
 from ..sources.catalog import load_table
@@ -394,18 +394,38 @@ def j09_star_join(spark, sf_dir):
            count(*)::BIGINT AS n_in_bin
     FROM ({sigma_clip_sql(
         "(SELECT floor(l_quantity / 10) AS bkgrd_bin, l_extendedprice FROM lineitem)",
-        "l_extendedprice", ["bkgrd_bin"], sigma=1.3, iterations=3)})
+        "l_extendedprice", ["bkgrd_bin"], sigma=1.3, iterations=SIGMA13_ITERS)})
     GROUP BY CAST(bkgrd_bin AS BIGINT)
     """,
     tags=("A9", "A3", "A4"),
 )
 def a09_bkgrd_profile(spark, sf_dir):
     """Bucket by integer background level, 1.3σ-clip per bucket, report
-    mean and σ/10 (the reference's error-bar convention)."""
+    mean and σ/10 (the reference's error-bar convention).
+
+    The reference's 1.3σ clip is scipy's run-to-fixpoint
+    (uvis_external_cte_plots.py:713-716), and at 1.3σ even Gaussian
+    groups keep removing tail mass for dozens of passes (measured on
+    this data: fixpoint after 23/33/38 passes at sf0.001/0.01/0.1) —
+    the old bounded 3-pass clip silently stopped far short of scipy's
+    answer. The engine now runs ``sigma_clip_fixpoint`` (one shuffle,
+    per-group numpy iteration to the TRUE fixpoint — 48 declarative
+    window passes over 6 partitions cost ~4.6s where the local
+    iteration is O(n) per pass in-core); the oracle unrolls
+    SIGMA13_ITERS (48) passes, which reaches the same fixpoint on any
+    data converging within the bound (every extra pass past fixpoint is
+    an identity filter; convergence audit: tests/test_properties.py).
+    The 4σ clips keep the declarative iterations=3 form — at 4σ the
+    fixpoint lands in ≤3 passes on realistic (near-Gaussian) data,
+    pinned by the iterations-3-vs-4 equality test in
+    test_domain_pipeline.py."""
+    from ..operators.sigma_clip import sigma_clip_fixpoint
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_quantity") / 10).alias("bkgrd_bin"), "l_extendedprice"
     )
-    clipped = sigma_clip(li, "l_extendedprice", ["bkgrd_bin"], sigma=1.3, iterations=3)
+    clipped = sigma_clip_fixpoint(li, "l_extendedprice", ["bkgrd_bin"], sigma=1.3,
+                                  max_iters=500)
     return clipped.groupBy("bkgrd_bin").agg(
         davg("l_extendedprice").alias("mean_flux"),
         F.round(F.stddev_pop("l_extendedprice") / 10, 6).alias("sigma_tenth"),
@@ -681,7 +701,10 @@ def n01_quadratic_fit(spark, sf_dir):
             "z",
         )
     )
-    poly = polyfit2d(cells, d="d", f="f", s="z", group_cols=["grp"]).select(
+    # strict: the 3x3 (k, l) grid is exactly determined by construction;
+    # a missing cell at some scale factor should fail loudly, not produce
+    # a NaN-vs-partial-sum oracle mismatch
+    poly = polyfit2d(cells, d="d", f="f", s="z", group_cols=["grp"], strict=True).select(
         F.lit("poly2d").alias("which"),
         "grp", "i", "j",
         round_stable("coeff", 8).alias("coeff"),

@@ -43,13 +43,39 @@ def events_ts_kind(path: str) -> str | None:
     and dividing an already-µs INT64 by 1000 would silently corrupt it.
     Returns 'ns' (nanos timestamp), 'us' (any other timestamp unit —
     Spark reads those natively), 'long' (unannotated INT64, interpreted
-    as µs), or None (file missing/unreadable — callers assume the
-    generator's historical nanos layout)."""
+    as µs), or None (no data to probe — callers assume the generator's
+    historical nanos layout).
+
+    A MISSING path (e.g. a stream sink dir not yet populated) is a
+    normal None; a PRESENT file whose footer can't be probed (pyarrow
+    absent, corrupt footer) warns before falling back — that fallback
+    would misread an unannotated-INT64 µs column, which is exactly the
+    corruption the probe exists to prevent. Multi-file datasets (a
+    directory of part files) are probed via their first part file."""
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            p for p in os.listdir(path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        if not parts:
+            return None  # empty dataset dir: nothing to probe yet
+        probe = os.path.join(path, parts[0])
+    elif not os.path.exists(path):
+        return None
     try:
         import pyarrow.parquet as pq
 
-        t = str(pq.read_schema(path).field("ts").type)
-    except Exception:
+        t = str(pq.read_schema(probe).field("ts").type)
+    except Exception as exc:  # noqa: BLE001 - footer probe is best-effort
+        import warnings
+
+        warnings.warn(
+            f"events ts-kind footer probe failed for {probe!r} ({exc}); "
+            "assuming the historical TIMESTAMP(NANOS) layout (ts div 1000) "
+            "— WRONG for an unannotated-INT64 microseconds column",
+            stacklevel=2,
+        )
         return None
     if t.startswith("timestamp[ns"):
         return "ns"
