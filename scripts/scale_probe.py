@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""sf1 scaling probe (VERDICT r3 #7): run the flagship (cs05) and the
+trend query (cs03) once at sf0.1 and once at a synthesized sf1 (10x
+replicas of sf0.1's orders/lineitem, keys remapped, dates shifted one
+TPC-H date-range per replica so the epoch dimension scales too — "more
+exposures over more epochs", the domain's growth axis), and record wall
+time + exchange/scan counts per plan. Output: one JSON line per
+(query, sf) plus a SCALING.md sidecar written by the caller.
+
+The probe data lives under /tmp — it is a bench sidecar, never an oracle
+input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_DIR = "/tmp/wfc3_sf1_probe"
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+KEY_OFFSET = 10_000_000
+DAY_SHIFT = 2557  # ~ the TPC-H order-date span, so replicas extend the epoch axis
+
+QUERIES = ["cs05_results_wide", "cs03_cte_vs_time"]
+
+
+def build_probe_data() -> None:
+    import duckdb
+
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    if all(os.path.exists(f"{PROBE_DIR}/{t}.parquet") for t in ("orders", "lineitem")):
+        return
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+            SELECT o.* REPLACE (
+                o_orderkey + i * {KEY_OFFSET} AS o_orderkey,
+                o_orderdate + to_days((i * {DAY_SHIFT})::INT) AS o_orderdate)
+            FROM read_parquet('{SRC}/orders.parquet') o,
+                 range({REPLICAS}) t(i)
+        ) TO '{PROBE_DIR}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT l.* REPLACE (l_orderkey + i * {KEY_OFFSET} AS l_orderkey)
+            FROM read_parquet('{SRC}/lineitem.parquet') l,
+                 range({REPLICAS}) t(i)
+        ) TO '{PROBE_DIR}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+
+
+def plan_stats(df) -> dict:
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return {
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+        "bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)),
+        "smj": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+    }
+
+
+def main() -> None:
+    from wfc3_cte_monitor_spark.plans.registry import load_all
+    from wfc3_cte_monitor_spark.session import get_spark
+
+    build_probe_data()
+    spark = get_spark("wfc3-scale-probe")
+    specs = load_all()
+    # warm the python worker pool once
+    par = spark.sparkContext.defaultParallelism
+    (spark.range(par).repartition(par).mapInPandas(lambda it: it, "id long")
+     .write.mode("overwrite").format("noop").save())
+
+    out = []
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
+        for q in QUERIES:
+            df = specs[q].fn(spark, sf_dir)
+            stats = plan_stats(df)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = specs[q].fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.sparkContext._jvm.System.gc()
+            rec = {"query": q, "sf": sf_name, "best_sec": round(best, 2), **stats}
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,16 @@ def test_d05_sample_is_bounded_topk(spark):
     assert "GlobalLimit" not in plan
 
 
+def test_salted_arm_scatters_hot_key(spark):
+    # j02's salted arm must join AND partially aggregate on the salt:
+    # the shuffled join's big-side exchange partitions on
+    # (skew_key, _salt) — 8 partitions share the hot key — and no
+    # broadcast join may swallow the skew path
+    plan = _plan(spark, "j02_pair_selfjoin")
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), "join not salt-partitioned"
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_events_ts_kind_probe(tmp_path):
     # conversion keying must come from the parquet footer annotation
     from wfc3_cte_monitor_spark.sources.catalog import events_ts_kind

@@ -134,33 +134,100 @@ def j01_fanout_join(spark, sf_dir):
     )
 
 
-# J2 — chip-pair self-join (database_queries.py:589-678).
+# J2 — chip-pair self-join (database_queries.py:589-678) + the salted
+# skew-join gate (operators/salting.py). Skew design: even l_partkeys all
+# map to hot key 100 (50% of lineitem); odd keys spread over buckets
+# 1/3/5/7. The dim's gains are exact 4-decimal dyadics so the joined
+# product is decimal-exact on both engines.
+_SALT_DIM = [(100, 2.0), (1, 1.5), (3, 1.25), (5, 1.125), (7, 1.0625)]
+_SALT_DIM_VALUES = ", ".join(f"({k}, {g})" for k, g in _SALT_DIM)
+
+
 @register(
     "j02_pair_selfjoin",
-    oracle="""
-    SELECT l1.l_orderkey,
-           l1.l_extendedprice AS flux_1,
-           l2.l_extendedprice AS flux_2,
-           round(l1.l_extendedprice / l2.l_extendedprice, 6) AS flux_ratio
+    oracle=f"""
+    SELECT 'pair' AS which,
+           CAST(l1.l_orderkey AS BIGINT) AS k,
+           l1.l_extendedprice AS v1,
+           l2.l_extendedprice AS v2,
+           round(l1.l_extendedprice / l2.l_extendedprice, 6) AS v3
     FROM lineitem l1
     JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
     WHERE l1.l_linenumber = 1 AND l2.l_linenumber = 2
+    UNION ALL
+    SELECT 'salted' AS which,
+           skew_key AS k,
+           CAST(count(*) AS DOUBLE) AS v1,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(gain AS DECIMAL(18,4))) AS DOUBLE) AS v2,
+           CAST(max(gain) AS DOUBLE) AS v3
+    FROM (SELECT (CASE WHEN l_partkey % 2 = 0 THEN 100
+                       ELSE l_partkey % 8 END)::BIGINT AS skew_key,
+                 l_extendedprice
+          FROM lineitem) b
+    JOIN (VALUES {_SALT_DIM_VALUES}) d(skew_key, gain) USING (skew_key)
+    GROUP BY skew_key
     """,
-    tags=("J2",),
+    tags=("J2", "skew"),
 )
 def j02_pair_selfjoin(spark, sf_dir):
-    """Two same-key scans split by side → one self-join."""
+    """Tagged union of the two join-shape gates:
+    - 'pair': two same-key scans split by side → one self-join (J2).
+    - 'salted': the §7.4 skew posture end-to-end — a deliberately skewed
+      fact (key 100 carries 50% of lineitem; the reference's dense-vs-
+      sparse cluster reality, README.md:81-83) equi-joined to a 5-row
+      dim through ``salted_join``: the dim replicates 8 ways, the fact
+      scatters by a deterministic row hash, and the join + the partial
+      aggregate run on (key, _salt) — 8 partitions share the hot key —
+      before the final per-key aggregate. The oracle states the plain
+      join+aggregate: salting is algebraically invisible, which is
+      exactly what the hash gate proves. A shuffle_hash hint pins the
+      shuffled (non-broadcast) plan so the skew path is actually
+      exercised at gate scale; plan shape pinned in test_plan_shape."""
+    from ..operators.salting import salted_join
+
     li = load_table(spark, sf_dir, "lineitem")
     pairs = pair_self_join(
         li, keys=["l_orderkey"], side_col="l_linenumber", side_1=1, side_2=2,
         payload=["l_extendedprice"],
     )
-    return pairs.select(
-        "l_orderkey",
-        F.col("l_extendedprice_1").alias("flux_1"),
-        F.col("l_extendedprice_2").alias("flux_2"),
-        F.round(F.col("l_extendedprice_1") / F.col("l_extendedprice_2"), 6).alias("flux_ratio"),
+    pair_arm = pairs.select(
+        F.lit("pair").alias("which"),
+        F.col("l_orderkey").cast("bigint").alias("k"),
+        F.col("l_extendedprice_1").alias("v1"),
+        F.col("l_extendedprice_2").alias("v2"),
+        F.round(F.col("l_extendedprice_1") / F.col("l_extendedprice_2"), 6).alias("v3"),
     )
+
+    big = li.select(
+        F.when(F.col("l_partkey") % 2 == 0, F.lit(100))
+        .otherwise(F.col("l_partkey") % 8)
+        .cast("bigint")
+        .alias("skew_key"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    dim = spark.createDataFrame(_SALT_DIM, "skew_key bigint, gain double")
+    joined = salted_join(
+        big, dim.hint("shuffle_hash"), keys=["skew_key"], n_salts=8,
+        scatter_cols=["l_orderkey", "l_linenumber"],
+    )
+    # The per-key aggregate IS two-phase here: the partial HashAggregate
+    # runs on the join's (skew_key, _salt)-partitioned output — 8
+    # partitions each combine their share of the hot key down to one row
+    # — and only the 5-row combined state crosses the final exchange.
+    salted_arm = joined.groupBy("skew_key").agg(
+        F.count(F.lit(1)).cast("double").alias("v1"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("gain").cast("decimal(18,4)")
+        ).cast("double").alias("v2"),
+        F.max("gain").alias("v3"),
+    ).select(
+        F.lit("salted").alias("which"), F.col("skew_key").alias("k"), "v1", "v2", "v3"
+    )
+    return pair_arm.unionByName(salted_arm)
 
 
 # A2/A3 — grouped mean/stddev/count pricing summary (TPC-H Q1 shape; the
