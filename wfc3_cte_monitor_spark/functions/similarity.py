@@ -403,10 +403,13 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
     probes = q.select(
         "query_id", "qv", F.explode(_probe_lists(F.col("qv"))).alias("list_id")
     )
+    # no dedup needed: every vector lives in exactly ONE inverted list and
+    # a query's probed list_ids are distinct, so the equi-join emits each
+    # (query_id, vec_id) at most once — a dropDuplicates here would be a
+    # pure no-op shuffle of the candidate set
     cands = (
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cands.select(
         "query_id",
@@ -508,11 +511,14 @@ def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
 
 def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
                id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """Lloyd refinement of the coarse quantizer, fully declarative:
-    assign → per-list element-wise mean → reassign. The element-wise mean
-    is posexplode to (list_id, pos, component) → groupBy avg → rebuild the
-    array with an order-pinned collect (sort by pos inside array_sort of
-    (pos, mean) structs) — no Python, map-side combinable.
+    """Lloyd refinement of the coarse quantizer: assign → per-list
+    element-wise mean → reassign, with assignment and the mean's partial
+    sums FUSED into one Arrow pass. Each batch scores all lists with one
+    matmul (same kernel as ``ivf_assign``) and emits per-list component
+    sums + counts — nlist×dim rows per batch, not corpus×dim — so one
+    Lloyd iteration costs one corpus pass plus a tiny (list, pos)
+    aggregation. The centroid array is rebuilt with an order-pinned
+    collect (sort by pos inside array_sort of (pos, mean) structs).
 
     The mean rounds to 6 decimals (module floating policy): the engines
     don't share summation order, so the rounding quantum — not fold
@@ -522,11 +528,17 @@ def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
     the list count is stable across iterations."""
     cents = centroids
     for _ in range(iterations):
-        assigned = ivf_assign(embeddings, cents, id_col, emb_col)
-        comp = assigned.select(
-            "list_id", F.posexplode("v").alias("pos", "x")
+        ids, Cn = _collect_centroid_matrix(cents)
+        parts = embeddings.select(
+            _as_double(F.col(emb_col)).alias("v")
+        ).mapInPandas(
+            _make_lloyd_partials(ids, Cn), "list_id int, pos int, s double, n bigint"
         )
-        means = comp.groupBy("list_id", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
+        # n repeats per pos within a batch's list rows, so sum(n) per
+        # (list_id, pos) is the total member count for that list
+        means = parts.groupBy("list_id", "pos").agg(
+            F.round(F.sum("s") / F.sum("n"), 6).alias("m")
+        )
         new_cents = (
             means.groupBy("list_id")
             .agg(F.collect_list(F.struct("pos", "m")).alias("_pm"))
@@ -543,3 +555,31 @@ def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
             .select("list_id", F.coalesce("cv", "_old").alias("cv"))
         )
     return cents
+
+
+def _make_lloyd_partials(ids, Cn):
+    """One fused Lloyd pass: per Arrow batch, nearest-centroid assignment
+    (identical rounding/tiebreak as ``_assign_with_matrix``) plus per-list
+    component sums and member counts. Bound via factory so each iteration
+    closes over ITS centroid matrix."""
+    nlist, dim = Cn.shape
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["v"].to_numpy())
+            sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
+            best = np.argmax(sims, axis=1)
+            acc = np.zeros((nlist, dim))
+            np.add.at(acc, best, M)
+            cnt = np.bincount(best, minlength=nlist)
+            present = np.nonzero(cnt)[0]
+            yield pd.DataFrame({
+                "list_id": np.repeat(ids[present], dim).astype("int32"),
+                "pos": np.tile(np.arange(dim), len(present)).astype("int32"),
+                "s": acc[present].ravel(),
+                "n": np.repeat(cnt[present], dim).astype("int64"),
+            })
+
+    return partials
