@@ -28,13 +28,22 @@ KEY_OFFSET = 10_000_000
 DAY_SHIFT = 2557  # ~ the TPC-H order-date span, so replicas extend the epoch axis
 
 QUERIES = ["cs05_results_wide", "cs03_cte_vs_time"]
+# LLM-pipeline probes: replicas are EXACT copies under remapped ids —
+# 10x growth that is pure duplication, the realistic stress for a dedup
+# pipeline (d02's verified-edge set grows ~100x per bucket) and a
+# work-shape-preserving scale-up for the ANN path (cosine is unchanged
+# by duplication).
+CORPUS_QUERIES = ["d02_lsh_dedup_pipeline", "e01_cosine_topk"]
 
 
 def build_probe_data() -> None:
     import duckdb
 
     os.makedirs(PROBE_DIR, exist_ok=True)
-    if all(os.path.exists(f"{PROBE_DIR}/{t}.parquet") for t in ("orders", "lineitem")):
+    if all(
+        os.path.exists(f"{PROBE_DIR}/{t}.parquet")
+        for t in ("orders", "lineitem", "documents", "embeddings")
+    ):
         return
     con = duckdb.connect()
     con.execute(f"""
@@ -52,6 +61,20 @@ def build_probe_data() -> None:
             FROM read_parquet('{SRC}/lineitem.parquet') l,
                  range({REPLICAS}) t(i)
         ) TO '{PROBE_DIR}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT d.* REPLACE (doc_id + i * {KEY_OFFSET} AS doc_id)
+            FROM read_parquet('{SRC}/documents.parquet') d,
+                 range({REPLICAS}) t(i)
+        ) TO '{PROBE_DIR}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT e.* REPLACE (vec_id + i * {KEY_OFFSET} AS vec_id)
+            FROM read_parquet('{SRC}/embeddings.parquet') e,
+                 range({REPLICAS}) t(i)
+        ) TO '{PROBE_DIR}/embeddings.parquet' (FORMAT PARQUET)
     """)
 
 
@@ -80,9 +103,12 @@ def main() -> None:
     (spark.range(par).repartition(par).mapInPandas(lambda it: it, "id long")
      .write.mode("overwrite").format("noop").save())
 
+    queries = QUERIES
+    if os.environ.get("PROBE_CORPUS"):
+        queries = CORPUS_QUERIES
     out = []
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
-        for q in QUERIES:
+        for q in queries:
             df = specs[q].fn(spark, sf_dir)
             stats = plan_stats(df)
             best = float("inf")

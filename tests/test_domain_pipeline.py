@@ -81,6 +81,25 @@ def _sigmaclip_reference(vals: np.ndarray, n_sigma: float, iters: int) -> np.nda
     return c
 
 
+def test_multi_aperture_sweep_equals_per_aperture_runs(spark, fixtures):
+    # the single-pass aperture sweep (aperture as a grouping column) must
+    # produce exactly the union of the per-aperture runs it replaces
+    _, fileinfo, phot_long = fixtures
+    apertures = [2, 3]
+    swept = compute_results(fileinfo, phot_long, aperture=apertures)
+    swept_rows = {tuple(r) for r in swept.select(*sorted(swept.columns)).collect()}
+    union_rows = set()
+    for a in apertures:
+        one = compute_results(fileinfo, phot_long, aperture=a).withColumn(
+            "aperture", F.lit(float(a))
+        )
+        union_rows |= {tuple(r) for r in one.select(*sorted(one.columns)).collect()}
+    assert sorted(swept.columns) == sorted(
+        compute_results(fileinfo, phot_long, aperture=2).columns
+    )
+    assert swept_rows == union_rows
+
+
 def test_sigma_clip_matches_reference_loop(spark):
     rng = np.random.default_rng(7)
     vals = np.concatenate([rng.normal(100, 5, 500), [250.0, -40.0, 400.0]])
