@@ -76,3 +76,47 @@ def test_ivf_refine_deterministic(spark, sf_smoke):
     r1 = {r.list_id: tuple(r.cv) for r in ivf_refine(emb, c).collect()}
     r2 = {r.list_id: tuple(r.cv) for r in ivf_refine(emb, c).collect()}
     assert r1 == r2
+
+
+def test_ivf_refine_matches_numpy_reference(spark, sf_smoke):
+    # the fused assignment+partial-sum Lloyd pass must equal a naive
+    # single-machine Lloyd step: assign on rounded sims (half-away,
+    # list_id tiebreak), per-list component mean rounded to 6, empty
+    # lists keeping the previous centroid
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.functions.similarity import (
+        N_LISTS,
+        _round6_half_away,
+        ivf_centroids,
+        ivf_refine,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=float)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    M = np.stack([v for _, v in rows])
+    C = M[:N_LISTS].copy()
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
+    best = np.argmax(sims, axis=1)
+    expected = {}
+    for lid in range(N_LISTS):
+        members = M[best == lid]
+        if len(members):
+            expected[lid] = tuple(
+                float(np.round(x, 6)) for x in members.mean(axis=0)
+            )
+        else:
+            expected[lid] = tuple(C[lid])
+
+    got = {
+        r.list_id: tuple(r.cv)
+        for r in ivf_refine(emb, ivf_centroids(emb), iterations=1).collect()
+    }
+    assert set(got) == set(expected)
+    for lid in expected:
+        assert np.allclose(got[lid], expected[lid], atol=1.5e-6), lid
