@@ -127,7 +127,11 @@ def test_salted_arm_scatters_hot_key(spark):
     # broadcast join may swallow the skew path
     plan = _plan(spark, "j02_pair_selfjoin")
     assert re.search(r"hashpartitioning\([^)]*_salt", plan), "join not salt-partitioned"
-    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    # the salted join specifically must stay a shuffled hash join — the
+    # pair arm contributes a SortMergeJoin regardless, so asserting on
+    # SMJ would be vacuous; if the shuffle_hash hint ever stops
+    # propagating and the dim broadcasts, this fails loudly
+    assert "ShuffledHashJoin" in plan
 
 
 def test_events_ts_kind_probe(tmp_path):
@@ -150,10 +154,29 @@ def test_events_ts_kind_probe(tmp_path):
         d / "part-00000.parquet",
     )
     assert events_ts_kind(str(d)) == "long"
+    # partitionBy layout: part files live one level down
+    pdir = tmp_path / "events_part.parquet"
+    (pdir / "date=2026-01-01").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"ts": pa.array([1_000_000], type=pa.int64())}),
+        pdir / "date=2026-01-01" / "part-00000.parquet",
+    )
+    assert events_ts_kind(str(pdir)) == "long"
     # empty (not-yet-populated) dataset dir: nothing to probe
     e = tmp_path / "empty_dir.parquet"
     e.mkdir()
     assert events_ts_kind(str(e)) is None
+    # populated dir with NO probeable part file: warn, don't silently
+    # assume nanos
+    import warnings as _warnings
+
+    w2dir = tmp_path / "weird_dir.parquet"
+    w2dir.mkdir()
+    (w2dir / "data.csv").write_text("x")
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        assert events_ts_kind(str(w2dir)) is None
+    assert any("no probeable part file" in str(x.message) for x in w2)
     # present-but-unprobeable file warns before assuming ns
     import warnings
 

@@ -86,7 +86,9 @@ def test_sigma_clip_convergence_bounds():
     )
 
     # σ=1.3: SIGMA13_ITERS covers the fixpoint for Gaussian AND
-    # adversarial heavy-tailed groups at realistic sizes
+    # adversarial heavy-tailed groups at realistic sizes — including
+    # groups the size of a09's actual sf0.1 bins (~100k rows) and 10×
+    # beyond (convergence grows ~ +5 passes per 10× group size)
     shapes = [
         lambda n: rng.standard_normal(n),
         lambda n: rng.standard_cauchy(n),
@@ -100,7 +102,12 @@ def test_sigma_clip_convergence_bounds():
         for n in (20, 200, 2000, 6000):
             for _ in range(5):
                 worst = max(worst, _iters_to_fixpoint(gen(n), 1.3))
-    assert worst <= SIGMA13_ITERS, worst
+    for n in (100_000, 1_000_000):
+        worst = max(worst, _iters_to_fixpoint(rng.standard_normal(n), 1.3))
+        worst = max(worst, _iters_to_fixpoint(rng.lognormal(0, 2, n), 1.3))
+    # a09's engine iterates to the SAME bound the oracle unrolls; the
+    # margin below is what guarantees bound == fixpoint on real data
+    assert worst <= SIGMA13_ITERS - 8, worst
 
 
 @_SETTINGS

@@ -22,15 +22,19 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Unroll bound for AGGRESSIVE (σ ≈ 1.3) clips, where even Gaussian groups
-# keep shedding tail mass for dozens of passes before scipy's fixpoint
-# (measured on the a09 data: 23/33/38 passes at sf0.001/0.01/0.1; growth
-# is ~log n, so 48 covers ~10× beyond the largest tested corpus). Extra
-# passes beyond the fixpoint are identity filters, so a generous matched
-# engine+oracle bound IS fixpoint semantics for any group that converges
-# within it. Convergence audit: tests/test_properties.py. Mild clips
-# (σ = 4) converge in ≤3 passes on realistic near-Gaussian data.
-SIGMA13_ITERS = 48
+# Shared engine+oracle bound for AGGRESSIVE (σ ≈ 1.3) clips, where even
+# Gaussian groups keep shedding tail mass for dozens of passes before
+# scipy's fixpoint (measured on the a09 data: 23/33/38 passes at
+# sf0.001/0.01/0.1; growth is ~log n — ~+5 passes per 10× group size —
+# so 64 covers group sizes orders of magnitude past the largest tested
+# corpus). Extra passes beyond the fixpoint are identity filters, so a
+# generous matched bound IS fixpoint semantics for any group converging
+# within it. CRITICAL: the engine and the oracle must use THIS SAME
+# bound (a true-fixpoint engine vs a bounded oracle would silently
+# diverge on a group that converges past the bound). Convergence audit:
+# tests/test_properties.py. Mild clips (σ = 4) converge in ≤3 passes on
+# realistic near-Gaussian data.
+SIGMA13_ITERS = 64
 
 
 def sigma_clip(

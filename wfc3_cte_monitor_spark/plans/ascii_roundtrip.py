@@ -48,7 +48,24 @@ from pyspark.sql import functions as F
 
 def _roundtrip_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return f"/tmp/wfc3_cte_s07_ascii_{tag}_pid{os.getpid()}"
+    base = f"/tmp/wfc3_cte_s07_ascii_{tag}_pid{os.getpid()}"
+    _cleanup_at_exit(base)
+    return base
+
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _cleanup_at_exit(base: str) -> None:
+    """pid-keyed dirs would otherwise leak one sidecar tree per process
+    on a long-lived host; remove ours when the process exits."""
+    if base in _CLEANUP_REGISTERED:
+        return
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    _CLEANUP_REGISTERED.add(base)
 
 
 # dirs whose static discovery fixture files were already laid down by this

@@ -409,12 +409,13 @@ def a09_bkgrd_profile(spark, sf_dir):
     this data: fixpoint after 23/33/38 passes at sf0.001/0.01/0.1) —
     the old bounded 3-pass clip silently stopped far short of scipy's
     answer. The engine now runs ``sigma_clip_fixpoint`` (one shuffle,
-    per-group numpy iteration to the TRUE fixpoint — 48 declarative
-    window passes over 6 partitions cost ~4.6s where the local
-    iteration is O(n) per pass in-core); the oracle unrolls
-    SIGMA13_ITERS (48) passes, which reaches the same fixpoint on any
-    data converging within the bound (every extra pass past fixpoint is
-    an identity filter; convergence audit: tests/test_properties.py).
+    per-group numpy iteration — 48+ declarative window passes over 6
+    partitions cost ~4.6s where the local iteration is O(n) per pass
+    in-core); the oracle unrolls the same SIGMA13_ITERS bound the
+    engine iterates to, so the two sides agree BY CONSTRUCTION at any
+    group size, and the bound itself reaches scipy's fixpoint on any
+    data converging within it (every extra pass past fixpoint is an
+    identity filter; convergence audit: tests/test_properties.py).
     The 4σ clips keep the declarative iterations=3 form — at 4σ the
     fixpoint lands in ≤3 passes on realistic (near-Gaussian) data,
     pinned by the iterations-3-vs-4 equality test in
@@ -425,7 +426,7 @@ def a09_bkgrd_profile(spark, sf_dir):
         F.floor(F.col("l_quantity") / 10).alias("bkgrd_bin"), "l_extendedprice"
     )
     clipped = sigma_clip_fixpoint(li, "l_extendedprice", ["bkgrd_bin"], sigma=1.3,
-                                  max_iters=500)
+                                  max_iters=SIGMA13_ITERS)
     return clipped.groupBy("bkgrd_bin").agg(
         davg("l_extendedprice").alias("mean_flux"),
         F.round(F.stddev_pop("l_extendedprice") / 10, 6).alias("sigma_tenth"),

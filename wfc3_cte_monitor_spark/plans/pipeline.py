@@ -269,8 +269,11 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
     # product is built driver-side (a runtime crossJoin of two literal
     # relations would plan a needless extra BroadcastNestedLoopJoin)
     if multi:
+        # int() matches binspec_df/binspec_sql's label convention exactly
+        # — a float edge would otherwise yield '250.0_500.0' here vs
+        # '250_500' in reg and the left join would zero-fill everything
         zero_fill = spark.createDataFrame(
-            [(f"{lo}_{hi}", a) for lo, hi in FLUX_BINS for a in apertures],
+            [(f"{int(lo)}_{int(hi)}", a) for lo, hi in FLUX_BINS for a in apertures],
             "fluxbin string, aperture int",
         )
     else:

@@ -50,17 +50,36 @@ def events_ts_kind(path: str) -> str | None:
     normal None; a PRESENT file whose footer can't be probed (pyarrow
     absent, corrupt footer) warns before falling back — that fallback
     would misread an unannotated-INT64 µs column, which is exactly the
-    corruption the probe exists to prevent. Multi-file datasets (a
-    directory of part files) are probed via their first part file."""
+    corruption the probe exists to prevent. Multi-file datasets are
+    probed via their first part file, searching recursively so a
+    partitionBy layout (dataset/date=…/part-*.parquet) is probed too —
+    a populated dir with no findable part file is present-but-
+    unprobeable, which warns rather than silently assuming nanos."""
     probe = path
     if os.path.isdir(path):
-        parts = sorted(
-            p for p in os.listdir(path)
-            if p.endswith(".parquet") and not p.startswith(("_", "."))
-        )
-        if not parts:
-            return None  # empty dataset dir: nothing to probe yet
-        probe = os.path.join(path, parts[0])
+        probe = None
+        empty = True
+        for root, dirnames, filenames in sorted(os.walk(path)):
+            dirnames.sort()
+            vis = [f for f in sorted(filenames) if not f.startswith(("_", "."))]
+            empty = empty and not vis
+            parts = [f for f in vis if f.endswith(".parquet")]
+            if parts:
+                probe = os.path.join(root, parts[0])
+                break
+        if probe is None:
+            if empty:
+                return None  # empty dataset dir: nothing to probe yet
+            import warnings
+
+            warnings.warn(
+                f"events dataset dir {path!r} is populated but contains no "
+                "probeable part file; assuming the historical "
+                "TIMESTAMP(NANOS) layout (ts div 1000) — WRONG for an "
+                "unannotated-INT64 microseconds column",
+                stacklevel=2,
+            )
+            return None
     elif not os.path.exists(path):
         return None
     try:
