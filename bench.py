@@ -102,18 +102,27 @@ def main() -> None:
         for name in names:
             all_passes[name].append(run_once(name))
 
-    # Stall-retry budget: when a query's WARM passes disagree wildly
-    # (max/min > 3 — the noisy-neighbor signature, not a plan property;
-    # cold/warm ratios above 3 are normal codegen+UDF warmup, so cold is
-    # excluded from the trigger but kept in the timings), grant up to 2
-    # extra passes so one quiet pass can record the real cost. Globally
-    # bounded so a fully-loaded host can't run away.
+    # Stall-retry budget: grant up to 2 extra passes when a query's
+    # samples carry the noisy-neighbor signature, so one quiet pass can
+    # record the real cost. Two triggers (globally bounded so a
+    # fully-loaded host can't run away):
+    # - WARM passes disagree wildly (max/min > 3). Cold/warm ratios
+    #   above 3 are normal codegen+UDF warmup, so cold is excluded from
+    #   this trigger but kept in the timings.
+    # - every warm pass is slower than COLD (min(warm) > 1.5x cold):
+    #   warm is never legitimately slower than cold, so this means a
+    #   burst hit the warm passes — and if it hit BOTH, the dispersion
+    #   test alone can't see it (observed: d02 cold 7.5s, warm 14/26s).
     retry_budget = 10
     for name in names:
         extra = 0
         while extra < 2 and retry_budget > 0:
-            warm = all_passes[name][1:]
-            if max(warm) / max(min(warm), 1e-9) <= 3.0:
+            cold, warm = all_passes[name][0], all_passes[name][1:]
+            noisy = (
+                max(warm) / max(min(warm), 1e-9) > 3.0
+                or min(warm) > 1.5 * cold
+            )
+            if not noisy:
                 break
             all_passes[name].append(run_once(name))
             extra += 1
