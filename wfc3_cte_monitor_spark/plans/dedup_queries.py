@@ -11,6 +11,7 @@ from ..functions.dedup import (
     lsh_bands_sql,
     minhash_signature,
     minhash_signature_sql,
+    simhash16_sql,
 )
 from ..functions.text import (
     shingles_sql_inline,
@@ -186,29 +187,113 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     )
 
 
-# D3 — MinHash signatures + LSH band keys (16 hashes, 4 bands of 4).
-# Near-dup candidates are docs sharing a band key; this corpus has no
-# shingle-level near-dups, so the checked output is the signature/band
-# table itself (pair detection is exercised on planted dups in tests).
+# D3 — tagged union of the two SIGNATURE-dedup surfaces:
+#   which='band'   — MinHash(16) over 3-word shingles → 4 LSH band keys
+#                    per doc (candidates share a band key; this corpus
+#                    has no shingle-level near-dups, so the checked
+#                    output is the signature/band table; pair detection
+#                    is exercised on planted dups in tests).
+#   which='simdup' — SimHash near-dup DETECTION end-to-end: the 16-bit
+#                    token SimHash, byte-blocked (2 blocks of 8 bits —
+#                    any pair within Hamming 1 shares at least one
+#                    block by pigeonhole), candidates from the block
+#                    equi-join, verified with bit_count(xor) <= 1.
+#                    The quadratic work is confined to 256-way blocks —
+#                    the same bucketed shape as every other dedup path.
+_SIMDUP_HAMMING = 1
+
+
 @register(
     "d03_minhash_lsh",
-    oracle=lsh_bands_sql(
+    oracle=f"""
+    WITH bands AS ({lsh_bands_sql(
         minhash_signature_sql("documents", "doc_id", shingles_sql_inline("text", 3)),
         "doc_id",
+    )}),
+    sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))}),
+    blocks AS (
+        SELECT doc_id, simhash, 0 AS part, (simhash >> 8) & 255 AS bkey FROM sim
+        UNION ALL
+        SELECT doc_id, simhash, 1, simhash & 255 FROM sim
     ),
-    tags=("dedup", "minhash", "lsh"),
+    sd_cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM blocks a
+        JOIN blocks b ON a.part = b.part AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT 'band' AS which, doc_id AS k1, band_id::BIGINT AS k2, band_key AS v
+    FROM bands
+    UNION ALL
+    SELECT 'simdup', id_a, id_b, CAST(bit_count(xor(sa, sb)) AS VARCHAR)
+    FROM sd_cands
+    WHERE bit_count(xor(sa, sb)) <= {_SIMDUP_HAMMING}
+    """,
+    tags=("dedup", "minhash", "lsh", "simhash"),
 )
 def d03_minhash_lsh(spark, sf_dir):
-    """MinHash(16) over 3-word shingles → 4 LSH band keys per doc.
-    Shingling via posexplode + window lead (codegen) — the array-lambda
-    form runs interpreted and costs ~50× more per row."""
-    from ..functions.dedup import minhash_signature_pairs
+    """Signature dedup surfaces, one tagged union: MinHash(16) over
+    3-word shingles → 4 LSH band keys per doc ('band'; shingling via
+    posexplode + window lead — codegen; the array-lambda form runs
+    interpreted and costs ~50× more per row), and SimHash near-dup
+    detection ('simdup'): 16-bit token SimHash, byte-block candidate
+    generation (an equi-join on the block key — any Hamming-1 pair
+    shares a block by pigeonhole), bit_count(xor) verify on candidates
+    only."""
+    from ..functions.dedup import minhash_signature_pairs, simhash16
     from ..functions.text import exploded_shingles
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = exploded_shingles(docs, "doc_id", "text", 3)
     sig = minhash_signature_pairs(sh, "doc_id")
-    return lsh_bands(sig, "doc_id")
+    band_arm = lsh_bands(sig, "doc_id").select(
+        F.lit("band").alias("which"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("band_id").cast("bigint").alias("k2"),
+        F.col("band_key").alias("v"),
+    )
+
+    ssig = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
+    blocks = ssig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("part"),
+                    F.shiftright("simhash", 8).bitwiseAND(F.lit(255)).alias("bkey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("part"),
+                    F.col("simhash").bitwiseAND(F.lit(255)).alias("bkey"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("doc_id", "simhash", F.col("_b.part").alias("part"), F.col("_b.bkey").alias("bkey"))
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"), "part", "bkey"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"), "part", "bkey"
+    )
+    # verify BEFORE deduping: the Hamming test is a map-side expression,
+    # so filtering first shrinks the pair-dedup shuffle to the surviving
+    # pairs (~2.5x fewer rows on this corpus); a Hamming-1 pair can
+    # share BOTH blocks, hence the dedup — bare ids + 16-bit sigs ride
+    # the shuffle, nothing wider
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    cands = (
+        a.join(b, ["part", "bkey"])
+        .where((F.col("id_a") < F.col("id_b")) & (ham <= _SIMDUP_HAMMING))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    simdup_arm = cands.select(
+        F.lit("simdup").alias("which"),
+        F.col("id_a").cast("bigint").alias("k1"),
+        F.col("id_b").cast("bigint").alias("k2"),
+        ham.cast("string").alias("v"),
+    )
+    return band_arm.unionByName(simdup_arm)
 
 
 # D5 — MinHash accuracy: estimated vs exact Jaccard on high-overlap pairs
