@@ -166,6 +166,22 @@ def test_events_ts_kind_probe(tmp_path):
     e = tmp_path / "empty_dir.parquet"
     e.mkdir()
     assert events_ts_kind(str(e)) is None
+    # system dirs are pruned: an in-flight _temporary part file must not
+    # win the probe over the real part files...
+    tdir = tmp_path / "events_tmp.parquet"
+    (tdir / "_temporary" / "0").mkdir(parents=True)
+    (tdir / "_temporary" / "0" / "part-00000.parquet").write_text("partial")
+    pq.write_table(
+        pa.table({"ts": pa.array([1_000_000], type=pa.int64())}),
+        tdir / "part-00000.parquet",
+    )
+    assert events_ts_kind(str(tdir)) == "long"
+    # ...and a dataset holding ONLY in-flight data counts as
+    # not-yet-populated (silent None, no warning)
+    t2 = tmp_path / "events_only_tmp.parquet"
+    (t2 / "_temporary").mkdir(parents=True)
+    (t2 / "_temporary" / "part-00000.parquet").write_text("partial")
+    assert events_ts_kind(str(t2)) is None
     # populated dir with NO probeable part file: warn, don't silently
     # assume nanos
     import warnings as _warnings

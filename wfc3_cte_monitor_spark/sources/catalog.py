@@ -59,8 +59,14 @@ def events_ts_kind(path: str) -> str | None:
     if os.path.isdir(path):
         probe = None
         empty = True
-        for root, dirnames, filenames in sorted(os.walk(path)):
-            dirnames.sort()
+        # lazy walk: break fires after the FIRST part file (a probe over
+        # thousands of partition dirs must not stat the whole tree), with
+        # deterministic traversal via in-place dirname sort. System dirs
+        # (_temporary, _spark_metadata, .…) are pruned — an in-flight
+        # commit's partial file must not win the probe, and a dataset
+        # holding only such dirs counts as not-yet-populated.
+        for root, dirnames, filenames in os.walk(path):
+            dirnames[:] = sorted(d for d in dirnames if not d.startswith(("_", ".")))
             vis = [f for f in sorted(filenames) if not f.startswith(("_", "."))]
             empty = empty and not vis
             parts = [f for f in vis if f.endswith(".parquet")]
