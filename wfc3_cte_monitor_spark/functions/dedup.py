@@ -122,9 +122,15 @@ def candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def simhash16(df: DataFrame, id_col: str, token_col: Column) -> DataFrame:
-    """16-bit SimHash per id: per-token hash bits vote ±1; bit set when the
-    vote sum is >= 0. Integer-exact on both engines."""
+def simhash16(df: DataFrame, id_col: str, token_col: Column,
+              nbits: int = 16) -> DataFrame:
+    """``nbits``-wide SimHash per id (default 16): per-token hash bits
+    vote ±1; bit set when the vote sum is >= 0. Integer-exact on both
+    engines. 16 bits suits a profile/shard column (t02); near-dup
+    DETECTION wants 32 — on a shared-vocabulary corpus the 16-bit
+    signature concentrates (sf0.1: 5000 docs → 1996 distinct values,
+    218k Hamming≤1 pairs) while 32 bits discriminates (4676 distinct,
+    4.7k pairs)."""
     exploded = df.select(id_col, F.explode(token_col).alias("_tok"))
     h = portable_hash64(F.col("_tok"))
     hashed = exploded.select(id_col, h.alias("_h"))
@@ -132,22 +138,23 @@ def simhash16(df: DataFrame, id_col: str, token_col: Column) -> DataFrame:
         F.sum(
             F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v_{j}")
-        for j in range(16)
+        for j in range(nbits)
     ]
     agged = hashed.groupBy(id_col).agg(*votes)
     sim = None
-    for j in range(16):
+    for j in range(nbits):
         bit = F.when(F.col(f"v_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else (sim + bit)
     return agged.select(id_col, sim.cast("bigint").alias("simhash"))
 
 
-def simhash16_sql(source: str, id_col: str, token_expr: str) -> str:
+def simhash16_sql(source: str, id_col: str, token_expr: str,
+                  nbits: int = 16) -> str:
     h = portable_hash64_sql("_tok")
     votes = ", ".join(
-        f"sum(CASE WHEN (_h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}" for j in range(16)
+        f"sum(CASE WHEN (_h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}" for j in range(nbits)
     )
-    bits = " + ".join(f"CASE WHEN v_{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    bits = " + ".join(f"CASE WHEN v_{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(nbits))
     return f"""
     SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash
     FROM (

@@ -193,12 +193,18 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
 #                    has no shingle-level near-dups, so the checked
 #                    output is the signature/band table; pair detection
 #                    is exercised on planted dups in tests).
-#   which='simdup' — SimHash near-dup DETECTION end-to-end: the 16-bit
-#                    token SimHash, byte-blocked (2 blocks of 8 bits —
+#   which='simdup' — SimHash near-dup DETECTION end-to-end: a 32-bit
+#                    token SimHash, blocked into 2 halves of 16 bits —
 #                    any pair within Hamming 1 shares at least one
-#                    block by pigeonhole), candidates from the block
+#                    block by pigeonhole — candidates from the block
 #                    equi-join, verified with bit_count(xor) <= 1.
-#                    The quadratic work is confined to 256-way blocks —
+#                    32 bits (not t02's 16-bit profile hash) because
+#                    detection needs discrimination: on this shared-
+#                    vocabulary corpus the 16-bit signature collapses
+#                    (sf0.1: 218k Hamming≤1 pairs from 5k docs) while
+#                    32 bits yields 4.7k — the near-dup mass, not the
+#                    vocabulary's.
+#                    The quadratic work is confined to 65536-way blocks —
 #                    the same bucketed shape as every other dedup path.
 _SIMDUP_HAMMING = 1
 
@@ -210,11 +216,11 @@ _SIMDUP_HAMMING = 1
         minhash_signature_sql("documents", "doc_id", shingles_sql_inline("text", 3)),
         "doc_id",
     )}),
-    sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))}),
+    sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'), nbits=32)}),
     blocks AS (
-        SELECT doc_id, simhash, 0 AS part, (simhash >> 8) & 255 AS bkey FROM sim
+        SELECT doc_id, simhash, 0 AS part, (simhash >> 16) & 65535 AS bkey FROM sim
         UNION ALL
-        SELECT doc_id, simhash, 1, simhash & 255 FROM sim
+        SELECT doc_id, simhash, 1, simhash & 65535 FROM sim
     ),
     sd_cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -237,10 +243,10 @@ def d03_minhash_lsh(spark, sf_dir):
     3-word shingles → 4 LSH band keys per doc ('band'; shingling via
     posexplode + window lead — codegen; the array-lambda form runs
     interpreted and costs ~50× more per row), and SimHash near-dup
-    detection ('simdup'): 16-bit token SimHash, byte-block candidate
-    generation (an equi-join on the block key — any Hamming-1 pair
-    shares a block by pigeonhole), bit_count(xor) verify on candidates
-    only."""
+    detection ('simdup'): 32-bit token SimHash, half-block candidate
+    generation (an equi-join on the 16-bit block key — any Hamming-1
+    pair shares a block by pigeonhole), bit_count(xor) verify on
+    candidates only."""
     from ..functions.dedup import minhash_signature_pairs, simhash16
     from ..functions.text import exploded_shingles
 
@@ -254,18 +260,20 @@ def d03_minhash_lsh(spark, sf_dir):
         F.col("band_key").alias("v"),
     )
 
-    ssig = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
+    ssig = simhash16(
+        docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"), nbits=32
+    )
     blocks = ssig.select(
         "doc_id", "simhash",
         F.explode(
             F.array(
                 F.struct(
                     F.lit(0).alias("part"),
-                    F.shiftright("simhash", 8).bitwiseAND(F.lit(255)).alias("bkey"),
+                    F.shiftright("simhash", 16).bitwiseAND(F.lit(65535)).alias("bkey"),
                 ),
                 F.struct(
                     F.lit(1).alias("part"),
-                    F.col("simhash").bitwiseAND(F.lit(255)).alias("bkey"),
+                    F.col("simhash").bitwiseAND(F.lit(65535)).alias("bkey"),
                 ),
             )
         ).alias("_b"),
