@@ -61,10 +61,23 @@ _IVF_REFINE_ITERS = 1
         ) WHERE rank <= 5
     ),
     ivf AS ({ivf_ann_sql('embeddings', k=5, query_pred=_Q,
-                         refine_iterations=_IVF_REFINE_ITERS)})
+                         refine_iterations=_IVF_REFINE_ITERS)}),
+    recall AS (
+        SELECT b.query_id,
+               count(i.neighbor_id)::BIGINT AS n_hits,
+               round(count(i.neighbor_id) / 5.0, 6) AS recall_at_5
+        FROM brute b
+        LEFT JOIN ivf i ON i.query_id = b.query_id
+                       AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    )
     SELECT * FROM brute
     UNION ALL
     SELECT 'ivf' AS kind, query_id, neighbor_id, sim, rank FROM ivf
+    UNION ALL
+    SELECT 'recall' AS kind, query_id, n_hits AS neighbor_id,
+           recall_at_5 AS sim, 5 AS rank
+    FROM recall
     """,
     tags=("similarity", "topk", "ivf"),
 )
@@ -73,7 +86,11 @@ def e01_cosine_topk(spark, sf_dir):
     baseline (query table broadcast, no corpus shuffle) unioned with the
     IVF approximate path (Lloyd-refined centroids; candidates via an
     equi-join on list_id — the probed-lists layout that at scale reads
-    nprobe bucketed lists instead of the corpus)."""
+    nprobe bucketed lists instead of the corpus), plus a 'recall' arm
+    measuring the IVF path against the exact baseline per query
+    (recall@5 — the ANN audit the driver value-checks, so an IVF change
+    that silently trades recall away fails the gate, not just a
+    dashboard)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     brute = cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10).select(
         F.lit("brute").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
@@ -82,7 +99,22 @@ def e01_cosine_topk(spark, sf_dir):
                   refine_iterations=_IVF_REFINE_ITERS).select(
         F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
     )
-    return brute.unionAll(ivf)
+    # both arms are ≤ k×n_queries rows — the audit join is free
+    recall = (
+        brute.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+              ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+        .select(
+            F.lit("recall").alias("kind"),
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("neighbor_id"),
+            F.round(F.col("n_hits") / F.lit(5.0), 6).alias("sim"),
+            F.lit(5).alias("rank"),
+        )
+    )
+    return brute.unionAll(ivf).unionAll(recall)
 
 
 # E2 — tagged union of the two LSH-bucketed vector workloads:
