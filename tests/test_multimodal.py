@@ -128,9 +128,45 @@ def test_decode_media_stats_matches_numpy(spark, sf_smoke):
             assert (r.width, r.height) == (w, h)
             assert r.checksum == px.sum()
             assert abs(r.mean_val - px.mean()) < 1e-12
+            # thumbnail: independent index-map rederivation
+            img = px.reshape(h, w, 3)
+            rr = (np.arange(6) * h) // 6
+            cc = (np.arange(8) * w) // 8
+            assert r.rs_checksum == img[rr][:, cc].sum()
+            assert r.rs_npix == 48
+            assert (r.fs_checksum, r.fs_n) == (0, 0)
         else:
             n = d % 500 + 50
             samp = (((d + np.arange(n)) % 256) - 128) * 256
             assert r.n_samples == n
             assert r.sample_rate == 8000 + (d % 3) * 4000
             assert r.checksum == samp.sum()
+            assert r.fs_checksum == samp[::4].sum()
+            assert r.fs_n == len(samp[::4])
+            assert (r.rs_checksum, r.rs_npix) == (0, 0)
+
+
+def test_resize_nearest_and_decimate_samples():
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.multimodal.blobs import (
+        decimate_samples,
+        resize_nearest,
+    )
+
+    img = np.arange(5 * 7 * 3).reshape(5, 7, 3)
+    # identity when dims match
+    assert (resize_nearest(img, 5, 7) == img).all()
+    # downscale: cell (r, c) takes source (r*5//2, c*7//3)
+    down = resize_nearest(img, 2, 3)
+    for r in range(2):
+        for c in range(3):
+            assert (down[r, c] == img[r * 5 // 2, c * 7 // 3]).all()
+    # upscale replicates nearest pixels and preserves the corner
+    up = resize_nearest(img, 10, 14)
+    assert up.shape == (10, 14, 3)
+    assert (up[0, 0] == img[0, 0]).all() and (up[-1, -1] == img[-1, -1]).all()
+
+    samp = np.arange(13)
+    assert (decimate_samples(samp, 4) == np.array([0, 4, 8, 12])).all()
+    assert decimate_samples(samp, 1).tolist() == samp.tolist()

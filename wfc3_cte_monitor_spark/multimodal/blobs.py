@@ -189,6 +189,32 @@ def synthesize_media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(build, schema=out_schema)
 
 
+
+# Fixed thumbnail geometry / audio decimation hop for the feature-extract
+# transforms; the m01 oracle restates both in closed form.
+RESIZE_OUT_W = 8
+RESIZE_OUT_H = 6
+FRAME_HOP = 4
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) raster: destination cell
+    (r, c) takes source pixel (r*H//out_h, c*W//out_w) — the floor index
+    map, integer-exact so an oracle can restate it. Up- and downscaling
+    both work; pure numpy fancy-indexing, no loops."""
+    h, w = img.shape[0], img.shape[1]
+    rr = (np.arange(out_h) * h) // out_h
+    cc = (np.arange(out_w) * w) // out_w
+    return img[rr][:, cc]
+
+
+def decimate_samples(samples: np.ndarray, hop: int) -> np.ndarray:
+    """Sample-level decimation: every ``hop``-th decoded sample (the
+    audio analog of thumbnailing; the frame-INDEX fan-out for video
+    lives in :func:`sample_frames`)."""
+    return samples[::hop]
+
+
 def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame:
     """binary → per-blob reduced statistics via the REAL codec parsers.
     Dimensions/sample_rate come from the FILE HEADERS (not the metadata
@@ -202,7 +228,8 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
     out_schema = (
         "blob_id bigint, kind string, width int, height int,"
         " n_samples int, sample_rate int, mean_val double, checksum bigint,"
-        " ap_flux bigint, ap_npix int"
+        " ap_flux bigint, ap_npix int,"
+        " rs_checksum bigint, rs_npix int, fs_checksum bigint, fs_n int"
     )
     if with_raster:
         out_schema += ", pixels array<bigint>"
@@ -223,6 +250,9 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                     xc, yc = (w - 1) / 2.0, (h - 1) / 2.0
                     rad = min(w, h) / 3.0
                     mask = (xs - xc) * (xs - xc) + (ys - yc) * (ys - yc) <= rad * rad
+                    # feature-extract: fixed-geometry nearest thumbnail,
+                    # reduced in-partition like every other pixel pass
+                    thumb = resize_nearest(img, RESIZE_OUT_H, RESIZE_OUT_W)
                     row = {
                         "blob_id": r["blob_id"], "kind": "image",
                         "width": w, "height": h,
@@ -231,12 +261,16 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                         "checksum": int(img.astype(np.int64).sum()),
                         "ap_flux": int(img[mask].astype(np.int64).sum()),
                         "ap_npix": int(mask.sum()),
+                        "rs_checksum": int(thumb.astype(np.int64).sum()),
+                        "rs_npix": RESIZE_OUT_H * RESIZE_OUT_W,
+                        "fs_checksum": 0, "fs_n": 0,
                     }
                     if with_raster:
                         row["pixels"] = img.astype(np.int64).ravel().tolist()
                     rows.append(row)
                 elif r["codec"] == "wav":
                     samp, rate = decode_wav(content)
+                    frames = decimate_samples(samp, FRAME_HOP)
                     row = {
                         "blob_id": r["blob_id"], "kind": "audio",
                         "width": 0, "height": 0,
@@ -244,6 +278,9 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                         "mean_val": float(samp.astype(np.float64).mean()),
                         "checksum": int(samp.astype(np.int64).sum()),
                         "ap_flux": 0, "ap_npix": 0,
+                        "rs_checksum": 0, "rs_npix": 0,
+                        "fs_checksum": int(frames.astype(np.int64).sum()),
+                        "fs_n": int(len(frames)),
                     }
                     if with_raster:
                         row["pixels"] = []
@@ -251,7 +288,8 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                 else:
                     raise NotImplementedError(f"stats for codec {r['codec']!r}")
             cols = ["blob_id", "kind", "width", "height", "n_samples",
-                    "sample_rate", "mean_val", "checksum", "ap_flux", "ap_npix"]
+                    "sample_rate", "mean_val", "checksum", "ap_flux", "ap_npix",
+                    "rs_checksum", "rs_npix", "fs_checksum", "fs_n"]
             if with_raster:
                 cols.append("pixels")
             yield pd.DataFrame(rows, columns=cols)

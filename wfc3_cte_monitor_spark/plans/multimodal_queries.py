@@ -32,11 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..multimodal.blobs import FRAME_HOP, RESIZE_OUT_H, RESIZE_OUT_W
 from .registry import register
 
 # Sum of 0..255 (one full byte cycle) = 32640; the partial-cycle sum of
 # r consecutive residues starting at a is a two-branch arithmetic series.
-_M01_ORACLE = """
+_M01_ORACLE = f"""
 WITH p AS (
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -104,6 +105,33 @@ corr AS (
            SUM(CASE WHEN dq IN (0, 32) THEN v * pam ELSE 0 END) AS masked_flux,
            SUM(CASE WHEN dq IN (0, 32) THEN 1 ELSE 0 END) AS n_good
     FROM fq GROUP BY doc_id
+),
+-- feature-extract: nearest-neighbor {RESIZE_OUT_W}x{RESIZE_OUT_H} thumbnail —
+-- destination cell o maps to source pixel (r*h//{RESIZE_OUT_H}, c*w//{RESIZE_OUT_W})
+-- with the floor index map the engine's resize_nearest uses
+rsi AS (
+    SELECT doc_id, a,
+           ((o // {RESIZE_OUT_W}) * h // {RESIZE_OUT_H}) * w
+               + ((o % {RESIZE_OUT_W}) * w // {RESIZE_OUT_W}) AS pq
+    FROM (SELECT doc_id, a, w, h,
+                 unnest(range(0, {RESIZE_OUT_H * RESIZE_OUT_W})) AS o
+          FROM p WHERE kind = 'image')
+),
+rs AS (
+    SELECT doc_id,
+           SUM(((a + pq * 3) % 256) + ((a + pq * 3 + 1) % 256)
+               + ((a + pq * 3 + 2) % 256)) AS rs_checksum,
+           COUNT(*) AS rs_npix
+    FROM rsi GROUP BY doc_id
+),
+-- frame sampling: every {FRAME_HOP}-th decoded sample
+fs AS (
+    SELECT doc_id,
+           SUM(((a + i) % 256 - 128) * 256) AS fs_checksum,
+           COUNT(*) AS fs_n
+    FROM (SELECT doc_id, a, unnest(range(0, ns, {FRAME_HOP})) AS i
+          FROM p WHERE kind = 'audio')
+    GROUP BY doc_id
 )
 SELECT t.doc_id AS blob_id, kind,
        (CASE WHEN kind = 'image' THEN w ELSE 0 END)::INT AS width,
@@ -118,10 +146,16 @@ SELECT t.doc_id AS blob_id, kind,
        coalesce(ap.ap_npix, 0)::INT AS ap_npix,
        coalesce(corr.pam_flux, 0)::BIGINT AS pam_flux,
        coalesce(corr.masked_flux, 0)::BIGINT AS masked_flux,
-       coalesce(corr.n_good, 0)::INT AS n_good
+       coalesce(corr.n_good, 0)::INT AS n_good,
+       coalesce(rs.rs_checksum, 0)::BIGINT AS rs_checksum,
+       coalesce(rs.rs_npix, 0)::INT AS rs_npix,
+       coalesce(fs.fs_checksum, 0)::BIGINT AS fs_checksum,
+       coalesce(fs.fs_n, 0)::INT AS fs_n
 FROM t
 LEFT JOIN ap ON t.doc_id = ap.doc_id
 LEFT JOIN corr ON t.doc_id = corr.doc_id
+LEFT JOIN rs ON t.doc_id = rs.doc_id
+LEFT JOIN fs ON t.doc_id = fs.doc_id
 """
 
 
@@ -166,16 +200,21 @@ def _pam_masked_cols() -> list:
 )
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode→decode round trip through real PPM/WAV parsers: per-blob
-    header dims, sample rate, pixel/sample mean and checksum, plus the
+    header dims, sample rate, pixel/sample mean and checksum, the
     PAM-corrected / DQ-masked pixel sums (S2 + N5 through the decoded
-    raster), verified against the closed-form oracle. One synthesis, one
-    decode pass; the per-pixel PAM/DQ work is JVM column expressions over
-    the emitted raster, which is dropped before anything crosses stages."""
+    raster), and the feature-extract transforms — nearest-neighbor
+    thumbnail resize (rs_checksum/rs_npix) and every-4th frame sampling
+    (fs_checksum/fs_n) — all verified against the closed-form oracle.
+    One synthesis, one decode pass; resize/frame-sample run on the
+    decoded arrays inside the same mapInPandas batch, and the per-pixel
+    PAM/DQ work is JVM column expressions over the emitted raster, which
+    is dropped before anything crosses stages."""
     from ..multimodal.blobs import decode_media_stats, synthesize_media_blobs
 
     stats = decode_media_stats(synthesize_media_blobs(spark, sf_dir), with_raster=True)
     return stats.select(
         "blob_id", "kind", "width", "height", "n_samples", "sample_rate",
         "mean_val", "checksum", "ap_flux", "ap_npix",
+        "rs_checksum", "rs_npix", "fs_checksum", "fs_n",
         *_pam_masked_cols(),
     )
