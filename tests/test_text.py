@@ -24,3 +24,57 @@ def test_stopword_hits_regex_equals_filter_form(spark, sf_smoke):
     for r in both.collect():
         for lang in LANG_PROFILES:
             assert r[f"fast_{lang}"] == r[f"slow_{lang}"], (r["doc_id"], lang)
+
+
+def test_bpe_token_count_diverges_from_whitespace_and_matches_duckdb():
+    """On punctuation/digit-laden text the BPE-ish split must count runs
+    (letters / digits / other symbols, leading-space affinity) — more
+    tokens than whitespace — and Spark's Java-regex count must equal
+    DuckDB's RE2 count on the same strings."""
+    import duckdb
+
+    from wfc3_cte_monitor_spark.functions.text import (
+        bpe_token_count,
+        bpe_token_count_sql,
+        token_count,
+    )
+    from wfc3_cte_monitor_spark.session import get_spark
+
+    spark = get_spark()
+    cases = [
+        ("hello, world!", 4),        # hello | , | _world | !
+        ("abc123", 2),               # abc | 123
+        ("a  b", 2),                 # cross-engine equality only (space runs are engine-identical but fiddly)
+        ("", 0),
+        ("   ", 0),
+        ("v2.0-rc1", 6),             # v | 2 | . | 0 | - | rc | 1 -> 7? checked below vs duckdb only
+        ("the quick brown fox", 4),
+    ]
+    # don't hand-bless ambiguous cases: assert cross-engine equality for
+    # ALL cases, and exact counts only where unambiguous
+    texts = [t for t, _ in cases]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r.id: (r.n_ws, r.n_bpe)
+        for r in df.select(
+            "id",
+            token_count("text").alias("n_ws"),
+            bpe_token_count("text").alias("n_bpe"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (oracle_n,) = con.execute(
+            f"SELECT {bpe_token_count_sql('t.text')} FROM (SELECT ? AS text) t", [t]
+        ).fetchone()
+        assert got[i][1] == oracle_n, (t, got[i][1], oracle_n)
+    # unambiguous exact counts
+    assert got[0][1] == 4
+    assert got[1][1] == 2
+    assert got[3][1] == 0
+    assert got[4][1] == 0
+    assert got[6][1] == 4
+    # divergence from whitespace where punctuation/digits exist
+    assert got[0][1] > got[0][0] or got[0][0] == 4  # "hello, world!" ws=2
+    assert got[0][0] == 2
+    assert got[1][0] == 1

@@ -126,6 +126,26 @@ def token_count_sql(col: str) -> str:
     )
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style first split — runs of letters,
+# runs of digits, and runs of other symbols, each absorbing one leading
+# space — restricted to constructs Java regex and RE2 evaluate
+# identically (alternation is ordered in both; no lookahead, which RE2
+# lacks). Token COUNT under this split approximates BPE token count far
+# better than whitespace (punctuation and digit runs become their own
+# tokens, as they do in real BPE vocabularies).
+BPE_SPLIT_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    return F.regexp_count(F.lower(_c(col)), F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+
+
+def bpe_token_count_sql(col: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all(lower({col}), '{BPE_SPLIT_PATTERN}')) AS BIGINT)"
+    )
+
+
 def punct_ratio(col: str | Column) -> Column:
     """Fraction of characters that are not [a-zA-Z0-9 ]."""
     c = _c(col)

@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    bpe_token_count,
+    bpe_token_count_sql,
     norm_text,
     norm_text_sql,
     portable_hash64,
@@ -37,6 +39,7 @@ LANG_PROFILES = {
     oracle=f"""
     SELECT doc_id,
            {token_count_sql('text')} AS n_tokens,
+           {bpe_token_count_sql('text')} AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_raw,
            round({punct_ratio_sql('text')}, 6) AS punct_ratio,
            CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS n_unique_tokens
@@ -45,11 +48,15 @@ LANG_PROFILES = {
     tags=("text", "tokens"),
 )
 def t01_token_stats(spark, sf_dir):
-    """Whitespace tokenization stats: counts, punctuation ratio, vocab."""
+    """Tokenization stats: whitespace count, BPE-ish pre-tokenizer count
+    (letter/digit/symbol runs with leading-space affinity — the GPT-2
+    first-split shape, engine-portable regex), punctuation ratio,
+    vocab."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars_raw"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("n_unique_tokens"),
