@@ -78,3 +78,60 @@ def test_bpe_token_count_diverges_from_whitespace_and_matches_duckdb():
     assert got[0][1] > got[0][0] or got[0][0] == 4  # "hello, world!" ws=2
     assert got[0][0] == 2
     assert got[1][0] == 1
+
+
+def test_winnow_fingerprints_detect_shared_runs():
+    """Rabin-Karp + winnowing: (a) Spark matches a pure-python
+    rederivation, (b) two docs sharing a long token run share
+    fingerprints even at different offsets, (c) short docs degrade
+    gracefully (single window / empty)."""
+    import hashlib
+
+    from wfc3_cte_monitor_spark.functions.text import (
+        ROLL_B,
+        ROLL_M,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fp_cols,
+    )
+    from wfc3_cte_monitor_spark.session import get_spark
+
+    def py_hash(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % ROLL_M
+
+    def py_fps(text: str) -> set[int]:
+        toks = [t for t in text.lower().split() if t]
+        hs = [py_hash(t) for t in toks]
+        m = len(toks) - (WINNOW_K - 1)
+        if m < 1:
+            return set()
+        kh = [
+            (((hs[p] * ROLL_B + hs[p + 1]) % ROLL_M) * ROLL_B + hs[p + 2]) % ROLL_M
+            for p in range(m)
+        ]
+        if m < WINNOW_W:
+            return {min(kh)}
+        return {min(kh[p : p + WINNOW_W]) for p in range(m - WINNOW_W + 1)}
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        f"intro words here {shared} closing words",
+        f"{shared} and a completely different tail of tokens",
+        "tiny doc",          # < k tokens -> empty
+        "one two three",     # exactly k -> single window
+        "unrelated content entirely about other things today",
+    ]
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n, s = winnow_fp_cols("text")
+    got = {
+        r.doc_id: (r.n, r.s)
+        for r in df.select("doc_id", n.alias("n"), s.alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        ref = py_fps(t)
+        assert got[i] == (len(ref), sum(ref)), (i, got[i], ref)
+    assert py_fps(texts[0]) & py_fps(texts[1])          # shared run -> shared fps
+    assert not (py_fps(texts[0]) & py_fps(texts[4]))    # unrelated -> disjoint

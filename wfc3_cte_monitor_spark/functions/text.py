@@ -112,6 +112,73 @@ def portable_hash64_sql(col: str) -> str:
     return f"CAST(CONCAT('0x', substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 
+# --- rolling-hash document fingerprinting (Rabin-Karp + winnowing) -----------
+#
+# Token k-gram hash by the Rabin-Karp polynomial (Horner with a mod per
+# step so every intermediate stays < 2^52 — exact in int64 on both
+# engines), then MOSS-style winnowing: the min hash of each window of w
+# consecutive k-gram hashes, deduplicated, is the document's fingerprint
+# set. Two documents sharing a long-enough token run share fingerprints
+# regardless of where the run sits — the overlap-detection primitive a
+# whole-document hash can't provide. Emitted as (count, sum) reductions
+# so the driver value-checks the selected set without hauling it.
+
+ROLL_B = 1_000_003
+ROLL_M = 2_147_483_647  # 2^31 - 1
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_fp_cols(col: str | Column) -> tuple[Column, Column]:
+    """(n_winnow_fp, winnow_fp_sum) for the token stream of ``col``.
+    Pure array expressions over one tokens() pass; OOB element access
+    uses F.get (null, never ANSI-throws), and the CASE guards keep the
+    short-doc branches (m < w, m < 1) well-defined."""
+    toks = tokens(col)
+    hs = F.transform(toks, lambda t: portable_hash64(t) % ROLL_M)
+    m = F.size(toks) - (WINNOW_K - 1)
+
+    def kgram(p: Column) -> Column:
+        h0, h1, h2 = F.get(hs, p), F.get(hs, p + 1), F.get(hs, p + 2)
+        return (((h0 * ROLL_B + h1) % ROLL_M) * ROLL_B + h2) % ROLL_M
+
+    kh = F.transform(F.sequence(F.lit(0), m - 1), kgram)
+    wins = F.transform(
+        F.sequence(F.lit(0), m - WINNOW_W),
+        lambda p: F.array_min(F.slice(kh, p + 1, WINNOW_W)),
+    )
+    fps = (
+        F.when(m >= WINNOW_W, F.array_distinct(wins))
+        .when(m >= 1, F.array(F.array_min(kh)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    n = F.size(fps).cast("bigint")
+    s = F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return n, s
+
+
+def winnow_fp_sql_exprs(col: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`winnow_fp_cols` (1-based list indexing)."""
+    h = portable_hash64_sql("t")
+    hs = f"list_transform({tokens_sql(col)}, t -> ({h}) % {ROLL_M})"
+    kg = (
+        f"list_transform(range(0, len({tokens_sql(col)}) - {WINNOW_K - 1}), p -> "
+        f"(((hs[p + 1] * {ROLL_B} + hs[p + 2]) % {ROLL_M}) * {ROLL_B} + hs[p + 3]) % {ROLL_M})"
+    )
+    body = f"""(
+        SELECT CASE WHEN m >= {WINNOW_W}
+                    THEN list_distinct(list_transform(range(0, m - {WINNOW_W} + 1), p ->
+                         list_min(list_transform(range(0, {WINNOW_W}), j -> kh[p + j + 1]))))
+                    WHEN m >= 1 THEN [list_min(kh)]
+                    ELSE [] END
+        FROM (SELECT kh, len(kh) AS m
+              FROM (SELECT {kg} AS kh FROM (SELECT {hs} AS hs)))
+    )"""
+    n = f"CAST(len({body}) AS BIGINT)"
+    s = f"CAST(coalesce(list_sum({body}), 0) AS BIGINT)"
+    return n, s
+
+
 # --- text statistics ----------------------------------------------------------
 
 def token_count(col: str | Column) -> Column:

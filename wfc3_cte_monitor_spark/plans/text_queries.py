@@ -126,20 +126,25 @@ def _quality_sql() -> str:
 
 def _profile_sql() -> str:
     from ..functions.dedup import simhash16_sql
+    from ..functions.text import winnow_fp_sql_exprs
 
+    wf_n, wf_s = winnow_fp_sql_exprs("text")
     return f"""
     WITH langid AS ({_langid_sql()}),
     quality AS ({_quality_sql()}),
     fp AS (
         SELECT doc_id,
                {portable_hash64_sql(norm_text_sql('text'))} AS fingerprint,
-               {portable_hash64_sql(norm_text_sql('text'))} % 1024 AS shard
+               {portable_hash64_sql(norm_text_sql('text'))} % 1024 AS shard,
+               {wf_n} AS n_winnow_fp,
+               {wf_s} AS winnow_fp_sum
         FROM documents
     ),
     sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))})
     SELECT l.doc_id, l.labeled_lang,
            l.hits_en, l.hits_es, l.hits_fr, l.hits_de, l.predicted_lang,
-           q.quality, f.fingerprint, f.shard, s.simhash
+           q.quality, f.fingerprint, f.shard, f.n_winnow_fp, f.winnow_fp_sum,
+           s.simhash
     FROM langid l
     JOIN quality q ON l.doc_id = q.doc_id
     JOIN fp f ON l.doc_id = f.doc_id
@@ -153,9 +158,12 @@ def t02_text_profile(spark, sf_dir):
     """Per-document analysis profile: stopword-profile language ID
     (argmax with deterministic tiebreak), composite quality in [0,1]
     (length, punctuation, stopword density, type/token ratio),
-    content fingerprint + shard bucket, 16-bit SimHash. All built-in
-    expressions; one narrow join chain on doc_id."""
+    content fingerprint + shard bucket, rolling-hash winnowing
+    fingerprints (Rabin-Karp token 3-gram polynomial → min-per-window-
+    of-4 selection, emitted as count + sum reductions), 16-bit SimHash.
+    All built-in expressions; one narrow join chain on doc_id."""
     from ..functions.dedup import simhash16
+    from ..functions.text import winnow_fp_cols
 
     # the documents parquet is a single file → spread the CPU-heavy text
     # expressions across the executor threads (the shuffle is a few MB)
@@ -175,6 +183,7 @@ def t02_text_profile(spark, sf_dir):
     # scan — ONE select, no join between them; only SimHash (explode +
     # groupBy vote) genuinely needs its own aggregation branch
     langid_cols = _langid_columns()
+    wf_n, wf_s = winnow_fp_cols("text")
     profile = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -182,6 +191,8 @@ def t02_text_profile(spark, sf_dir):
         F.round(quality, 6).alias("quality"),
         fp.alias("fingerprint"),
         (fp % 1024).alias("shard"),
+        wf_n.alias("n_winnow_fp"),
+        wf_s.alias("winnow_fp_sum"),
     )
     sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
     return profile.join(sim, "doc_id")
