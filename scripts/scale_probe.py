@@ -33,7 +33,12 @@ QUERIES = ["cs05_results_wide", "cs03_cte_vs_time"]
 # pipeline (d02's verified-edge set grows ~100x per bucket) and a
 # work-shape-preserving scale-up for the ANN path (cosine is unchanged
 # by duplication).
-CORPUS_QUERIES = ["d02_lsh_dedup_pipeline", "e01_cosine_topk"]
+CORPUS_QUERIES = [
+    "d02_lsh_dedup_pipeline",
+    "e01_cosine_topk",
+    "d03_minhash_lsh",
+    "t02_text_profile",
+]
 
 
 def build_probe_data() -> None:

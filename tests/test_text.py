@@ -92,7 +92,7 @@ def test_winnow_fingerprints_detect_shared_runs():
         ROLL_M,
         WINNOW_K,
         WINNOW_W,
-        winnow_fp_cols,
+        winnow_fingerprints,
     )
     from wfc3_cte_monitor_spark.session import get_spark
 
@@ -125,13 +125,13 @@ def test_winnow_fingerprints_detect_shared_runs():
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    n, s = winnow_fp_cols("text")
     got = {
-        r.doc_id: (r.n, r.s)
-        for r in df.select("doc_id", n.alias("n"), s.alias("s")).collect()
+        r.doc_id: (r.n_winnow_fp, r.winnow_fp_sum)
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
     }
     for i, t in enumerate(texts):
         ref = py_fps(t)
-        assert got[i] == (len(ref), sum(ref)), (i, got[i], ref)
+        expect = (len(ref), sum(ref)) if ref else None
+        assert got.get(i) == expect, (i, got.get(i), ref)
     assert py_fps(texts[0]) & py_fps(texts[1])          # shared run -> shared fps
     assert not (py_fps(texts[0]) & py_fps(texts[4]))    # unrelated -> disjoint

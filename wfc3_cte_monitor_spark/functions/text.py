@@ -14,7 +14,7 @@ they hold up on a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -129,32 +129,48 @@ WINNOW_K = 3
 WINNOW_W = 4
 
 
-def winnow_fp_cols(col: str | Column) -> tuple[Column, Column]:
-    """(n_winnow_fp, winnow_fp_sum) for the token stream of ``col``.
-    Pure array expressions over one tokens() pass; OOB element access
-    uses F.get (null, never ANSI-throws), and the CASE guards keep the
-    short-doc branches (m < w, m < 1) well-defined."""
-    toks = tokens(col)
-    hs = F.transform(toks, lambda t: portable_hash64(t) % ROLL_M)
-    m = F.size(toks) - (WINNOW_K - 1)
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_winnow_fp, winnow_fp_sum) — the winnowed fingerprint set,
+    reduced. Codegen path: posexplode + window ``lead`` for the k-gram
+    polynomial and a bounded ROWS frame for the window min (the same
+    shape as exploded_shingles). The array-lambda formulation is a trap
+    here: nested ``transform`` closures re-evaluate the md5-per-token
+    array per element access — measured runaway (minutes at sf0.1)
+    versus seconds for this plan. One shuffle on the id, reused by the
+    window and the final groupBy. Docs with fewer than k tokens emit no
+    row — callers left-join and coalesce to 0, matching the SQL twin."""
+    from pyspark.sql import Window
 
-    def kgram(p: Column) -> Column:
-        h0, h1, h2 = F.get(hs, p), F.get(hs, p + 1), F.get(hs, p + 2)
-        return (((h0 * ROLL_B + h1) % ROLL_M) * ROLL_B + h2) % ROLL_M
-
-    kh = F.transform(F.sequence(F.lit(0), m - 1), kgram)
-    wins = F.transform(
-        F.sequence(F.lit(0), m - WINNOW_W),
-        lambda p: F.array_min(F.slice(kh, p + 1, WINNOW_W)),
+    ex = df.select(id_col, F.posexplode(tokens(text_col)).alias("_pos", "_tok"))
+    hashed = ex.select(id_col, "_pos", (portable_hash64("_tok") % ROLL_M).alias("_h"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    h1, h2 = F.lead("_h", 1).over(w), F.lead("_h", 2).over(w)
+    kh_tbl = (
+        hashed.select(
+            id_col,
+            "_pos",
+            (((F.col("_h") * ROLL_B + h1) % ROLL_M) * ROLL_B + h2).alias("_kraw"),
+            h2.alias("_ok"),
+        )
+        .where(F.col("_ok").isNotNull())
+        .select(id_col, "_pos", (F.col("_kraw") % ROLL_M).alias("_kh"))
     )
-    fps = (
-        F.when(m >= WINNOW_W, F.array_distinct(wins))
-        .when(m >= 1, F.array(F.array_min(kh)))
-        .otherwise(F.array().cast("array<bigint>"))
+    kw = Window.partitionBy(id_col).orderBy("_pos")
+    winmin = F.min("_kh").over(kw.rowsBetween(0, WINNOW_W - 1))
+    rn = F.row_number().over(kw) - 1
+    m = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    wins = (
+        kh_tbl.select(id_col, winmin.alias("_fp"), rn.alias("_rn"), m.alias("_m"))
+        # full windows only; a short doc (m < w) keeps its single
+        # truncated leading window — the global min
+        .where((F.col("_rn") <= F.col("_m") - WINNOW_W) | ((F.col("_m") < WINNOW_W) & (F.col("_rn") == 0)))
+        .select(id_col, "_fp")
+        .distinct()
     )
-    n = F.size(fps).cast("bigint")
-    s = F.aggregate(fps, F.lit(0).cast("bigint"), lambda a, x: a + x)
-    return n, s
+    return wins.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_winnow_fp"),
+        F.sum("_fp").cast("bigint").alias("winnow_fp_sum"),
+    )
 
 
 def winnow_fp_sql_exprs(col: str) -> tuple[str, str]:

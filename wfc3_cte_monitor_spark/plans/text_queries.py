@@ -163,7 +163,7 @@ def t02_text_profile(spark, sf_dir):
     of-4 selection, emitted as count + sum reductions), 16-bit SimHash.
     All built-in expressions; one narrow join chain on doc_id."""
     from ..functions.dedup import simhash16
-    from ..functions.text import winnow_fp_cols
+    from ..functions.text import winnow_fingerprints
 
     # the documents parquet is a single file → spread the CPU-heavy text
     # expressions across the executor threads (the shuffle is a few MB)
@@ -183,7 +183,6 @@ def t02_text_profile(spark, sf_dir):
     # scan — ONE select, no join between them; only SimHash (explode +
     # groupBy vote) genuinely needs its own aggregation branch
     langid_cols = _langid_columns()
-    wf_n, wf_s = winnow_fp_cols("text")
     profile = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -191,8 +190,12 @@ def t02_text_profile(spark, sf_dir):
         F.round(quality, 6).alias("quality"),
         fp.alias("fingerprint"),
         (fp % 1024).alias("shard"),
-        wf_n.alias("n_winnow_fp"),
-        wf_s.alias("winnow_fp_sum"),
     )
     sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
-    return profile.join(sim, "doc_id")
+    wf = winnow_fingerprints(docs.select("doc_id", "text"), "doc_id", "text")
+    return (
+        profile.join(sim, "doc_id")
+        .join(wf, "doc_id", "left")
+        .withColumn("n_winnow_fp", F.coalesce("n_winnow_fp", F.lit(0)).cast("bigint"))
+        .withColumn("winnow_fp_sum", F.coalesce("winnow_fp_sum", F.lit(0)).cast("bigint"))
+    )
