@@ -87,11 +87,15 @@ def test_no_global_window_on_scale_paths(spark, name):
 
 
 def test_text_profile_single_scan_before_simhash_join(spark):
-    # t02 = one projection branch + one SimHash aggregation branch; the
-    # documents parquet must be scanned at most twice
+    # t02 = one projection branch + one SimHash aggregation branch + one
+    # winnowing window branch; the documents parquet is scanned once PER
+    # BRANCH (pruned to (doc_id, text)) and no more — the three
+    # aggregation shapes (row projection / explode+groupBy vote /
+    # posexplode+window) cannot share an exchange, and re-reading a
+    # pruned columnar scan beats materializing the corpus at scale
     plan = _plan(spark, "t02_text_profile")
     nodes = re.findall(r"\(\d+\) Scan parquet", plan)
-    assert len(nodes) <= 2, nodes
+    assert len(nodes) <= 3, nodes
 
 
 def test_ivf_assign_is_single_pass(spark):
