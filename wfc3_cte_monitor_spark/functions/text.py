@@ -173,15 +173,20 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def winnow_fp_sql_exprs(col: str) -> tuple[str, str]:
-    """DuckDB twins of :func:`winnow_fp_cols` (1-based list indexing)."""
+def winnow_fp_sql_list(col: str) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (1-based list
+    indexing): a single list-valued scalar subquery producing the
+    winnowed fingerprint set. Callers project it ONCE into a subquery
+    column and reduce (len / list_sum) in the outer select — embedding
+    it per reduction would re-run the whole tokenize+hash+winnow
+    pipeline per use."""
     h = portable_hash64_sql("t")
     hs = f"list_transform({tokens_sql(col)}, t -> ({h}) % {ROLL_M})"
     kg = (
-        f"list_transform(range(0, len({tokens_sql(col)}) - {WINNOW_K - 1}), p -> "
+        f"list_transform(range(0, len(hs) - {WINNOW_K - 1}), p -> "
         f"(((hs[p + 1] * {ROLL_B} + hs[p + 2]) % {ROLL_M}) * {ROLL_B} + hs[p + 3]) % {ROLL_M})"
     )
-    body = f"""(
+    return f"""(
         SELECT CASE WHEN m >= {WINNOW_W}
                     THEN list_distinct(list_transform(range(0, m - {WINNOW_W} + 1), p ->
                          list_min(list_transform(range(0, {WINNOW_W}), j -> kh[p + j + 1]))))
@@ -190,9 +195,6 @@ def winnow_fp_sql_exprs(col: str) -> tuple[str, str]:
         FROM (SELECT kh, len(kh) AS m
               FROM (SELECT {kg} AS kh FROM (SELECT {hs} AS hs)))
     )"""
-    n = f"CAST(len({body}) AS BIGINT)"
-    s = f"CAST(coalesce(list_sum({body}), 0) AS BIGINT)"
-    return n, s
 
 
 # --- text statistics ----------------------------------------------------------
@@ -213,10 +215,14 @@ def token_count_sql(col: str) -> str:
 # runs of digits, and runs of other symbols, each absorbing one leading
 # space — restricted to constructs Java regex and RE2 evaluate
 # identically (alternation is ordered in both; no lookahead, which RE2
-# lacks). Token COUNT under this split approximates BPE token count far
-# better than whitespace (punctuation and digit runs become their own
-# tokens, as they do in real BPE vocabularies).
-BPE_SPLIT_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+# lacks; whitespace spelled as an EXPLICIT ASCII class because Java's
+# \s includes \x0B where RE2's does not). Token COUNT under this split
+# approximates BPE token count far better than whitespace (punctuation
+# and digit runs become their own tokens, as they do in real BPE
+# vocabularies). Like the rest of this module, engine parity is over
+# ASCII case folds — lower() itself diverges between engines on locale
+# case-folds such as U+0130.
+BPE_SPLIT_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\x0B\f\r]+"
 
 
 def bpe_token_count(col: str | Column) -> Column:

@@ -287,7 +287,7 @@ def d03_minhash_lsh(spark, sf_dir):
     # verify BEFORE deduping: the Hamming test is a map-side expression,
     # so filtering first shrinks the pair-dedup shuffle to the surviving
     # pairs (~2.5x fewer rows on this corpus); a Hamming-1 pair can
-    # share BOTH blocks, hence the dedup — bare ids + 16-bit sigs ride
+    # share BOTH blocks, hence the dedup — bare ids + 32-bit sigs ride
     # the shuffle, nothing wider
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     cands = (

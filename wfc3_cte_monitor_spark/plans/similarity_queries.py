@@ -92,14 +92,21 @@ def e01_cosine_topk(spark, sf_dir):
     that silently trades recall away fails the gate, not just a
     dashboard)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # each arm feeds BOTH the union and the recall join; checkpoint the
+    # ≤ k×n_queries-row results (lazily — no blocking materialization on
+    # the timed path) so the corpus-sized scoring pipelines execute once.
+    # Exchange reuse hides the duplication at sf0.1 (A/B was a wash) but
+    # not at 10×: the corpus probe measured 6.2 s vs 2.4 s at sf1 with
+    # the subtrees re-executed.
     brute = cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10).select(
         F.lit("brute").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
-    )
+    ).localCheckpoint(eager=False)
     ivf = ivf_ann(emb, k=5, query_pred=F.col("vec_id") < 10,
                   refine_iterations=_IVF_REFINE_ITERS).select(
         F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
-    )
-    # both arms are ≤ k×n_queries rows — the audit join is free
+    ).localCheckpoint(eager=False)
+    # with the arms materialized, the audit join is over two tiny cached
+    # relations
     recall = (
         brute.select("query_id", "neighbor_id")
         .join(ivf.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),

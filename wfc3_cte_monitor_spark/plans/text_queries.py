@@ -126,19 +126,22 @@ def _quality_sql() -> str:
 
 def _profile_sql() -> str:
     from ..functions.dedup import simhash16_sql
-    from ..functions.text import winnow_fp_sql_exprs
+    from ..functions.text import winnow_fp_sql_list
 
-    wf_n, wf_s = winnow_fp_sql_exprs("text")
     return f"""
     WITH langid AS ({_langid_sql()}),
     quality AS ({_quality_sql()}),
     fp AS (
-        SELECT doc_id,
-               {portable_hash64_sql(norm_text_sql('text'))} AS fingerprint,
-               {portable_hash64_sql(norm_text_sql('text'))} % 1024 AS shard,
-               {wf_n} AS n_winnow_fp,
-               {wf_s} AS winnow_fp_sum
-        FROM documents
+        SELECT doc_id, fingerprint, shard,
+               CAST(len(_wf) AS BIGINT) AS n_winnow_fp,
+               CAST(coalesce(list_sum(_wf), 0) AS BIGINT) AS winnow_fp_sum
+        FROM (
+            SELECT doc_id,
+                   {portable_hash64_sql(norm_text_sql('text'))} AS fingerprint,
+                   {portable_hash64_sql(norm_text_sql('text'))} % 1024 AS shard,
+                   {winnow_fp_sql_list('text')} AS _wf
+            FROM documents
+        )
     ),
     sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))})
     SELECT l.doc_id, l.labeled_lang,
