@@ -388,6 +388,7 @@ def d05_minhash_accuracy(spark, sf_dir):
     )
 
 
-# SimHash (D4) is driver-gated as the `simhash` column of
-# t02_text_profile (plans/text_queries.py) — the operator itself lives in
-# functions/dedup.py:simhash16.
+# SimHash (D4) is driver-gated twice: as the 16-bit `simhash` profile
+# column of t02_text_profile (plans/text_queries.py) and as the 32-bit
+# near-dup DETECTION pipeline in d03's 'simdup' arm above — the operator
+# itself lives in functions/dedup.py:simhash16 (nbits param).
