@@ -54,6 +54,7 @@ HEADLINE = [
 
 
 def main() -> None:
+    bench_t0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -127,6 +128,18 @@ def main() -> None:
             all_passes[name].append(run_once(name))
             extra += 1
             retry_budget -= 1
+
+    # One extra interleaved pass over every query when time permits:
+    # noise bursts here last tens of seconds and can straddle all three
+    # scheduled passes of an unlucky query (observed: d02 9.4/7.4/18.1
+    # with neither retry trigger firing) — a fourth sample in a
+    # different time window is the cheapest variance reduction left.
+    # Budgeted against wall-clock so the driver's timeout is never
+    # approached.
+    EXTRA_PASS_BUDGET_S = 420.0
+    if time.perf_counter() - bench_t0 < EXTRA_PASS_BUDGET_S:
+        for name in names:
+            all_passes[name].append(run_once(name))
 
     timings = {n: round(p[0], 3) for n, p in all_passes.items()}
     timings_warm = {n: round(min(p[1:]), 3) for n, p in all_passes.items()}
