@@ -187,3 +187,65 @@ def test_find_epochs_window_form_property(spark, groups, gap):
         got.setdefault(r.targ, []).append(r.epoch)
     for i, ds in enumerate(groups):
         assert sorted(got[f"g{i}"]) == _epoch_walk_ref(ds, gap), (i, ds, gap)
+
+
+# Printable-ASCII documents, including whitespace variety (tab/newline/
+# vertical-tab made the Java-vs-RE2 \s divergence observable before the
+# pattern was pinned to an explicit class).
+_ascii_doc = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E) | st.sampled_from("\t\n\x0b\f\r"),
+    max_size=120,
+)
+
+
+@_SETTINGS
+@given(st.lists(_ascii_doc, min_size=1, max_size=12))
+def test_text_primitives_cross_engine_fuzz(spark, texts):
+    """Spark and DuckDB must agree EXACTLY on the portable text
+    primitives for arbitrary printable-ASCII input — the property the
+    whole oracle-gating strategy rests on. Also: the BPE-ish count
+    dominates the whitespace count (every whitespace token contains at
+    least one BPE-ish token)."""
+    import duckdb
+
+    from wfc3_cte_monitor_spark.functions.text import (
+        bpe_token_count,
+        bpe_token_count_sql,
+        token_count,
+        token_count_sql,
+        winnow_fingerprints,
+        winnow_fp_sql_list,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("ws"),
+            bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    wf = {
+        r.doc_id: (r.n_winnow_fp, r.winnow_fp_sum)
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+
+    con = duckdb.connect()
+    wfl = winnow_fp_sql_list("text")
+    for i, t in enumerate(texts):
+        ws, bpe, n_fp, s_fp = con.execute(
+            f"""SELECT {token_count_sql('text')},
+                       {bpe_token_count_sql('text')},
+                       CAST(len(_wf) AS BIGINT),
+                       CAST(coalesce(list_sum(_wf), 0) AS BIGINT)
+                FROM (SELECT text, {wfl} AS _wf FROM (SELECT ? AS text))""",
+            [t],
+        ).fetchone()
+        assert rows[i].ws == ws, (t, rows[i].ws, ws)
+        assert rows[i].bpe == bpe, (t, rows[i].bpe, bpe)
+        got_wf = wf.get(i, (0, 0))
+        assert got_wf == (n_fp, s_fp), (t, got_wf, (n_fp, s_fp))
+        assert rows[i].bpe >= rows[i].ws, t
