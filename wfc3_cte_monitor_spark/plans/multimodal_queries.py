@@ -212,9 +212,10 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.blobs import decode_media_stats, synthesize_media_blobs
 
     stats = decode_media_stats(synthesize_media_blobs(spark, sf_dir), with_raster=True)
+    # column order mirrors the oracle's select list
     return stats.select(
         "blob_id", "kind", "width", "height", "n_samples", "sample_rate",
         "mean_val", "checksum", "ap_flux", "ap_npix",
-        "rs_checksum", "rs_npix", "fs_checksum", "fs_n",
         *_pam_masked_cols(),
+        "rs_checksum", "rs_npix", "fs_checksum", "fs_n",
     )

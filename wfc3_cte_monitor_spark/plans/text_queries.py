@@ -196,9 +196,12 @@ def t02_text_profile(spark, sf_dir):
     )
     sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
     wf = winnow_fingerprints(docs.select("doc_id", "text"), "doc_id", "text")
-    return (
+    joined = (
         profile.join(sim, "doc_id")
         .join(wf, "doc_id", "left")
         .withColumn("n_winnow_fp", F.coalesce("n_winnow_fp", F.lit(0)).cast("bigint"))
         .withColumn("winnow_fp_sum", F.coalesce("winnow_fp_sum", F.lit(0)).cast("bigint"))
     )
+    # column order mirrors the oracle's select list
+    cols = [c for c in joined.columns if c not in ("n_winnow_fp", "winnow_fp_sum", "simhash")]
+    return joined.select(*cols, "n_winnow_fp", "winnow_fp_sum", "simhash")
