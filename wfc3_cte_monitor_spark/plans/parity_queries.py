@@ -63,12 +63,27 @@ register(
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-06-15 00:00:00' - INTERVAL 30 DAY
       AND o_orderdate <= TIMESTAMP '1997-06-15 00:00:00' + INTERVAL 30 DAY
+    UNION ALL
+    SELECT 'hash_split', CAST(o_orderkey AS BIGINT), CAST(o_orderdate AS DATE),
+           CASE WHEN h < 2 THEN 'val' ELSE 'test' END
+    FROM (
+        SELECT o_orderkey, o_orderdate,
+               CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '/split-seed-1'), 1, 15)) AS BIGINT) % 100 AS h
+        FROM orders
+    )
+    WHERE h < 4
     """,
-    tags=("Q1", "A1", "Q2", "Q3", "J7", "F6"),
+    tags=("Q1", "A1", "Q2", "Q3", "J7", "F6", "sampling"),
 )
 def q01_filter_suite(spark, sf_dir):
     """Projection/filter surface: distinct dates, equality-filter lookup,
-    epoch ±30-day band — one arm per reference query shape."""
+    epoch ±30-day band — one arm per reference query shape — plus
+    'hash_split': deterministic held-out sampling / train-val-test split
+    assignment by salted key hash (the reproducible, engine-portable,
+    cluster-safe form of a training pipeline's eval split: a pure
+    map-side filter, no shuffle, same assignment on re-run and across
+    engines; rand()-based sampling survives neither task retries nor
+    the oracle gate)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     null_key = F.lit(None).cast("bigint")
@@ -103,7 +118,20 @@ def q01_filter_suite(spark, sf_dir):
         F.to_date("o_orderdate").alias("obs_date"),
         F.col("o_orderstatus").alias("detail"),
     )
-    return all_dates.unionAll(mode_filter).unionAll(epoch_band)
+    from ..functions.text import portable_hash64
+
+    h = portable_hash64(F.concat(F.col("o_orderkey").cast("string"), F.lit("/split-seed-1"))) % 100
+    hash_split = (
+        o.withColumn("_h", h)
+        .where(F.col("_h") < 4)
+        .select(
+            F.lit("hash_split").alias("which"),
+            F.col("o_orderkey").cast("bigint"),
+            F.to_date("o_orderdate").alias("obs_date"),
+            F.when(F.col("_h") < 2, "val").otherwise("test").alias("detail"),
+        )
+    )
+    return all_dates.unionAll(mode_filter).unionAll(epoch_band).unionAll(hash_split)
 
 
 # J1 — FileInfo→Phot fan-out join (database_queries.py:291-310): filtered
