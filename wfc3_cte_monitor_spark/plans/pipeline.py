@@ -171,7 +171,19 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     apertures = [aperture] if isinstance(aperture, int) else sorted(aperture)
     multi = len(apertures) > 1
     ap_cols = ["aperture"] if multi else []
-    pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
+    pairs = query_for_pair(fileinfo).select(
+        "targname", "imagename_1", "imagename_2"
+    ).withColumn(
+        # Compact surrogate key for the pair identity: every shuffle, sort
+        # and hash between here and the regression output keys on one
+        # bigint instead of three ~20-char strings (measured: the align
+        # shuffle is the DAG's dominant stage and its cost is mostly key
+        # width). The 64-bit hash space vs a broadcast-bounded pair count
+        # (≤ millions) makes a collision vanishingly unlikely AND
+        # deterministic — attributes are re-attached from the same pair
+        # relation by this id after the data-sized stages.
+        "pair_id", F.xxhash64("targname", "imagename_1", "imagename_2")
+    )
 
     p = phot_long.where(F.col("radius").isin(apertures)).select(
         "imagename", "master_id", "ypix",
@@ -182,12 +194,12 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     # per pair side shuffles the dominant relation on imagename_1, then
     # again on (imagename_2, master_id); instead, fan the PAIR map out to
     # (imagename, side) rows — two per pair, exposure-dimension-sized, so
-    # it broadcasts — tag each measurement with its pair in a map-side
+    # it broadcasts — tag each measurement with its pair_id in a map-side
     # join, and align the two chips with a single groupBy on
-    # (pair, master_id). Rows missing either side (master only found on
+    # (pair_id, master_id). Rows missing either side (master only found on
     # one chip) drop exactly as the former inner joins dropped them.
     pair_map = pairs.select(
-        "targname", "imagename_1", "imagename_2",
+        "pair_id",
         F.explode(
             F.array(
                 F.struct(F.col("imagename_1").alias("imagename"), F.lit(1).alias("side")),
@@ -195,12 +207,22 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
             )
         ).alias("_s"),
     ).select(
-        "targname", "imagename_1", "imagename_2",
-        F.col("_s.imagename").alias("imagename"), F.col("_s.side").alias("side"),
+        "pair_id", F.col("_s.imagename").alias("imagename"), F.col("_s.side").alias("side"),
     )
     # broadcast holds while exposures ≪ measurements (the domain reality);
     # past broadcast size, drop the hint and bucket both sides by imagename
     tagged = p.join(F.broadcast(pair_map), "imagename")
+    # ONE shuffle for the whole align→fan-out→clip→regression chain: hash
+    # partitioning on pair_id alone satisfies the clustered-distribution
+    # requirement of every downstream stage (align groups on
+    # (pair_id[, aperture], master_id), the clip windows and the fit on
+    # (pair_id[, aperture], fluxbin) — pair_id is a subset of each), so
+    # EnsureRequirements inserts no further exchange. Partial aggregation
+    # is no loss here: align groups are a handful of rows and collect_list
+    # buffers don't shrink bytes map-side. Skew-safe — a partition holds
+    # many whole pairs, and a single pair's measurement count is bounded
+    # by stars-per-image, not corpus size.
+    tagged = tagged.repartition("pair_id")
     # Collect each side's measurements per (pair, master) and expand their
     # cross product — exactly the two-sided join's semantics, including on
     # keys with duplicate measurements (the synthetic lineitem reuses
@@ -209,7 +231,7 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     # collect_list skips the other side's NULLs; explode drops groups
     # missing either side, as the inner joins did. Group sizes are a few
     # measurements, so the collected arrays stay tiny at any corpus size.
-    grouped = tagged.groupBy("targname", "imagename_1", "imagename_2", *ap_cols, "master_id").agg(
+    grouped = tagged.groupBy("pair_id", *ap_cols, "master_id").agg(
         F.collect_list(
             F.when(
                 F.col("side") == 1,
@@ -220,11 +242,11 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     )
     both = (
         grouped.select(
-            "targname", "imagename_1", "imagename_2", *ap_cols, "master_id",
+            "pair_id", *ap_cols, "master_id",
             F.explode("_s1").alias("_a"), "_s2",
         )
         .select(
-            "targname", "imagename_1", "imagename_2", *ap_cols, "master_id",
+            "pair_id", *ap_cols, "master_id",
             F.col("_a.ypos").alias("ypos"), F.col("_a.flux_1").alias("flux_1"),
             F.explode("_s2").alias("flux_2"),
         )
@@ -232,10 +254,19 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     )
 
     fan = bin_fanout(both, binspec_df(spark, FLUX_BINS), ["flux_1", "flux_2"])
-    group = ["targname", "imagename_1", "imagename_2", *ap_cols, "fluxbin"]
+    group = ["pair_id", *ap_cols, "fluxbin"]
     clipped = sigma_clip(fan, "flux_ratio", group, sigma=sigma, iterations=iterations)
     reg = linregress_agg(clipped, x="ypos", y="flux_ratio", group_cols=group)
-    return reg.where(F.col("slope").isNotNull())
+    # Re-attach the pair identity to the fit rows (pair-dimension-sized by
+    # now) and restore the historical column order.
+    return (
+        reg.where(F.col("slope").isNotNull())
+        .join(F.broadcast(pairs), "pair_id")
+        .select(
+            "targname", "imagename_1", "imagename_2", *ap_cols, "fluxbin",
+            "slope", "intercept", "stderr", "slopestdev", "num_points",
+        )
+    )
 
 
 def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
@@ -293,5 +324,9 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
         long, id_cols=["targname", "imagename_1", "imagename_2", *ap_cols]
     )
     if multi:
-        return wide.withColumn("aperture", F.col("aperture").cast("double"))
+        # aperture last, mirroring the oracle's SELECT order (the driver's
+        # hash sorts columns by name, but positional consumers shouldn't
+        # see the id column wedged between pair identity and measures)
+        others = [c for c in wide.columns if c != "aperture"]
+        return wide.select(*others, F.col("aperture").cast("double").alias("aperture"))
     return wide.withColumn("aperture", F.lit(float(apertures[0])))
