@@ -639,8 +639,12 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # trend feeds BOTH the fit aggregation and the residual join; a
         # declarative self-reference would embed the whole slope pipeline
         # twice in the plan (observed: 2x scans/windows/exchanges at
-        # explain time). The trend table is tiny — materialize it once.
-        .localCheckpoint(eager=True)
+        # explain time). The trend table is tiny — materialize it once,
+        # LAZILY: an eager checkpoint is a serial blocking barrier inside
+        # the timed query (interleaved A/B at sf0.1: lazy 3.72s best vs
+        # eager 4.44s, lazy faster on 2 of 3 pairs), same verdict as the
+        # fi-analog knob in _materialize_fi.
+        .localCheckpoint(eager=False)
     )
     fit = quadfit_agg(trend, x="_x", y="mean_slope",
                       group_cols=["targname", "fluxbin"], round_to=8)
