@@ -310,7 +310,10 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
     else:
         zero_fill = binspec_df(spark, FLUX_BINS).select("fluxbin")
     all_bins = pairs.crossJoin(F.broadcast(zero_fill))
-    long = all_bins.join(reg, group, "left").select(
+    # reg is fit-dimension-sized (pairs × populated bins) — broadcast it
+    # into the zero-fill left join rather than letting unknown stats pick
+    # a sort-merge join of two tiny relations
+    long = all_bins.join(F.broadcast(reg), group, "left").select(
         "targname", "imagename_1", "imagename_2", *ap_cols,
         "fluxbin",
         F.coalesce("slope", F.lit(0.0)).alias("slope"),
