@@ -261,3 +261,37 @@ def test_sigma_clip_bounded_unrolling_is_fixpoint_on_gate_data(spark):
     four = {key(r): (round(r["slope"], 10), r["num_points"])
             for r in compute_results_long(fi, ph, iterations=4).collect()}
     assert three == four
+
+
+def test_slope_pipeline_single_data_exchange(spark, fixtures):
+    # The pair_id rekey's contract: the data-sized align → bin fan-out →
+    # σ-clip → regression chain runs off ONE hash exchange (the explicit
+    # pair_id repartition); every other join in the long pipeline is a
+    # broadcast. A second hashpartitioning exchange on the measurement
+    # path means a downstream stage stopped reusing the partitioning.
+    from wfc3_cte_monitor_spark.plans.pipeline import compute_results_long
+
+    _, fileinfo, phot_long = fixtures
+    reg = compute_results_long(fileinfo, phot_long, aperture=3)
+    reg.write.mode("overwrite").format("noop").save()
+    plan = reg._jdf.queryExecution().executedPlan().toString()
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 1, f"expected the single pair_id exchange, saw {n_hash}:\n{plan}"
+    assert "SortMergeJoin" not in plan
+
+
+def test_pair_id_surrogate_is_collision_free_on_gate_data(spark, fixtures):
+    # pair_id = xxhash64(targname, imagename_1, imagename_2) stands in
+    # for the pair identity through every data-sized stage; a collision
+    # would silently merge two pairs' measurements. The probability is
+    # ~n^2/2^65 for broadcast-bounded n, but the invariant is cheap to
+    # pin on the fixture and (via the same expression) any analog table.
+    _, fileinfo, _ = fixtures
+    pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
+    n_pairs = pairs.distinct().count()
+    n_ids = (
+        pairs.select(F.xxhash64("targname", "imagename_1", "imagename_2").alias("pair_id"))
+        .distinct()
+        .count()
+    )
+    assert n_pairs == n_ids
