@@ -57,7 +57,23 @@ def cte_slope_180pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan = bin_fanout(paired, spec, ["flux_1", "flux_2"])
     clipped = sigma_clip(fan, "flux_ratio", ["mode", "fluxbin"], sigma=SIGMA, iterations=CLIP_ITERS)
     reg = linregress_agg(clipped, x="ypos", y="flux_ratio", group_cols=["mode", "fluxbin"])
-    all_groups = paired.select("mode").distinct().crossJoin(F.broadcast(spec.select("fluxbin")))
+    # Zero-fill frame: a mode appears in `paired` iff BOTH sides are
+    # non-empty (rank 1 then exists on each side of the rank equi-join),
+    # so the distinct-modes-with-pairs set is a cheap two-counter
+    # aggregate on the BASE table — `paired.select("mode").distinct()`
+    # would re-execute the whole rank-window + self-join subtree for a
+    # second time just to enumerate a handful of groups.
+    side = F.col("l_linenumber") <= 3
+    modes = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(side.cast("int")).alias("_n1"),
+            F.sum((~side).cast("int")).alias("_n2"),
+        )
+        .where((F.col("_n1") > 0) & (F.col("_n2") > 0))
+        .select(F.col("l_returnflag").alias("mode"))
+    )
+    all_groups = modes.crossJoin(F.broadcast(spec.select("fluxbin")))
     return all_groups.join(reg, ["mode", "fluxbin"], "left").select(
         "mode",
         "fluxbin",
