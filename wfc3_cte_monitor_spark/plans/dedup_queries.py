@@ -141,9 +141,18 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     sig = minhash_signature_pairs(sh, "doc_id")
     from ..functions.dedup import lsh_bands
 
-    cands = candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    # The band table feeds BOTH sides of the candidate self-join; without
+    # a materialization the whole shingle→minhash pipeline (the query's
+    # most expensive compute) is embedded twice in the plan. Same for the
+    # token-set table below, joined once per pair side. Both are
+    # doc-dimension relations — lazy checkpoints (no blocking barrier),
+    # standard diamond-reuse hygiene for an iterative pipeline.
+    bands = lsh_bands(sig, "doc_id").localCheckpoint(eager=False)
+    cands = candidate_pairs(bands, "doc_id")
 
-    toks = docs.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
+    toks = docs.select(
+        "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t")
+    ).localCheckpoint(eager=False)
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
     joined = cands.join(ta, "id_a").join(tb, "id_b").withColumn(
