@@ -208,6 +208,11 @@ def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
     co-located, shuffle-free."""
     idx = lsh_index(embeddings, id_col, emb_col, dim,
                     n_tables=ND_TABLES, n_planes=ND_PLANES, seed=_ND_SEED)
+    # the index feeds both sides of the bucket self-join — materialize the
+    # pruned (id, table, bucket) layout once (lazily) so the Arrow bucket
+    # pass isn't embedded twice in the plan; vectors are dropped first so
+    # nothing wider than the key rides the checkpoint
+    idx = idx.select("vec_id", "table_id", "bucket").localCheckpoint(eager=False)
     a = idx.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
     b = idx.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
     # Dedup on bare (id_a, id_b) BEFORE fetching vectors: the multi-table

@@ -287,6 +287,11 @@ def d03_minhash_lsh(spark, sf_dir):
             )
         ).alias("_b"),
     ).select("doc_id", "simhash", F.col("_b.part").alias("part"), F.col("_b.bkey").alias("bkey"))
+    # blocks feeds both sides of the half-block self-join — materialize
+    # the doc-dimension relation once (lazily) so the tokenize + 32-sum
+    # SimHash aggregation isn't embedded twice in the plan (same diamond
+    # hygiene as d02's band table)
+    blocks = blocks.localCheckpoint(eager=False)
     a = blocks.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"), "part", "bkey"
     )

@@ -169,7 +169,10 @@ def t02_text_profile(spark, sf_dir):
     from ..functions.text import winnow_fingerprints
 
     # the documents parquet is a single file → spread the CPU-heavy text
-    # expressions across the executor threads (the shuffle is a few MB)
+    # expressions across the executor threads (the shuffle is a few MB).
+    # NOT checkpointed: the three branches re-read the spread exchange
+    # (reused), and materializing raw text measured slightly slower than
+    # scan pipelining at both sf0.1 and the 10x corpus.
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
     n_tok = token_count("text")
