@@ -257,3 +257,27 @@ def test_maintain_trend_stream_partition_grain(spark, tmp_path):
     assert {key(r): val(r) for r in got.collect()} == {
         key(r): val(r) for r in full.collect()
     }
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_stream):
+    # stream-stream interval join (attribution): the same plan over the
+    # batch events table is a plain interval join; results must agree.
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+    from wfc3_cte_monitor_spark.streaming.events import attributed_events
+
+    q = run_to_memory(
+        attributed_events(events_stream), "stream_attrib", "append"
+    )
+    try:
+        got = _rows(spark, "stream_attrib")
+        batch_events = load_table(spark, sf_smoke, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        batch = {
+            tuple(str(v) for v in r)
+            for r in attributed_events(batch_events).collect()
+        }
+        assert batch, "expected attribution matches in the fixture data"
+        assert got == batch
+    finally:
+        q.stop()

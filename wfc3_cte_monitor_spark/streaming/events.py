@@ -123,6 +123,65 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def attributed_events(events: DataFrame, trigger_type: str = "purchase",
+                      cause_type: str = "click",
+                      attribution_window: str = "6 hours",
+                      watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM interval join: attribute each trigger event (e.g. a
+    purchase) to the same user's cause events (e.g. clicks) within the
+    preceding attribution window — the remaining streaming operator class
+    (two unbounded sides) after the windowed aggs / stateful dedup /
+    stream-static incremental MERGE surfaces.
+
+    Both sides carry watermarks and the join condition is time-bounded,
+    so Spark can expire buffered state (a side's rows are droppable once
+    the other side's watermark passes ts + window) — the state-bounding
+    contract a production stream needs. Inner-join results emit without
+    waiting for the watermark, so a file-source test sees every match.
+
+    The SAME plan runs in batch (``withWatermark`` is a no-op on batch
+    inputs): feed it the batch events table and it is a plain interval
+    join — the batch/stream-twin design the module is built around.
+    Expects an LTZ ``ts`` event-time column (watermarks reject NTZ);
+    outputs NTZ, deterministic under the session's pinned-UTC timezone.
+    """
+    trig = (
+        events.where(F.col("event_type") == trigger_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("trigger_id"),
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    cause = (
+        events.where(F.col("event_type") == cause_type)
+        .select(
+            F.col("user_id").alias("_c_user"),
+            F.col("event_id").alias("cause_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = trig.join(
+        cause,
+        (F.col("user_id") == F.col("_c_user"))
+        & (F.col("c_ts") >= F.col("t_ts") - F.expr(f"INTERVAL {attribution_window}"))
+        & (F.col("c_ts") <= F.col("t_ts")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "trigger_id",
+        "cause_id",
+        F.col("t_ts").cast("timestamp_ntz").alias("trigger_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("cause_ts"),
+        F.round(F.col("t_ts").cast("double") - F.col("c_ts").cast("double"), 6).alias(
+            "lag_seconds"
+        ),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion against the memory sink
     (local verification harness)."""
