@@ -269,11 +269,14 @@ def test_slope_pipeline_single_data_exchange(spark, fixtures):
     # pair_id repartition); every other join in the long pipeline is a
     # broadcast. A second hashpartitioning exchange on the measurement
     # path means a downstream stage stopped reusing the partitioning.
+    # Asserted on the EnsureRequirements-time static plan (the module's
+    # plan-shape convention — AQE only coalesces/rewrites downward from
+    # here, it never adds a distribution requirement), so no execution
+    # is needed.
     from wfc3_cte_monitor_spark.plans.pipeline import compute_results_long
 
     _, fileinfo, phot_long = fixtures
     reg = compute_results_long(fileinfo, phot_long, aperture=3)
-    reg.write.mode("overwrite").format("noop").save()
     plan = reg._jdf.queryExecution().executedPlan().toString()
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash <= 1, f"expected the single pair_id exchange, saw {n_hash}:\n{plan}"

@@ -65,7 +65,10 @@ def cte_slope_180pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second time just to enumerate a handful of groups.
     side = F.col("l_linenumber") <= 3
     modes = (
-        li.groupBy("l_returnflag")
+        # NULL guard: groupBy would keep a NULL-key group that the pair
+        # equi-join (and the oracle's a.key = b.key) can never produce
+        li.where(F.col("l_returnflag").isNotNull())
+        .groupBy("l_returnflag")
         .agg(
             F.sum(side.cast("int")).alias("_n1"),
             F.sum((~side).cast("int")).alias("_n2"),

@@ -144,9 +144,30 @@ def query_for_180pair(fileinfo: DataFrame, filt: str, exptime: float,
 
 # --- flagship: Results computation (§3.2) ----------------------------------
 
+def _keyed_pairs(fileinfo: DataFrame) -> DataFrame:
+    """The pair relation with its compact surrogate key, materialized
+    once (lazily): every shuffle, sort and hash between the alignment and
+    the regression output keys on one bigint ``pair_id`` instead of three
+    ~20-char strings (measured: the align shuffle is the DAG's dominant
+    stage and its cost is mostly key width). The 64-bit hash space vs a
+    broadcast-bounded pair count (≤ millions) makes a collision
+    vanishingly unlikely AND deterministic — attributes re-attach from
+    this same relation by id after the data-sized stages. The checkpoint
+    is the module's diamond-reuse hygiene: the relation feeds the pair
+    map, the re-attach join and (in compute_results) the zero-fill frame,
+    and without it the fileinfo self-join subtree is embedded per use."""
+    return (
+        query_for_pair(fileinfo)
+        .select("targname", "imagename_1", "imagename_2")
+        .withColumn("pair_id", F.xxhash64("targname", "imagename_1", "imagename_2"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
                          aperture: int | Sequence[int] = 3,
-                         sigma: float = 4.0, iterations: int = 3) -> DataFrame:
+                         sigma: float = 4.0, iterations: int = 3,
+                         pairs: DataFrame | None = None) -> DataFrame:
     """fileinfo + phot (long view) → valid-fit slope rows in LONG form:
     (targname, imagename_1, imagename_2, fluxbin, slope, slopestdev,
     num_points), one row per pair × populated flux bin.
@@ -166,24 +187,17 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     every downstream stage (bin fan-out, σ-clip, regression) groups by
     (pair, aperture, fluxbin). With a list, the output carries an
     ``aperture`` column; the scalar form keeps the historical schema.
+
+    ``pairs`` lets a caller that also needs the pair relation (e.g. the
+    wide zero-fill in :func:`compute_results`) pass the shared
+    :func:`_keyed_pairs` materialization instead of deriving it twice.
     """
     spark = fileinfo.sparkSession
     apertures = [aperture] if isinstance(aperture, int) else sorted(aperture)
     multi = len(apertures) > 1
     ap_cols = ["aperture"] if multi else []
-    pairs = query_for_pair(fileinfo).select(
-        "targname", "imagename_1", "imagename_2"
-    ).withColumn(
-        # Compact surrogate key for the pair identity: every shuffle, sort
-        # and hash between here and the regression output keys on one
-        # bigint instead of three ~20-char strings (measured: the align
-        # shuffle is the DAG's dominant stage and its cost is mostly key
-        # width). The 64-bit hash space vs a broadcast-bounded pair count
-        # (≤ millions) makes a collision vanishingly unlikely AND
-        # deterministic — attributes are re-attached from the same pair
-        # relation by this id after the data-sized stages.
-        "pair_id", F.xxhash64("targname", "imagename_1", "imagename_2")
-    )
+    if pairs is None:
+        pairs = _keyed_pairs(fileinfo)
 
     p = phot_long.where(F.col("radius").isin(apertures)).select(
         "imagename", "master_id", "ypix",
@@ -292,8 +306,13 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
     apertures = [aperture] if isinstance(aperture, int) else sorted(aperture)
     multi = len(apertures) > 1
     ap_cols = ["aperture"] if multi else []
-    reg = compute_results_long(fileinfo, phot_long, aperture, sigma, iterations)
-    pairs = query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
+    # ONE pair relation for the whole query: the long pipeline's pair map
+    # + re-attach AND the zero-fill frame below all read the same
+    # materialization instead of re-deriving the fileinfo self-join per use
+    keyed = _keyed_pairs(fileinfo)
+    reg = compute_results_long(fileinfo, phot_long, aperture, sigma, iterations,
+                               pairs=keyed)
+    pairs = keyed.select("targname", "imagename_1", "imagename_2")
     group = ["targname", "imagename_1", "imagename_2", *ap_cols, "fluxbin"]
 
     # zero-fill spec: bins (× apertures) — both literal constants, so the
@@ -310,9 +329,13 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
     else:
         zero_fill = binspec_df(spark, FLUX_BINS).select("fluxbin")
     all_bins = pairs.crossJoin(F.broadcast(zero_fill))
-    # reg is fit-dimension-sized (pairs × populated bins) — broadcast it
-    # into the zero-fill left join rather than letting unknown stats pick
-    # a sort-merge join of two tiny relations
+    # reg is fit-dimension-sized — the pair relation (already treated as
+    # broadcast-bounded by the pair map above) times a CONSTANT ≤
+    # bins×apertures multiplier — so the hint is the same exposure-
+    # dimension bet the rest of the pipeline makes, with a bigger
+    # constant; unknown post-aggregation stats would otherwise pick a
+    # sort-merge join of two tiny relations. Past broadcast size, drop
+    # BOTH this hint and the pair-map hint together and bucket instead.
     long = all_bins.join(F.broadcast(reg), group, "left").select(
         "targname", "imagename_1", "imagename_2", *ap_cols,
         "fluxbin",
