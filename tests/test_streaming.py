@@ -281,3 +281,33 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, events_strea
         assert got == batch
     finally:
         q.stop()
+
+
+def test_attributed_events_window_boundaries(spark):
+    # the attribution window is inclusive on both edges: a cause exactly
+    # window-ago and one simultaneous with the trigger both match; one
+    # microsecond earlier / later do not. Batch mode drives the shared
+    # plan (withWatermark is a no-op there).
+    import datetime as dt
+
+    from wfc3_cte_monitor_spark.streaming.events import attributed_events
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    hours6 = dt.timedelta(hours=6)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, "purchase", 100, t0),
+        (1, "click", 200, t0 - hours6),        # exactly window-ago -> in
+        (1, "click", 201, t0 - hours6 - us),   # 1 us too early -> out
+        (1, "click", 202, t0),                 # simultaneous -> in
+        (1, "click", 203, t0 + us),            # after the trigger -> out
+        (2, "click", 204, t0),                 # other user -> out
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    got = {
+        (r.trigger_id, r.cause_id)
+        for r in attributed_events(events).collect()
+    }
+    assert got == {(100, 200), (100, 202)}
