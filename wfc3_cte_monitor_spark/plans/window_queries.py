@@ -53,6 +53,16 @@ from .registry import register
         FROM fanned GROUP BY 1
     )
     UNION ALL
+    SELECT 'attrib', p.ts, c.ts,
+           CAST(p.user_id AS VARCHAR) || ':' || CAST(p.event_id AS VARCHAR)
+               || ':' || CAST(c.event_id AS VARCHAR),
+           1::BIGINT,
+           round(epoch(p.ts) - epoch(c.ts), 6)
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+    UNION ALL
     SELECT 'session', session_start,
            session_end, CAST(user_id AS VARCHAR), n_events,
            CAST(NULL AS DOUBLE)
@@ -127,4 +137,24 @@ def ev01_event_windows(spark, sf_dir):
             F.lit(None).cast("double").alias("sum_value"),
         )
     )
-    return tumbling.unionAll(sliding).unionAll(session)
+    # 'attrib' — the stream-stream interval join's batch twin under the
+    # driver gate (streaming/events.attributed_events; the stream form is
+    # proven equal to this plan in tests/test_streaming.py). Watermarks
+    # need an LTZ event-time column; deterministic under the pinned-UTC
+    # session, and the function emits NTZ back.
+    from ..streaming.events import attributed_events
+
+    attrib = attributed_events(ev.withColumn("ts", F.col("ts").cast("timestamp"))).select(
+        F.lit("attrib").alias("kind"),
+        F.col("trigger_ts").alias("window_start"),
+        F.col("cause_ts").alias("window_end"),
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.col("trigger_id").cast("string"),
+            F.col("cause_id").cast("string"),
+        ).alias("key"),
+        F.lit(1).cast("bigint").alias("n_events"),
+        F.col("lag_seconds").alias("sum_value"),
+    )
+    return tumbling.unionAll(sliding).unionAll(session).unionAll(attrib)
