@@ -311,3 +311,73 @@ def test_attributed_events_window_boundaries(spark):
         for r in attributed_events(events).collect()
     }
     assert got == {(100, 200), (100, 202)}
+
+
+def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
+    # left-outer stream-stream join: the unattributed trigger's NULL-cause
+    # row may only emit once the watermark passes its time bound (state
+    # expiry decides "no cause is coming"). Drive two single-file
+    # micro-batches — the second carries a far-future event that advances
+    # the watermark — and assert the outer row surfaces.
+    import datetime as dt
+    import time as _time
+
+    from wfc3_cte_monitor_spark.streaming.events import attributed_events
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "user_id long, event_type string, event_id long, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "purchase", 100, t0),
+            (1, "click", 200, t0 - dt.timedelta(hours=1)),  # attributed
+            (2, "purchase", 101, t0),                       # no cause ever
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    # the far-future events must survive BOTH side filters (the global
+    # watermark is min over the two withWatermark nodes, each fed after
+    # its event_type filter), so advance each side explicitly
+    batch2 = spark.createDataFrame(
+        [
+            (9, "purchase", 900, t0 + dt.timedelta(hours=40)),
+            (9, "click", 950, t0 + dt.timedelta(hours=40)),
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = run_to_memory(
+        attributed_events(stream, join_type="left_outer"),
+        "stream_attrib_outer",
+        "append",
+    )
+    try:
+        # outer rows are emitted in the micro-batch AFTER the one whose
+        # watermark expired them — feed one more batch to flush
+        _time.sleep(1.1)
+        batch3 = spark.createDataFrame(
+            [
+                (9, "purchase", 901, t0 + dt.timedelta(hours=41)),
+                (9, "click", 951, t0 + dt.timedelta(hours=41)),
+            ],
+            schema,
+        )
+        batch3.coalesce(1).write.mode("overwrite").parquet(str(src / "b3"))
+        q.processAllAvailable()
+        got = {
+            (r.trigger_id, r.cause_id)
+            for r in spark.sql("SELECT * FROM stream_attrib_outer").collect()
+        }
+        assert (100, 200) in got, got        # matched pair (inner rows emit eagerly)
+        assert (101, None) in got, got       # outer row after watermark expiry
+    finally:
+        q.stop()

@@ -55,12 +55,12 @@ from .registry import register
     UNION ALL
     SELECT 'attrib', p.ts, c.ts,
            CAST(p.user_id AS VARCHAR) || ':' || CAST(p.event_id AS VARCHAR)
-               || ':' || CAST(c.event_id AS VARCHAR),
+               || coalesce(':' || CAST(c.event_id AS VARCHAR), ''),
            1::BIGINT,
            round(epoch(p.ts) - epoch(c.ts), 6)
-    FROM events p JOIN events c
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
-     AND p.event_type = 'purchase' AND c.event_type = 'click'
      AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
     UNION ALL
     SELECT 'session', session_start,
@@ -139,12 +139,17 @@ def ev01_event_windows(spark, sf_dir):
     )
     # 'attrib' — the stream-stream interval join's batch twin under the
     # driver gate (streaming/events.attributed_events; the stream form is
-    # proven equal to this plan in tests/test_streaming.py). Watermarks
-    # need an LTZ event-time column; deterministic under the pinned-UTC
-    # session, and the function emits NTZ back.
+    # proven equal to this plan in tests/test_streaming.py). LEFT OUTER:
+    # unattributed triggers ride as NULL-cause rows — in streaming those
+    # only emit once the watermark expires the trigger's state, the
+    # funnel semantics worth gating. Watermarks need an LTZ event-time
+    # column; deterministic under the pinned-UTC session, and the
+    # function emits NTZ back.
     from ..streaming.events import attributed_events
 
-    attrib = attributed_events(ev.withColumn("ts", F.col("ts").cast("timestamp"))).select(
+    attrib = attributed_events(
+        ev.withColumn("ts", F.col("ts").cast("timestamp")), join_type="left_outer"
+    ).select(
         F.lit("attrib").alias("kind"),
         F.col("trigger_ts").alias("window_start"),
         F.col("cause_ts").alias("window_end"),

@@ -126,7 +126,8 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 def attributed_events(events: DataFrame, trigger_type: str = "purchase",
                       cause_type: str = "click",
                       attribution_window: str = "6 hours",
-                      watermark: str = "2 hours") -> DataFrame:
+                      watermark: str = "2 hours",
+                      join_type: str = "inner") -> DataFrame:
     """STREAM-STREAM interval join: attribute each trigger event (e.g. a
     purchase) to the same user's cause events (e.g. clicks) within the
     preceding attribution window — the remaining streaming operator class
@@ -144,6 +145,11 @@ def attributed_events(events: DataFrame, trigger_type: str = "purchase",
     join — the batch/stream-twin design the module is built around.
     Expects an LTZ ``ts`` event-time column (watermarks reject NTZ);
     outputs NTZ, deterministic under the session's pinned-UTC timezone.
+
+    ``join_type='left_outer'`` additionally emits UNATTRIBUTED triggers
+    with NULL cause columns — in streaming these rows surface only once
+    the watermark passes the trigger's time bound (state expiry decides
+    "no cause is coming"), the semantics a conversion funnel needs.
     """
     trig = (
         events.where(F.col("event_type") == trigger_type)
@@ -168,7 +174,7 @@ def attributed_events(events: DataFrame, trigger_type: str = "purchase",
         (F.col("user_id") == F.col("_c_user"))
         & (F.col("c_ts") >= F.col("t_ts") - F.expr(f"INTERVAL {attribution_window}"))
         & (F.col("c_ts") <= F.col("t_ts")),
-        "inner",
+        join_type,
     )
     return joined.select(
         "user_id",
