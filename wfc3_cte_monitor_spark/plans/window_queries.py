@@ -2,8 +2,8 @@
 additive surface). Batch forms of the streaming windows — the identical
 groupBy(window(...)) plans run under readStream in streaming/events.py;
 here they're registered as one oracle-checked batch query (the driver
-gate caps the registry at 50 queries, so the three window shapes are
-arms of a tagged union).
+gate caps the registry at 50 queries, so the window shapes and the
+interval-join batch twin ride as arms of one tagged union).
 
 Window starts are epoch-aligned in both engines via pure timestamp
 arithmetic (no to_timestamp: DuckDB's is timezone-typed and the oracle
@@ -18,10 +18,15 @@ from ..sources.catalog import load_table
 from .registry import register
 
 
-# EV1 tumbling + EV2 sliding + EV3 session windows in one result:
+# EV1 tumbling + EV2 sliding + EV3 session windows + the interval-join
+# batch twin in one result:
 #   kind='tumbling' — window(ts, '1 hour') per event_type
 #   kind='sliding'  — window(ts, '1 hour', '30 minutes') (each event in 2)
 #   kind='session'  — session_window(ts, '30 minutes') per user
+#   kind='attrib'   — LEFT OUTER interval join (purchase ← same-user
+#                     clicks within 6 h); window_start/window_end carry
+#                     (trigger_ts, cause_ts), key is user:trigger[:cause],
+#                     sum_value the attribution lag in seconds
 @register(
     "ev01_event_windows",
     oracle="""
@@ -153,11 +158,17 @@ def ev01_event_windows(spark, sf_dir):
         F.lit("attrib").alias("kind"),
         F.col("trigger_ts").alias("window_start"),
         F.col("cause_ts").alias("window_end"),
-        F.concat_ws(
-            ":",
+        # NULL semantics mirror the oracle's || exactly: a NULL user or
+        # trigger id propagates to a NULL key (concat), while a NULL
+        # cause (the outer rows) drops its segment (coalesce) — concat_ws
+        # would silently skip NULL user/trigger segments and diverge
+        F.concat(
             F.col("user_id").cast("string"),
+            F.lit(":"),
             F.col("trigger_id").cast("string"),
-            F.col("cause_id").cast("string"),
+            F.coalesce(
+                F.concat(F.lit(":"), F.col("cause_id").cast("string")), F.lit("")
+            ),
         ).alias("key"),
         F.lit(1).cast("bigint").alias("n_events"),
         F.col("lag_seconds").alias("sum_value"),
