@@ -184,7 +184,10 @@ def e02_ann_neardup(spark, sf_dir):
     The 100 TB shape: each index is written bucketed so ANN probes are
     pruned scans and the near-dup self-join is co-located."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    idx = lsh_index(emb)
+    # the ANN arm reads the index twice (query probe + corpus side of the
+    # candidate join); materialize the pruned bucket layout once so the
+    # Arrow bucket pass runs a single time (vectors re-attach by id later)
+    idx = lsh_index(emb).select("vec_id", "table_id", "bucket").localCheckpoint(eager=False)
     # Candidate generation and the multi-table collision dedup move bare
     # (query_id, neighbor_id) pairs — never the 512-byte embedding arrays,
     # which would otherwise ride through two shuffles (dropDuplicates +
