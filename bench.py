@@ -89,62 +89,101 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         return elapsed
 
+    # --- calibration probe --------------------------------------------------
+    # A fixed CPU-bound JVM job (codegen range-sum, no I/O, no Python)
+    # timed BETWEEN passes. Host-noise bursts here last tens of seconds,
+    # so a burst that inflates a query pass also inflates the probes
+    # bracketing it; a pass whose surrounding probes drifted >1.5x from
+    # the session-minimum probe is marked SUSPECT and re-run. This is the
+    # r4 lesson: dispersion/stall triggers can't save a query when EVERY
+    # scheduled pass lands in a burst — only an external time reference
+    # can (official r4 best-of sat 2-3x above quiet-window reruns).
+    probe_df = spark.range(0, 200_000_000, 1, par).selectExpr(
+        "sum(id * 3 + 1) AS s"
+    )
+    probe_log: list[float] = []
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        probe_df.write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        probe_log.append(elapsed)
+        return elapsed
+
+    PROBE_DRIFT = 1.5
+
+    # per query: list of (elapsed, probe_before, probe_after)
+    all_passes: dict[str, list[tuple[float, float, float]]] = {n: [] for n in names}
+
     # Three passes per query, INTERLEAVED across queries (pass 1 of every
-    # query, then pass 2, then pass 3): host-noise bursts here last tens of
-    # seconds, so consecutive per-query passes let one burst poison all of
-    # a single query's samples (r3: cs03 spread 8.3-16.2s). Interleaving
-    # decorrelates the burst from any one query. Pass 1 ("cold") pays plan
-    # compilation + whole-stage codegen; passes 2-3 are steady-state. The
-    # headline value is the per-query BEST of all passes — the standard way
-    # to report engine throughput a stalled pass can't skew. Cold and
-    # best-warm are kept alongside so codegen cost stays attributable.
-    all_passes: dict[str, list[float]] = {name: [] for name in names}
+    # query, then pass 2, then pass 3): consecutive per-query passes let
+    # one burst poison all of a single query's samples (r3: cs03 spread
+    # 8.3-16.2s); interleaving decorrelates the burst from any one query.
+    # Pass 1 ("cold") pays plan compilation + whole-stage codegen; passes
+    # 2-3 are steady-state. Consecutive queries share the bracketing
+    # probe, so calibration costs one probe per pass, not two.
+    probe()  # settle + first sample
+    last_probe = probe()
     for _ in range(3):
         for name in names:
-            all_passes[name].append(run_once(name))
+            elapsed = run_once(name)
+            p_after = probe()
+            all_passes[name].append((elapsed, last_probe, p_after))
+            last_probe = p_after
 
-    # Stall-retry budget: grant up to 2 extra passes when a query's
-    # samples carry the noisy-neighbor signature, so one quiet pass can
-    # record the real cost. Two triggers (globally bounded so a
-    # fully-loaded host can't run away):
-    # - WARM passes disagree wildly (max/min > 3). Cold/warm ratios
-    #   above 3 are normal codegen+UDF warmup, so cold is excluded from
-    #   this trigger but kept in the timings.
-    # - every warm pass is slower than COLD (min(warm) > 1.5x cold):
-    #   warm is never legitimately slower than cold, so this means a
-    #   burst hit the warm passes — and if it hit BOTH, the dispersion
-    #   test alone can't see it (observed: d02 cold 7.5s, warm 14/26s).
-    retry_budget = 10
+    def clean(p: tuple[float, float, float], pmin: float) -> bool:
+        return max(p[1], p[2]) <= PROBE_DRIFT * pmin
+
+    # Redo phase: any query with no CLEAN warm pass gets re-run (fresh
+    # probe bracket each time) until one lands in a quiet window.
+    # Globally bounded so a fully-loaded host can't run away.
+    redo_budget = 20
+    n_redone = 0
     for name in names:
-        extra = 0
-        while extra < 2 and retry_budget > 0:
-            cold, warm = all_passes[name][0], all_passes[name][1:]
-            noisy = (
-                max(warm) / max(min(warm), 1e-9) > 3.0
-                or min(warm) > 1.5 * cold
-            )
-            if not noisy:
+        tries = 0
+        while tries < 3 and redo_budget > 0:
+            pmin = min(probe_log)
+            if any(clean(p, pmin) for p in all_passes[name][1:]):
                 break
-            all_passes[name].append(run_once(name))
-            extra += 1
-            retry_budget -= 1
+            elapsed = run_once(name)
+            p_after = probe()
+            all_passes[name].append((elapsed, last_probe, p_after))
+            last_probe = p_after
+            tries += 1
+            redo_budget -= 1
+            n_redone += 1
 
-    # One extra interleaved pass over every query when time permits:
-    # noise bursts here last tens of seconds and can straddle all three
-    # scheduled passes of an unlucky query (observed: d02 9.4/7.4/18.1
-    # with neither retry trigger firing) — a fourth sample in a
-    # different time window is the cheapest variance reduction left.
-    # Budgeted against wall-clock so the driver's timeout is never
-    # approached.
+    # One extra interleaved pass over every query when time permits — a
+    # sample in yet another time window, budgeted against wall-clock so
+    # the driver's timeout is never approached.
     EXTRA_PASS_BUDGET_S = 420.0
     if time.perf_counter() - bench_t0 < EXTRA_PASS_BUDGET_S:
         for name in names:
-            all_passes[name].append(run_once(name))
+            elapsed = run_once(name)
+            p_after = probe()
+            all_passes[name].append((elapsed, last_probe, p_after))
+            last_probe = p_after
 
-    timings = {n: round(p[0], 3) for n, p in all_passes.items()}
-    timings_warm = {n: round(min(p[1:]), 3) for n, p in all_passes.items()}
-    timings_best = {n: round(min(p), 3) for n, p in all_passes.items()}
-    passes = {n: [round(t, 3) for t in p] for n, p in all_passes.items()}
+    probe_min = min(probe_log)
+
+    def best_of(name: str) -> float:
+        """Per-query headline: best over CLEAN passes (quiet probe
+        bracket); only if every pass is suspect fall back to best over
+        all — and flag it in the detail sidecar."""
+        ps = all_passes[name]
+        cleans = [p[0] for p in ps if clean(p, probe_min)]
+        return min(cleans) if cleans else min(p[0] for p in ps)
+
+    timings = {n: round(p[0][0], 3) for n, p in all_passes.items()}
+    timings_warm = {
+        n: round(min(t for t, _, _ in p[1:]), 3) for n, p in all_passes.items()
+    }
+    timings_best = {n: round(best_of(n), 3) for n in names}
+    passes = {n: [round(t, 3) for t, _, _ in p] for n, p in all_passes.items()}
+    clean_flags = {
+        n: [clean(p, probe_min) for p in ps] for n, ps in all_passes.items()
+    }
+    all_suspect = sorted(n for n, flags in clean_flags.items() if not any(flags))
 
     total = round(sum(timings_best.values()), 3)
 
@@ -163,6 +202,16 @@ def main() -> None:
         "queries_warm": timings_warm,
         "warm_total": round(sum(timings_warm.values()), 3),
         "passes": passes,
+        "clean": clean_flags,
+        "all_suspect": all_suspect,
+        "calibration": {
+            "probe_min": round(probe_min, 4),
+            "probe_median": round(sorted(probe_log)[len(probe_log) // 2], 4),
+            "probe_max": round(max(probe_log), 4),
+            "probe_drift_gate": PROBE_DRIFT,
+            "n_probes": len(probe_log),
+            "n_redone": n_redone,
+        },
         "spread": {
             n: {
                 "min": min(p),

@@ -320,6 +320,7 @@ def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
     # micro-batches — the second carries a far-future event that advances
     # the watermark — and assert the outer row surfaces.
     import datetime as dt
+    import os as _os
     import time as _time
 
     from wfc3_cte_monitor_spark.streaming.events import attributed_events
@@ -327,6 +328,16 @@ def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
     src = tmp_path / "events_src"
     src.mkdir()
+
+    def _pin_mtime(batch_dir, seq: int) -> None:
+        # the file source orders batches by modification time; pin
+        # strictly increasing mtimes EXPLICITLY (10s apart) instead of
+        # sleeping — coarse-mtime filesystems or CI clock skew could
+        # otherwise reorder the batches and stall the watermark
+        base = _time.time() - 1000.0 + seq * 10.0
+        for root, _dirs, files in _os.walk(batch_dir):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (base, base))
     schema = "user_id long, event_type string, event_id long, ts timestamp"
     batch1 = spark.createDataFrame(
         [
@@ -337,7 +348,7 @@ def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
         schema,
     )
     batch1.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
-    _time.sleep(1.1)  # file-source orders batches by modification time
+    _pin_mtime(str(src / "b1"), 0)
     # the far-future events must survive BOTH side filters (the global
     # watermark is min over the two withWatermark nodes, each fed after
     # its event_type filter), so advance each side explicitly
@@ -349,6 +360,7 @@ def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
         schema,
     )
     batch2.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    _pin_mtime(str(src / "b2"), 1)
 
     stream = (
         spark.readStream.schema(batch1.schema)
@@ -363,7 +375,6 @@ def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
     try:
         # outer rows are emitted in the micro-batch AFTER the one whose
         # watermark expired them — feed one more batch to flush
-        _time.sleep(1.1)
         batch3 = spark.createDataFrame(
             [
                 (9, "purchase", 901, t0 + dt.timedelta(hours=41)),
@@ -372,6 +383,7 @@ def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
             schema,
         )
         batch3.coalesce(1).write.mode("overwrite").parquet(str(src / "b3"))
+        _pin_mtime(str(src / "b3"), 2)
         q.processAllAvailable()
         got = {
             (r.trigger_id, r.cause_id)

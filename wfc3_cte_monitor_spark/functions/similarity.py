@@ -257,27 +257,60 @@ def neardup_pairs_sql(source: str, tau: float, id_col: str = "vec_id",
     """
 
 
-def cosine_topk(embeddings: DataFrame, query_ids: list[int] | None = None,
-                k: int = 5, query_pred: Column | None = None) -> DataFrame:
-    """Brute-force top-k cosine neighbors for a small query set."""
+def decoded_corpus(embeddings: DataFrame, id_col: str = "vec_id",
+                   emb_col: str = "embedding", checkpoint: bool = True) -> DataFrame:
+    """The decoded corpus relation ``(vec_id, v float64, nrm)`` — the
+    shared input of every corpus-sized similarity pass.
+
+    A multi-stage query (e01: Lloyd partials → assignment → brute
+    scoring → candidate re-rank) otherwise re-reads parquet and
+    re-widens float32→float64 once PER PASS; checkpointing this relation
+    lazily makes every pass after the first read cached blocks, so an
+    extra Lloyd iteration pays only its matmul. ``nrm`` is
+    ``sqrt(dot(v, v))`` — the exact subexpression ``cosine`` computes —
+    precomputed once per vector instead of once per scored PAIR (the
+    brute arm otherwise refolds the corpus-side norm for each of the
+    |Q| queries). Single-node caveat: executor-local blocks, see
+    SCALING.md's localCheckpoint note."""
+    v = _as_double(F.col(emb_col))
+    out = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
+    )
+    return out.localCheckpoint(eager=False) if checkpoint else out
+
+
+def cosine_topk(embeddings: DataFrame | None = None, query_ids: list[int] | None = None,
+                k: int = 5, query_pred: Column | None = None,
+                corpus: DataFrame | None = None) -> DataFrame:
+    """Brute-force top-k cosine neighbors for a small query set.
+
+    ``corpus`` (a :func:`decoded_corpus` relation) lets callers that run
+    several corpus passes share one materialization; the similarity is
+    ``dot / (nrm_q * nrm_n)`` — arithmetic-identical to :func:`cosine`
+    (same sqrt-then-multiply order), just with the norms computed per
+    vector instead of per pair."""
     from pyspark.sql import Window
 
     if query_pred is None:
         if query_ids is None:
             raise ValueError("cosine_topk needs query_ids or query_pred")
         query_pred = F.col("vec_id").isin(query_ids)
-    q = embeddings.where(query_pred).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    if corpus is None:
+        corpus = decoded_corpus(embeddings, checkpoint=False)
+    q = corpus.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    corpus = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("nv")
+    n = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
     )
     scored = (
-        corpus.join(F.broadcast(q))
+        n.join(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -294,22 +327,25 @@ N_LISTS = 16     # nlist: coarse centroids / inverted lists
 N_PROBE = 3      # nprobe: lists scanned per query
 
 
-def ivf_centroids(embeddings: DataFrame, id_col: str = "vec_id",
-                  emb_col: str = "embedding", n_lists: int = N_LISTS) -> DataFrame:
+def ivf_centroids(embeddings: DataFrame | None = None, id_col: str = "vec_id",
+                  emb_col: str = "embedding", n_lists: int = N_LISTS,
+                  corpus: DataFrame | None = None) -> DataFrame:
     """Deterministic coarse quantizer: the first ``n_lists`` corpus vectors
     by id serve as centroids (sampled-init IVF — production would k-means
     refine these, which only changes the centroid VALUES, not the plan
     shape). Tiny (nlist rows) → always broadcast."""
     from pyspark.sql import Window
 
+    if corpus is None:
+        corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
     # distributed TakeOrdered first (orderBy + limit), THEN number the
     # nlist-row result — an unpartitioned row_number window over the full
     # corpus would funnel everything through one global sort task
-    head = embeddings.select(id_col, emb_col).orderBy(id_col).limit(n_lists)
-    w = Window.orderBy(id_col)
+    head = corpus.select("vec_id", "v").orderBy("vec_id").limit(n_lists)
+    w = Window.orderBy("vec_id")
     return head.select(
         (F.row_number().over(w) - 1).alias("list_id"),
-        _as_double(F.col(emb_col)).alias("cv"),
+        F.col("v").alias("cv"),
     )
 
 
@@ -324,7 +360,7 @@ def _collect_centroid_matrix(centroids: DataFrame):
 
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
-               emb_col: str = "embedding") -> DataFrame:
+               emb_col: str = "embedding", corpus: DataFrame | None = None) -> DataFrame:
     """Corpus → (vec_id, v, list_id): nearest-centroid assignment in ONE
     Arrow pass — the nlist×dim centroid matrix is closed over the UDF
     (it is broadcast-sized by construction), each batch scores all lists
@@ -334,14 +370,17 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     output is written partitioned/bucketed by list_id so probes read
     only nprobe lists."""
     ids, Cn = _collect_centroid_matrix(centroids)
-    return _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col)
+    return _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col, corpus=corpus)
 
 
-def _assign_with_matrix(embeddings: DataFrame, ids, Cn, id_col: str = "vec_id",
-                        emb_col: str = "embedding") -> DataFrame:
+def _assign_with_matrix(embeddings: DataFrame | None, ids, Cn, id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        corpus: DataFrame | None = None) -> DataFrame:
     """ivf_assign body against an already-collected centroid matrix, so
     callers that need the matrix for several stages (assignment + probe
-    selection) materialize the centroid relation exactly once."""
+    selection) materialize the centroid relation exactly once. A shared
+    ``corpus`` (:func:`decoded_corpus`) makes this pass read cached
+    decoded blocks instead of re-scanning parquet."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     @pandas_udf("int")
@@ -353,15 +392,15 @@ def _assign_with_matrix(embeddings: DataFrame, ids, Cn, id_col: str = "vec_id",
         sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
         return pd.Series(ids[np.argmax(sims, axis=1)]).astype("int32")
 
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(emb_col)).alias("v")
-    ).withColumn("list_id", _best(F.col("v")))
+    if corpus is None:
+        corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
+    return corpus.select("vec_id", "v").withColumn("list_id", _best(F.col("v")))
 
 
-def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
+def ivf_ann(embeddings: DataFrame | None = None, k: int = 5, nprobe: int = N_PROBE,
             query_pred: Column | None = None, query_ids: list[int] | None = None,
             id_col: str = "vec_id", emb_col: str = "embedding",
-            refine_iterations: int = 0) -> DataFrame:
+            refine_iterations: int = 0, corpus: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     lists; candidates come from an equi-join on list_id (never a cross
     join against the corpus); exact cosine re-ranks candidates only.
@@ -379,15 +418,23 @@ def ivf_ann(embeddings: DataFrame, k: int = 5, nprobe: int = N_PROBE,
     if query_pred is None:
         if query_ids is None:
             raise ValueError("ivf_ann needs query_ids or query_pred")
-        query_pred = F.col(id_col).isin(query_ids)
-    cents = ivf_centroids(embeddings, id_col, emb_col)
+        # the predicate is applied to the normalized corpus relation,
+        # whose id column is always named vec_id (as must any caller-
+        # supplied query_pred's reference)
+        query_pred = F.col("vec_id").isin(query_ids)
+    if corpus is None:
+        # no checkpoint by default: a standalone ivf_ann call runs each
+        # pass once, and callers sharing passes (e01) pass their own
+        # checkpointed relation in
+        corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
+    cents = ivf_centroids(corpus=corpus)
     if refine_iterations:
-        cents = ivf_refine(embeddings, cents, refine_iterations, id_col, emb_col)
+        cents = ivf_refine(None, cents, refine_iterations, corpus=corpus)
     ids, Cn = _collect_centroid_matrix(cents)
-    assigned = _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col)
+    assigned = _assign_with_matrix(None, ids, Cn, corpus=corpus)
 
-    q = embeddings.where(query_pred).select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
+    q = corpus.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     cos = cosine_pd()
     # probe ranking on the ROUNDED centroid similarity — same cross-engine
@@ -514,8 +561,9 @@ def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
     """
 
 
-def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
-               id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+def ivf_refine(embeddings: DataFrame | None, centroids: DataFrame, iterations: int = 2,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               corpus: DataFrame | None = None) -> DataFrame:
     """Lloyd refinement of the coarse quantizer: assign → per-list
     element-wise mean → reassign, with assignment and the mean's partial
     sums FUSED into one Arrow pass. Each batch scores all lists with one
@@ -531,12 +579,12 @@ def ivf_refine(embeddings: DataFrame, centroids: DataFrame, iterations: int = 2,
 
     Empty lists keep their previous centroid (left join + coalesce), so
     the list count is stable across iterations."""
+    if corpus is None:
+        corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
     cents = centroids
     for _ in range(iterations):
         ids, Cn = _collect_centroid_matrix(cents)
-        parts = embeddings.select(
-            _as_double(F.col(emb_col)).alias("v")
-        ).mapInPandas(
+        parts = corpus.select("v").mapInPandas(
             _make_lloyd_partials(ids, Cn), "list_id int, pos int, s double, n bigint"
         )
         # n repeats per pos within a batch's list rows, so sum(n) per

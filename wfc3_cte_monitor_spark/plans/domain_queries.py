@@ -348,13 +348,20 @@ def cs05_results_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cs03: CTE slope vs time (stderr = stdev / n) ---------------------------
 
+# cs03 sweeps the trend over the same two apertures as cs05 — the
+# reference runs its whole trend/output loop once per aperture
+# (run_outputs.py:225-295); here aperture is one more grouping column
+# riding the single slope pass into the epoch aggregate.
+_CS03_APERTURES = (3, 4)
+
+
 @register(
     "cs03_cte_vs_time",
     oracle=f"""
-    WITH {_slope_pipeline_ctes(week_subset=True)},
+    WITH {_slope_pipeline_ctes(week_subset=True, apertures=_CS03_APERTURES)},
     epochs AS ({_EPOCHS_SQL}),
     obs AS ({_OBS_SQL})
-    SELECT o.targname, o.epoch, r.fluxbin,
+    SELECT o.targname, o.epoch, r.aperture, r.fluxbin,
            {round_stable_sql("avg(r.slope)", 8)} AS mean_slope,
            {round_stable_sql("avg(r.slopestdev / r.num_points)", 8)} AS mean_stderr,
            count(*)::BIGINT AS n_pairs
@@ -363,7 +370,7 @@ def cs05_results_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o.imagename_1 = r.imagename_1
               AND o.imagename_2 = r.imagename_2
     WHERE r.slope IS NOT NULL
-    GROUP BY o.targname, o.epoch, r.fluxbin
+    GROUP BY o.targname, o.epoch, r.aperture, r.fluxbin
     """,
     tags=("trend", "J7", "F13", "W1", "A2"),
 )
@@ -371,7 +378,9 @@ def cs03_cte_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend layer end-to-end (plot_cteslope_vs_time_setup,
     uvis_external_cte_plots.py:1297-1445): pairwise epoch dimension →
     band join (±30 d) → slope retrieval from wide Results → per
-    (target, epoch, fluxbin) mean slope with stderr = stdev / n (:1413)."""
+    (target, epoch, aperture, fluxbin) mean slope with stderr =
+    stdev / n (:1413), swept over apertures (3, 4) in one pass (the
+    reference's per-aperture output loop, run_outputs.py:225-295)."""
     from .pipeline import compute_results_long
     from .trends import cte_slope_vs_time, epoch_dimension
 
@@ -381,10 +390,10 @@ def cs03_cte_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct per use (same rationale as n03's trend checkpoint)
     fi = _materialize_fi(analog_fileinfo(spark, sf_dir, week_subset=True))
     ph = analog_phot(spark, sf_dir, week_subset=True)
-    slopes = compute_results_long(fi, ph, aperture=3)
+    slopes = compute_results_long(fi, ph, aperture=list(_CS03_APERTURES))
     trend = cte_slope_vs_time(fi, slopes, epoch_dimension(fi))
     return trend.select(
-        "targname", "epoch", "fluxbin",
+        "targname", "epoch", "aperture", "fluxbin",
         round_stable("mean_slope", 8).alias("mean_slope"),
         round_stable("mean_stderr", 8).alias("mean_stderr"),
         "n_pairs",

@@ -155,13 +155,35 @@ def _keyed_pairs(fileinfo: DataFrame) -> DataFrame:
     this same relation by id after the data-sized stages. The checkpoint
     is the module's diamond-reuse hygiene: the relation feeds the pair
     map, the re-attach join and (in compute_results) the zero-fill frame,
-    and without it the fileinfo self-join subtree is embedded per use."""
-    return (
+    and without it the fileinfo self-join subtree is embedded per use.
+
+    Surrogate-key caveats (both benign here, guarded for real corpora):
+    a 64-bit hash collision silently merges two pairs' measurements, and
+    Spark's ``xxhash64`` SKIPS null inputs, so two keys differing only in
+    which column is NULL alias to the same hash. The pair keys come out
+    of an equi-join (no NULLs survive it) and the collision probability
+    at a broadcast-bounded pair count is ~n²/2⁶⁵; set
+    ``spark.wfc3.pipeline.assertPairIdUnique=true`` on a production run
+    to pay one count-distinct job that PROVES injectivity on the actual
+    corpus instead of assuming it."""
+    keyed = (
         query_for_pair(fileinfo)
         .select("targname", "imagename_1", "imagename_2")
         .withColumn("pair_id", F.xxhash64("targname", "imagename_1", "imagename_2"))
         .localCheckpoint(eager=False)
     )
+    spark = fileinfo.sparkSession
+    if spark.conf.get("spark.wfc3.pipeline.assertPairIdUnique", "false") == "true":
+        row = keyed.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("pair_id").alias("n_ids"),
+        ).collect()[0]
+        if row["n_pairs"] != row["n_ids"]:
+            raise ValueError(
+                f"pair_id surrogate collided: {row['n_pairs']} pairs -> "
+                f"{row['n_ids']} distinct ids; widen the key or disable the rekey"
+            )
+    return keyed
 
 
 def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,

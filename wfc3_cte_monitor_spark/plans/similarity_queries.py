@@ -10,6 +10,7 @@ from ..functions.similarity import (
     cosine_pd,
     cosine_sql,
     cosine_topk,
+    decoded_corpus,
     ivf_ann,
     ivf_ann_sql,
     lsh_index,
@@ -92,16 +93,23 @@ def e01_cosine_topk(spark, sf_dir):
     that silently trades recall away fails the gate, not just a
     dashboard)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # ONE decoded-corpus materialization (vec_id, float64 v, norm) feeds
+    # every corpus-sized pass — Lloyd partials, assignment, brute scoring
+    # and the candidate re-rank otherwise each re-decode parquet and
+    # re-widen float32→float64 (the r4 weak finding: the Lloyd arm
+    # double-paid the corpus). The Lloyd collect materializes it; all
+    # later passes read cached blocks and pay only their matmul.
+    corpus = decoded_corpus(emb)
     # each arm feeds BOTH the union and the recall join; checkpoint the
     # ≤ k×n_queries-row results (lazily — no blocking materialization on
     # the timed path) so the corpus-sized scoring pipelines execute once.
     # Exchange reuse hides the duplication at sf0.1 (A/B was a wash) but
     # not at 10×: the corpus probe measured 6.2 s vs 2.4 s at sf1 with
     # the subtrees re-executed.
-    brute = cosine_topk(emb, k=5, query_pred=F.col("vec_id") < 10).select(
+    brute = cosine_topk(corpus=corpus, k=5, query_pred=F.col("vec_id") < 10).select(
         F.lit("brute").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
     ).localCheckpoint(eager=False)
-    ivf = ivf_ann(emb, k=5, query_pred=F.col("vec_id") < 10,
+    ivf = ivf_ann(corpus=corpus, k=5, query_pred=F.col("vec_id") < 10,
                   refine_iterations=_IVF_REFINE_ITERS).select(
         F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
     ).localCheckpoint(eager=False)

@@ -82,9 +82,16 @@ def cte_slope_vs_time(fileinfo: DataFrame, slopes_long: DataFrame,
     Consuming the pre-pivot long form is equivalent to stacking the wide
     Results and filtering num_points > 0 — zero-filled bins are exactly
     the rows absent from the long form — without paying the 27-column
-    pivot + 8× stack round-trip (test_trends pins the equivalence)."""
+    pivot + 8× stack round-trip (test_trends pins the equivalence).
+
+    When ``slopes_long`` carries an ``aperture`` column (the multi-
+    aperture form of ``compute_results_long``), aperture rides the trend
+    grain too — the reference re-runs its whole trend/output loop once
+    per aperture (run_outputs.py:225-295); here it is one more grouping
+    column on the same single pass."""
     from .pipeline import query_for_pair
 
+    ap_cols = ["aperture"] if "aperture" in slopes_long.columns else []
     pairs = query_for_pair(fileinfo).select(
         "targname", "dateobs", "exptime", "ctecorr", "imagename_1", "imagename_2"
     )
@@ -98,7 +105,7 @@ def cte_slope_vs_time(fileinfo: DataFrame, slopes_long: DataFrame,
     ).where(F.col("targname") == F.col("epoch_targname"))
     joined = obs.join(slopes_long, ["targname", "imagename_1", "imagename_2"])
     return (
-        joined.groupBy("targname", "epoch", "fluxbin")
+        joined.groupBy("targname", "epoch", *ap_cols, "fluxbin")
         .agg(
             F.avg("slope").alias("mean_slope"),
             F.avg(F.col("slopestdev") / F.col("num_points")).alias("mean_stderr"),
