@@ -206,3 +206,37 @@ def test_events_ts_kind_probe(tmp_path):
         warnings.simplefilter("always")
         assert events_ts_kind(str(bad)) is None
     assert any("probe failed" in str(x.message) for x in w)
+
+
+def test_pair_broadcast_fallback_both_shapes(spark):
+    # One code path, two physical shapes: the pair-dimension broadcast
+    # hints (pair map, fit re-attach, zero-fill) are governed by a single
+    # size-based branch. 'never' (the past-broadcast-size deployment)
+    # must yield shuffled equi-joins; 'auto' on this exposure-dimension
+    # fixture keeps the broadcast bet. Rows must be identical either way.
+    from wfc3_cte_monitor_spark.plans.domain_queries import analog_fileinfo, analog_phot
+    from wfc3_cte_monitor_spark.plans.pipeline import compute_results
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    fi = analog_fileinfo(spark, SF)
+    ph = analog_phot(spark, SF)
+    spark.conf.set("spark.wfc3.pipeline.pairBroadcast", "never")
+    try:
+        never_df = compute_results(fi, ph, aperture=3)
+        never_plan = plan_of(never_df)
+    finally:
+        spark.conf.set("spark.wfc3.pipeline.pairBroadcast", "auto")
+    auto_df = compute_results(fi, ph, aperture=3)
+    auto_plan = plan_of(auto_df)
+
+    assert ("SortMergeJoin" in never_plan) or ("ShuffledHashJoin" in never_plan), (
+        "fallback shape must shuffle the pair joins"
+    )
+    assert "BroadcastHashJoin" in auto_plan
+    got_auto = sorted(map(tuple, auto_df.collect()))
+    got_never = sorted(map(tuple, never_df.collect()))
+    assert got_auto == got_never

@@ -196,12 +196,22 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     )
 
 
-# D3 — tagged union of the two SIGNATURE-dedup surfaces:
+# D3 — tagged union of the three SIGNATURE-dedup surfaces:
 #   which='band'   — MinHash(16) over 3-word shingles → 4 LSH band keys
 #                    per doc (candidates share a band key; this corpus
 #                    has no shingle-level near-dups, so the checked
-#                    output is the signature/band table; pair detection
-#                    is exercised on planted dups in tests).
+#                    output is the signature/band table).
+#   which='plant'  — MinHash/LSH near-dup DETECTION end-to-end on a
+#                    corpus that provably CONTAINS near-dups: every
+#                    50th doc gets a deterministic suffix-mutated copy
+#                    (one appended token; both engines construct the
+#                    planted corpus identically from `documents`), the
+#                    SAME single shingle→minhash→band pass covers
+#                    originals + plants, candidates come from the band
+#                    equi-join restricted to pairs touching a plant,
+#                    and exact token-set Jaccard >= 0.8 verifies — so
+#                    the 'band' arm's signature table AND the detection
+#                    path it exists for are both oracle-gated.
 #   which='simdup' — SimHash near-dup DETECTION end-to-end: a 32-bit
 #                    token SimHash, blocked into 2 halves of 16 bits —
 #                    any pair within Hamming 1 shares at least one
@@ -216,6 +226,16 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
 #                    The quadratic work is confined to 65536-way blocks —
 #                    the same bucketed shape as every other dedup path.
 _SIMDUP_HAMMING = 1
+
+# planted-mutation corpus: every PLANT_MOD-th doc gets a copy with ONE
+# appended token and id + PLANT_OFFSET. One new token changes one
+# shingle out of ~n-2, so shingle-Jaccard stays ~0.9+ (the band join
+# finds the pair) while token-set Jaccard n/(n+1) clears the 0.8 verify
+# for any doc with >= 4 distinct tokens (corpus min is ~10).
+_PLANT_MOD = 50
+_PLANT_OFFSET = 10_000_000
+_PLANT_SUFFIX = "zzplantdupzz"
+_PLANT_JACCARD = 0.8
 
 
 @register(
@@ -237,6 +257,38 @@ _SIMDUP_HAMMING = 1
         FROM blocks a
         JOIN blocks b ON a.part = b.part AND a.bkey = b.bkey
                      AND a.doc_id < b.doc_id
+    ),
+    plantcorp AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+               text || ' {_PLANT_SUFFIX}' AS text
+        FROM documents WHERE doc_id % {_PLANT_MOD} = 0
+    ),
+    pbands AS ({lsh_bands_sql(
+        minhash_signature_sql("plantcorp", "doc_id", shingles_sql_inline("text", 3)),
+        "doc_id",
+    )}),
+    pcands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pbands a JOIN pbands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE b.doc_id >= {_PLANT_OFFSET}
+    ),
+    ptoks AS (
+        SELECT doc_id, list_sort(list_distinct({tokens_sql('text')})) AS t
+        FROM plantcorp
+    ),
+    pverified AS (
+        SELECT id_a, id_b, jac FROM (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(ta.t, tb.t))::DOUBLE
+                       / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS jac
+            FROM pcands c
+            JOIN ptoks ta ON ta.doc_id = c.id_a
+            JOIN ptoks tb ON tb.doc_id = c.id_b
+        ) WHERE jac >= {_PLANT_JACCARD}
     )
     SELECT 'band' AS which, doc_id AS k1, band_id::BIGINT AS k2, band_key AS v
     FROM bands
@@ -244,6 +296,9 @@ _SIMDUP_HAMMING = 1
     SELECT 'simdup', id_a, id_b, CAST(bit_count(xor(sa, sb)) AS VARCHAR)
     FROM sd_cands
     WHERE bit_count(xor(sa, sb)) <= {_SIMDUP_HAMMING}
+    UNION ALL
+    SELECT 'plant', id_a, id_b, printf('%.6f', jac)
+    FROM pverified
     """,
     tags=("dedup", "minhash", "lsh", "simhash"),
 )
@@ -251,22 +306,73 @@ def d03_minhash_lsh(spark, sf_dir):
     """Signature dedup surfaces, one tagged union: MinHash(16) over
     3-word shingles → 4 LSH band keys per doc ('band'; shingling via
     posexplode + window lead — codegen; the array-lambda form runs
-    interpreted and costs ~50× more per row), and SimHash near-dup
+    interpreted and costs ~50× more per row), MinHash/LSH near-dup
+    DETECTION on a planted-mutation corpus ('plant': band candidates →
+    exact token-Jaccard verify, end-to-end), and SimHash near-dup
     detection ('simdup'): 32-bit token SimHash, half-block candidate
     generation (an equi-join on the 16-bit block key — any Hamming-1
     pair shares a block by pigeonhole), bit_count(xor) verify on
     candidates only."""
     from ..functions.dedup import minhash_signature_pairs, simhash16
-    from ..functions.text import exploded_shingles
+    from ..functions.text import exploded_shingles, tokens
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    # ONE shingle→minhash→band pass covers originals AND plants (+2% of
+    # the corpus): the 'band' arm is the original-id slice of the same
+    # table the 'plant' arm's candidate join probes.
+    plants = docs.where(F.col("doc_id") % _PLANT_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(f" {_PLANT_SUFFIX}")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(plants)
+    sh = exploded_shingles(corpus, "doc_id", "text", 3)
     sig = minhash_signature_pairs(sh, "doc_id")
-    band_arm = lsh_bands(sig, "doc_id").select(
+    # the band table feeds the arm output AND both sides of the plant
+    # candidate self-join — lazy checkpoint, same diamond hygiene as d02
+    bands = lsh_bands(sig, "doc_id").localCheckpoint(eager=False)
+    band_arm = bands.where(F.col("doc_id") < _PLANT_OFFSET).select(
         F.lit("band").alias("which"),
         F.col("doc_id").cast("bigint").alias("k1"),
         F.col("band_id").cast("bigint").alias("k2"),
         F.col("band_key").alias("v"),
+    )
+
+    # 'plant' arm: candidates = band-key collisions touching a plant;
+    # verify = exact token-set Jaccard >= 0.8 — tokenization is confined
+    # to the (tiny) candidate id set via a broadcast semi-join, so the
+    # verify cost is O(candidates), not another corpus pass.
+    pa = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
+    pb = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
+    pcands = (
+        pa.join(pb, ["band_id", "band_key"])
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") >= _PLANT_OFFSET))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand_ids = pcands.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    ptoks = (
+        corpus.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
+        .select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t"))
+    )
+    pta = ptoks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    ptb = ptoks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    pjoined = pcands.join(pta, "id_a").join(ptb, "id_b").withColumn(
+        "_inter", F.size(F.array_intersect("ta", "tb"))
+    )
+    pjac = F.col("_inter").cast("double") / (
+        F.size("ta") + F.size("tb") - F.col("_inter")
+    )
+    plant_arm = (
+        pjoined.withColumn("jac", pjac)
+        .where(F.col("jac") >= _PLANT_JACCARD)
+        .select(
+            F.lit("plant").alias("which"),
+            F.col("id_a").cast("bigint").alias("k1"),
+            F.col("id_b").cast("bigint").alias("k2"),
+            F.format_string("%.6f", F.col("jac")).alias("v"),
+        )
     )
 
     ssig = simhash16(
@@ -315,7 +421,7 @@ def d03_minhash_lsh(spark, sf_dir):
         F.col("id_b").cast("bigint").alias("k2"),
         ham.cast("string").alias("v"),
     )
-    return band_arm.unionByName(simdup_arm)
+    return band_arm.unionByName(simdup_arm).unionByName(plant_arm)
 
 
 # D5 — MinHash accuracy: estimated vs exact Jaccard on high-overlap pairs

@@ -144,6 +144,67 @@ def query_for_180pair(fileinfo: DataFrame, filt: str, exptime: float,
 
 # --- flagship: Results computation (§3.2) ----------------------------------
 
+def _parse_size_bytes(s: str) -> int:
+    """Parse a Spark size conf value ('10MB', '10485760b', '-1')."""
+    s = s.strip().lower()
+    for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                         ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                         ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate, or None when unknown.
+
+    Stats propagate from file-source relations; a plan rooted at a
+    checkpointed/LogicalRDD node (or any estimate >= 2^60, the
+    defaultSizeInBytes sentinel region) reports 'unknown'."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # py4j surface differences — treat as unknown
+        return None
+    return None if size >= (1 << 60) else size
+
+
+def _pairs_broadcastable(pairs_plan: DataFrame) -> bool:
+    """The size-based branch behind every pair-dimension broadcast hint
+    (pair map, fit-row re-attach, zero-fill frame): at true scale the
+    exposure dimension can outgrow broadcast, and the fallback must be a
+    plan decision, not a code edit.
+
+    ``spark.wfc3.pipeline.pairBroadcast``: ``always`` / ``never`` pin
+    the choice (tests pin both shapes); ``auto`` (default) compares the
+    PRE-checkpoint pair plan's Catalyst size estimate against
+    ``spark.sql.autoBroadcastJoinThreshold`` ×16 — the pair relation is
+    ~3 short strings + a bigint per row, and the exploded pair map it
+    feeds is 2 rows each, so the estimate is compared with headroom
+    against the fan-out it becomes. Unknown stats (checkpointed inputs
+    hide file-source stats) fall back to broadcast — the domain reality
+    is exposures ≪ measurements; a deployment where that breaks sets the
+    conf to ``never`` and every pair join becomes a shuffled equi-join
+    on its key (bucket both storage sides by imagename to make those
+    co-located scans)."""
+    spark = pairs_plan.sparkSession
+    mode = spark.conf.get("spark.wfc3.pipeline.pairBroadcast", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    est = _plan_size_bytes(pairs_plan)
+    if est is None:
+        return True
+    try:
+        thresh = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+    except ValueError:
+        thresh = 10 << 20
+    if thresh <= 0:  # auto-broadcast disabled → honor it here too
+        return False
+    return est <= 16 * thresh
+
 def _keyed_pairs(fileinfo: DataFrame) -> DataFrame:
     """The pair relation with its compact surrogate key, materialized
     once (lazily): every shuffle, sort and hash between the alignment and
@@ -220,6 +281,14 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     ap_cols = ["aperture"] if multi else []
     if pairs is None:
         pairs = _keyed_pairs(fileinfo)
+    # size-based branch (see _pairs_broadcastable): estimate on the
+    # PRE-checkpoint pair plan — the checkpointed relation hides source
+    # stats. hint = identity drops every pair-dimension broadcast at once
+    # and the joins become shuffled equi-joins on their keys.
+    bcast = _pairs_broadcastable(
+        query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
+    )
+    hint = F.broadcast if bcast else (lambda d: d)
 
     p = phot_long.where(F.col("radius").isin(apertures)).select(
         "imagename", "master_id", "ypix",
@@ -245,9 +314,11 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     ).select(
         "pair_id", F.col("_s.imagename").alias("imagename"), F.col("_s.side").alias("side"),
     )
-    # broadcast holds while exposures ≪ measurements (the domain reality);
-    # past broadcast size, drop the hint and bucket both sides by imagename
-    tagged = p.join(F.broadcast(pair_map), "imagename")
+    # broadcast holds while exposures ≪ measurements (the domain
+    # reality); past broadcast size the hint is dropped automatically
+    # (the `hint` branch above) and this becomes a shuffled equi-join on
+    # imagename — bucket both storage sides by imagename to co-locate it
+    tagged = p.join(hint(pair_map), "imagename")
     # ONE shuffle for the whole align→fan-out→clip→regression chain: hash
     # partitioning on pair_id alone satisfies the clustered-distribution
     # requirement of every downstream stage (align groups on
@@ -297,7 +368,7 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     # now) and restore the historical column order.
     return (
         reg.where(F.col("slope").isNotNull())
-        .join(F.broadcast(pairs), "pair_id")
+        .join(hint(pairs), "pair_id")
         .select(
             "targname", "imagename_1", "imagename_2", *ap_cols, "fluxbin",
             "slope", "intercept", "stderr", "slopestdev", "num_points",
@@ -356,9 +427,14 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
     # bins×apertures multiplier — so the hint is the same exposure-
     # dimension bet the rest of the pipeline makes, with a bigger
     # constant; unknown post-aggregation stats would otherwise pick a
-    # sort-merge join of two tiny relations. Past broadcast size, drop
-    # BOTH this hint and the pair-map hint together and bucket instead.
-    long = all_bins.join(F.broadcast(reg), group, "left").select(
+    # sort-merge join of two tiny relations. Past broadcast size the
+    # same _pairs_broadcastable branch drops this hint together with the
+    # pair-map hint (one decision governs every pair-dimension hint).
+    bcast = _pairs_broadcastable(
+        query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
+    )
+    hint = F.broadcast if bcast else (lambda d: d)
+    long = all_bins.join(hint(reg), group, "left").select(
         "targname", "imagename_1", "imagename_2", *ap_cols,
         "fluxbin",
         F.coalesce("slope", F.lit(0.0)).alias("slope"),

@@ -144,6 +144,11 @@ def e01_cosine_topk(spark, sf_dir):
 #                    rank = pair rank by sim desc WITHIN id_a — a
 #                    per-id window, because a global rank would funnel
 #                    every surviving pair through one sort task at scale.
+#   kind='recall'  — recall@3 of the LSH ANN arm vs a brute-force top-3
+#                    baseline on the same 10 queries, per query — the
+#                    audit that makes a hyperplane/table change that
+#                    silently craters recall FAIL the value gate (the
+#                    e01 'recall' arm's twin for the LSH path).
 # τ = 0.35 is matched to this synthetic corpus's similarity scale (max
 # pairwise cosine ≈ 0.51 — no planted near-dups); the plan is
 # threshold-independent. Both branches confine quadratic work to buckets.
@@ -175,13 +180,40 @@ _ND_TAU = 0.35
             FROM scored
         ) WHERE rank <= 3
     ),
-    nd AS ({neardup_pairs_sql('embeddings', _ND_TAU)})
+    nd AS ({neardup_pairs_sql('embeddings', _ND_TAU)}),
+    brute3 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({cosine_sql(
+                           'q.qv', 'CAST(c.embedding AS DOUBLE[])')}, 6) DESC,
+                                c.vec_id) AS rnk
+            FROM embeddings c
+            CROSS JOIN (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE {_Q}) q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rnk <= 3
+    ),
+    rec AS (
+        SELECT b.query_id,
+               count(i.neighbor_id)::BIGINT AS n_hits,
+               round(count(i.neighbor_id) / 3.0, 6) AS recall_at_3
+        FROM brute3 b
+        LEFT JOIN ann i ON i.query_id = b.query_id
+                       AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    )
     SELECT * FROM ann
     UNION ALL
     SELECT 'neardup' AS kind, id_a AS query_id, id_b AS neighbor_id, sim,
            CAST(row_number() OVER (PARTITION BY id_a
                                    ORDER BY sim DESC, id_b) AS INT) AS rank
     FROM nd
+    UNION ALL
+    SELECT 'recall' AS kind, query_id, n_hits AS neighbor_id,
+           recall_at_3 AS sim, 3 AS rank
+    FROM rec
     """,
     tags=("similarity", "ann", "lsh", "dedup", "neardup"),
 )
@@ -224,10 +256,14 @@ def e02_ann_neardup(spark, sf_dir):
         .select("query_id", "neighbor_id", F.round(cos(F.col("qv"), F.col("nv")), 6).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    # ann feeds the union AND the recall audit join — lazily checkpoint
+    # the ≤ 3×n_queries-row result so the candidate pipeline runs once
+    # (same diamond hygiene as e01's arms)
     ann = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
         .select(F.lit("ann").alias("kind"), "query_id", "neighbor_id", "sim", "rank")
+        .localCheckpoint(eager=False)
     )
     nd = neardup_pairs(emb, _ND_TAU)
     wn = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
@@ -238,4 +274,26 @@ def e02_ann_neardup(spark, sf_dir):
         "sim",
         F.row_number().over(wn).cast("int").alias("rank"),
     )
-    return ann.unionAll(neardup)
+    # recall@3 audit: brute-force top-3 baseline on the same query set
+    # (one streamed corpus pass, query side broadcast), hits counted
+    # against the ann arm per query — the driver value-checks it, so a
+    # plane/table change that trades recall away fails the gate
+    brute3 = cosine_topk(
+        corpus=decoded_corpus(emb, checkpoint=False), k=3,
+        query_pred=F.col("vec_id") < 10,
+    ).select("query_id", "neighbor_id")
+    recall = (
+        brute3
+        .join(ann.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+              ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+        .select(
+            F.lit("recall").alias("kind"),
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("neighbor_id"),
+            F.round(F.col("n_hits") / F.lit(3.0), 6).alias("sim"),
+            F.lit(3).alias("rank"),
+        )
+    )
+    return ann.unionAll(neardup).unionAll(recall)
