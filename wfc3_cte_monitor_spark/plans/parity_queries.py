@@ -45,6 +45,29 @@ register(
 #   'all_dates'   — project + distinct dates (database_queries.py:87-107)
 #   'mode_filter' — conjunctive equality filters (:112-139)
 #   'epoch_band'  — dateobs BETWEEN d-30 AND d+30 (:176-180)
+#   'incr_maint'  — the Structured-Streaming incremental Results
+#                   maintenance gate (plans/incremental_gate.py): seed a
+#                   store from a snapshot, stream the remaining exposures
+#                   in two micro-batches, foreachBatch-MERGE only the
+#                   touched pairs, fingerprint the final store; the
+#                   oracle FULL-RECOMPUTES the same wide Results — the
+#                   reference's --pr 'last' re-run model
+#                   (run_uvis_external_cte.py:66-85, README.md:497-533).
+#                   Hosted here (not on benched s07): the cycle runs ~3
+#                   full pipeline executions whose fixed cost would
+#                   dominate a benched query; q01 is correctness-only.
+def _incr_maint_oracle() -> str:
+    from .domain_queries import _slope_pipeline_ctes, _wide_sql_cols
+    from .incremental_gate import incr_arm_sql
+
+    inner = incr_arm_sql(_slope_pipeline_ctes(week_subset=True), _wide_sql_cols())
+    return f"""
+    SELECT 'incr_maint' AS which, k AS o_orderkey, CAST(NULL AS DATE) AS obs_date,
+           printf('%.6f/%d', v, ver) AS detail
+    FROM ({inner})
+    """
+
+
 @register(
     "q01_filter_suite",
     oracle="""
@@ -72,8 +95,9 @@ register(
         FROM orders
     )
     WHERE h < 4
-    """,
-    tags=("Q1", "A1", "Q2", "Q3", "J7", "F6", "sampling"),
+    UNION ALL
+    """ + _incr_maint_oracle(),
+    tags=("Q1", "A1", "Q2", "Q3", "J7", "F6", "sampling", "streaming", "incremental"),
 )
 def q01_filter_suite(spark, sf_dir):
     """Projection/filter surface: distinct dates, equality-filter lookup,
@@ -83,7 +107,10 @@ def q01_filter_suite(spark, sf_dir):
     cluster-safe form of a training pipeline's eval split: a pure
     map-side filter, no shuffle, same assignment on re-run and across
     engines; rand()-based sampling survives neither task retries nor
-    the oracle gate)."""
+    the oracle gate) — plus 'incr_maint': the streaming incremental
+    Results-maintenance cycle, whose store fingerprint must equal the
+    oracle's from-scratch recompute (batch-increment == full-recompute,
+    the --pr 'last' semantics)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     null_key = F.lit(None).cast("bigint")
@@ -131,7 +158,18 @@ def q01_filter_suite(spark, sf_dir):
             F.when(F.col("_h") < 2, "val").otherwise("test").alias("detail"),
         )
     )
-    return all_dates.unionAll(mode_filter).unionAll(epoch_band).unionAll(hash_split)
+    from .incremental_gate import incremental_merge_arm
+
+    incr = incremental_merge_arm(spark, sf_dir).select(
+        F.lit("incr_maint").alias("which"),
+        F.col("k").cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("date").alias("obs_date"),
+        F.format_string("%.6f/%d", F.col("v"), F.col("ver")).alias("detail"),
+    )
+    return (
+        all_dates.unionAll(mode_filter).unionAll(epoch_band)
+        .unionAll(hash_split).unionAll(incr)
+    )
 
 
 # J1 — FileInfo→Phot fan-out join (database_queries.py:291-310): filtered

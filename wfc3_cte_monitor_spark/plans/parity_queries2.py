@@ -854,6 +854,11 @@ def f02_json_extract(spark, sf_dir):
 # reference's .cat/.coo/.mag/slope formats and a discovery fixture,
 # read them back through sources/ascii_io.py + sources/discovery.py,
 # fingerprint; the oracle recomputes the fingerprints from parquet.
+# (The Structured-Streaming incremental Results maintenance — the
+# reference's --pr 'last' re-run model — is gated as q01's 'incr_maint'
+# arm, plans/incremental_gate.py: its ~3 full pipeline executions per
+# run carry a fixed multi-second cost that would dominate this BENCHED
+# query; q01 is correctness-only.)
 @register(
     "s07_upsert_merge",
     oracle="""
