@@ -110,7 +110,18 @@ def main() -> None:
         probe_log.append(elapsed)
         return elapsed
 
+    # A pass is SUSPECT when either bracketing probe exceeds
+    # max(1.5x session-min, session-min + 0.5s): the ratio term is the
+    # r4 drift gate, the absolute term keeps the gate meaningful — the
+    # probe itself jitters ~2x around a ~0.1s floor (JIT/GC/scheduling),
+    # which is noise no multi-second query can feel, while a real host
+    # burst inflates the probe by SECONDS. Without the absolute floor the
+    # first calibrated run marked 21/26 queries all-suspect and burned
+    # the whole redo budget on phantom drift; with 0.5s slack a follow-up
+    # run flagged nothing. 0.3s splits the difference: >3x the observed
+    # quiet-window probe jitter, far below any burst that matters.
     PROBE_DRIFT = 1.5
+    PROBE_SLACK_S = 0.3
 
     # per query: list of (elapsed, probe_before, probe_after)
     all_passes: dict[str, list[tuple[float, float, float]]] = {n: [] for n in names}
@@ -132,7 +143,7 @@ def main() -> None:
             last_probe = p_after
 
     def clean(p: tuple[float, float, float], pmin: float) -> bool:
-        return max(p[1], p[2]) <= PROBE_DRIFT * pmin
+        return max(p[1], p[2]) <= max(PROBE_DRIFT * pmin, pmin + PROBE_SLACK_S)
 
     # Redo phase: any query with no CLEAN warm pass gets re-run (fresh
     # probe bracket each time) until one lands in a quiet window.
