@@ -402,26 +402,31 @@ def cs03_cte_vs_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cs04: CTE slope vs log-flux (σ-clipped flux, stderr = stdev / √n) ------
 
-_FLUXCLIP_GROUP = ["targname", "epoch", "imagename_1", "imagename_2"]
+# cs04 sweeps the same two apertures as cs03/cs05 — per-image flux,
+# σ-clip, and slope join all carry aperture as one more grouping key
+# (the reference's per-aperture output loop, run_outputs.py:225-295).
+_CS04_APERTURES = (3, 4)
+_FLUXCLIP_GROUP = ["targname", "epoch", "aperture", "imagename_1", "imagename_2"]
 
 
 @register(
     "cs04_cte_vs_logflux",
     oracle=f"""
-    WITH {_slope_pipeline_ctes(week_subset=True)},
+    WITH {_slope_pipeline_ctes(week_subset=True, apertures=_CS04_APERTURES)},
     epochs AS ({_EPOCHS_SQL}),
     obs AS ({_OBS_SQL}),
     pflux AS (
-        SELECT o.targname, o.epoch, o.imagename_1, o.imagename_2, pl.net_flux
+        SELECT o.targname, o.epoch, pl.aperture, o.imagename_1, o.imagename_2,
+               pl.net_flux
         FROM obs o JOIN plong pl ON pl.imagename = o.imagename_1
     ),
     fclip AS ({sigma_clip_sql("pflux", "net_flux", _FLUXCLIP_GROUP, sigma=4.0, iterations=3)}),
     fmean AS (
-        SELECT targname, epoch, imagename_1, imagename_2,
+        SELECT targname, epoch, aperture, imagename_1, imagename_2,
                avg(net_flux) AS mean_flux
-        FROM fclip GROUP BY targname, epoch, imagename_1, imagename_2
+        FROM fclip GROUP BY targname, epoch, aperture, imagename_1, imagename_2
     )
-    SELECT m.targname, m.epoch, r.fluxbin,
+    SELECT m.targname, m.epoch, m.aperture, r.fluxbin,
            {round_stable_sql("avg(log10(m.mean_flux))", 8)} AS mean_logflux,
            {round_stable_sql("avg(r.slope)", 8)} AS mean_slope,
            {round_stable_sql("avg(r.slopestdev / sqrt(r.num_points))", 8)} AS mean_stderr,
@@ -430,19 +435,20 @@ _FLUXCLIP_GROUP = ["targname", "epoch", "imagename_1", "imagename_2"]
     JOIN reg r ON m.targname = r.targname
               AND m.imagename_1 = r.imagename_1
               AND m.imagename_2 = r.imagename_2
+              AND m.aperture = r.aperture
     WHERE r.slope IS NOT NULL
       AND NOT (CASE WHEN m.targname LIKE '%6791%'
                     THEN r.fluxbin IN ('{FLUXBIN_LABELS[0]}', '{FLUXBIN_LABELS[1]}')
                     ELSE r.fluxbin = '{FLUXBIN_LABELS[0]}' END)
-    GROUP BY m.targname, m.epoch, r.fluxbin
+    GROUP BY m.targname, m.epoch, m.aperture, r.fluxbin
     """,
     tags=("trend", "J7", "F13", "A2", "A4"),
 )
 def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend layer vs log-flux (plot_cteslope_vs_logflux_setup,
     uvis_external_cte_plots.py:1450-1674): 4σ-clipped per-image flux mean
-    (:1610-1613), stderr = stdev / sqrt(n) (:1633), and the per-target
-    skipbins rule (:1648-1653)."""
+    (:1610-1613), stderr = stdev / sqrt(n) (:1633), the per-target
+    skipbins rule (:1648-1653), swept over apertures (3, 4) in one pass."""
     from .pipeline import compute_results_long
     from .trends import cte_slope_vs_logflux, epoch_dimension, skipbins_filter
 
@@ -450,10 +456,12 @@ def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join AND the flux clip — one materialization of the tiny relation
     fi = _materialize_fi(analog_fileinfo(spark, sf_dir, week_subset=True))
     ph = analog_phot(spark, sf_dir, week_subset=True)
-    slopes = compute_results_long(fi, ph, aperture=3)
-    trend = cte_slope_vs_logflux(fi, ph, slopes, epoch_dimension(fi), aperture=3)
+    slopes = compute_results_long(fi, ph, aperture=list(_CS04_APERTURES))
+    trend = cte_slope_vs_logflux(
+        fi, ph, slopes, epoch_dimension(fi), aperture=list(_CS04_APERTURES)
+    )
     return skipbins_filter(trend).select(
-        "targname", "epoch", "fluxbin",
+        "targname", "epoch", "aperture", "fluxbin",
         round_stable("mean_logflux", 8).alias("mean_logflux"),
         round_stable("mean_slope", 8).alias("mean_slope"),
         round_stable("mean_stderr", 8).alias("mean_stderr"),

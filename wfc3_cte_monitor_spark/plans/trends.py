@@ -116,14 +116,24 @@ def cte_slope_vs_time(fileinfo: DataFrame, slopes_long: DataFrame,
 
 def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
                          slopes_long: DataFrame, epochs: DataFrame,
-                         aperture: int = 3) -> DataFrame:
+                         aperture: int | list[int] = 3) -> DataFrame:
     """Slope vs log-flux per epoch: per (epoch, fluxbin) the mean log10
     net flux against the stored slope. The per-image flux list is 4σ-clipped
     before its mean is taken (``sigmaclip(fluxes, high=4, low=4)`` at
     uvis_external_cte_plots.py:1610-1613); stderr = stdev / sqrt(n)
-    (:1633)."""
+    (:1633).
+
+    A list ``aperture`` sweeps the trend per aperture in ONE pass
+    (matching the multi-aperture form of ``compute_results_long``): the
+    per-image flux, its σ-clip, and the slope join all carry aperture as
+    a grouping column — the reference's per-aperture output loop
+    (run_outputs.py:225-295) as one more key, not another pass."""
     from ..operators.sigma_clip import sigma_clip
     from .pipeline import query_for_pair
+
+    apertures = [aperture] if isinstance(aperture, int) else sorted(aperture)
+    multi = len(apertures) > 1
+    ap_cols = ["aperture"] if multi else []
 
     pairs = query_for_pair(fileinfo).select("targname", "dateobs", "imagename_1", "imagename_2")
     obs = band_join(
@@ -135,24 +145,27 @@ def cte_slope_vs_logflux(fileinfo: DataFrame, phot_long: DataFrame,
         fan_side="right",
     ).where(F.col("targname") == F.col("epoch_targname"))
 
-    p = phot_long.where(F.col("radius") == aperture).select(
+    p = phot_long.where(F.col("radius").isin(apertures)).select(
         F.col("imagename").alias("imagename_1"),
         (F.col("flux") - F.col("totbkgrd")).alias("net_flux"),
+        *([F.col("radius").alias("aperture")] if multi else []),
     )
     clipped = sigma_clip(
         obs.join(p, "imagename_1"),
         "net_flux",
-        ["targname", "epoch", "imagename_1", "imagename_2"],
+        ["targname", "epoch", *ap_cols, "imagename_1", "imagename_2"],
         sigma=4.0,
         iterations=3,
     )
     flux_per_pair = clipped.groupBy(
-        "targname", "epoch", "imagename_1", "imagename_2"
+        "targname", "epoch", *ap_cols, "imagename_1", "imagename_2"
     ).agg(F.avg("net_flux").alias("mean_flux"))
 
-    joined = flux_per_pair.join(slopes_long, ["targname", "imagename_1", "imagename_2"])
+    joined = flux_per_pair.join(
+        slopes_long, ["targname", "imagename_1", "imagename_2", *ap_cols]
+    )
     return (
-        joined.groupBy("targname", "epoch", "fluxbin")
+        joined.groupBy("targname", "epoch", *ap_cols, "fluxbin")
         .agg(
             F.avg(F.log10("mean_flux")).alias("mean_logflux"),
             F.avg("slope").alias("mean_slope"),

@@ -27,6 +27,16 @@ from .registry import register
 #                     clicks within 6 h); window_start/window_end carry
 #                     (trigger_ts, cause_ts), key is user:trigger[:cause],
 #                     sum_value the attribution lag in seconds
+#   kind='dedup'    — batch twin of the watermarked stateful dedup
+#                     (streaming/events.stream_dedup /
+#                     dropDuplicatesWithinWatermark): the events corpus
+#                     with every 97th event REDELIVERED (identical copy —
+#                     the at-least-once scenario the operator exists
+#                     for) collapses back to one row per event_id;
+#                     n_events pins the pre-dedup delivery count, so a
+#                     missed collapse or a double-application breaks the
+#                     hash. Stream == batch equivalence is proven in
+#                     tests/test_streaming.py.
 @register(
     "ev01_event_windows",
     oracle="""
@@ -67,6 +77,17 @@ from .registry import register
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+    UNION ALL
+    SELECT 'dedup', min_ts, min_ts, CAST(event_id AS VARCHAR), n_copies,
+           round(value, 6)
+    FROM (
+        SELECT event_id, min(ts) AS min_ts, count(*)::BIGINT AS n_copies,
+               any_value(value) AS value
+        FROM (SELECT event_id, ts, value FROM events
+              UNION ALL
+              SELECT event_id, ts, value FROM events WHERE event_id % 97 = 0)
+        GROUP BY event_id
+    ) WHERE n_copies > 1
     UNION ALL
     SELECT 'session', session_start,
            session_end, CAST(user_id AS VARCHAR), n_events,
@@ -173,4 +194,28 @@ def ev01_event_windows(spark, sf_dir):
         F.lit(1).cast("bigint").alias("n_events"),
         F.col("lag_seconds").alias("sum_value"),
     )
-    return tumbling.unionAll(sliding).unionAll(session).unionAll(attrib)
+    # 'dedup' — batch twin of stream_dedup (dropDuplicatesWithinWatermark)
+    # over an at-least-once corpus: every 97th event redelivered as an
+    # identical copy; one groupBy on the natural key collapses it and
+    # keeps the delivery count as evidence. All aggregates are over
+    # identical copies, so any_value/first are deterministic.
+    replayed = ev.select("event_id", "ts", "value").where(F.col("event_id") % 97 == 0)
+    dedup = (
+        ev.select("event_id", "ts", "value").unionByName(replayed)
+        .groupBy("event_id")
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.first("value").alias("value"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            F.lit("dedup").alias("kind"),
+            F.col("min_ts").alias("window_start"),
+            F.col("min_ts").alias("window_end"),
+            F.col("event_id").cast("string").alias("key"),
+            F.col("n_copies").alias("n_events"),
+            F.round("value", 6).alias("sum_value"),
+        )
+    )
+    return tumbling.unionAll(sliding).unionAll(session).unionAll(attrib).unionAll(dedup)
