@@ -27,7 +27,7 @@ REPLICAS = 10
 KEY_OFFSET = 10_000_000
 DAY_SHIFT = 2557  # ~ the TPC-H order-date span, so replicas extend the epoch axis
 
-QUERIES = ["cs05_results_wide", "cs03_cte_vs_time"]
+QUERIES = ["cs05_results_wide", "cs03_cte_vs_time", "cs04_cte_vs_logflux"]
 # LLM-pipeline probes: replicas are EXACT copies under remapped ids —
 # 10x growth that is pure duplication, the realistic stress for a dedup
 # pipeline (d02's verified-edge set grows ~100x per bucket) and a
