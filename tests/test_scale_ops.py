@@ -144,3 +144,42 @@ def test_bucketed_write_avoids_join_shuffle(spark, tmp_path):
         for t in (ta, tb):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_pairs_broadcastable_modes_and_size_parse(spark):
+    """The size-based pair-broadcast branch: conf pins win outright;
+    auto honors a disabled auto-broadcast threshold and known plan
+    stats; the size parser accepts Spark's conf spellings."""
+    from wfc3_cte_monitor_spark.plans.pipeline import (
+        _pairs_broadcastable,
+        _parse_size_bytes,
+        _plan_size_bytes,
+    )
+
+    assert _parse_size_bytes("10MB") == 10 << 20
+    assert _parse_size_bytes("10485760b") == 10 << 20
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("-1") == -1
+
+    # a concrete local relation has known (tiny) stats
+    tiny = spark.range(100).selectExpr(
+        "'t' AS targname", "CAST(id AS STRING) AS imagename_1",
+        "CAST(id + 1 AS STRING) AS imagename_2"
+    )
+    assert _plan_size_bytes(tiny) is not None
+
+    prev = spark.conf.get("spark.wfc3.pipeline.pairBroadcast", "auto")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.wfc3.pipeline.pairBroadcast", "always")
+        assert _pairs_broadcastable(tiny) is True
+        spark.conf.set("spark.wfc3.pipeline.pairBroadcast", "never")
+        assert _pairs_broadcastable(tiny) is False
+        spark.conf.set("spark.wfc3.pipeline.pairBroadcast", "auto")
+        assert _pairs_broadcastable(tiny) is True  # tiny known stats
+        # auto-broadcast disabled session-wide -> the pair hints defer too
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _pairs_broadcastable(tiny) is False
+    finally:
+        spark.conf.set("spark.wfc3.pipeline.pairBroadcast", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
