@@ -27,6 +27,7 @@ HEADLINE = [
     "cs01_cte_slope_pairs",
     "cs02_cte_slope_180pairs",
     "cs03_cte_vs_time",
+    "cs04_cte_vs_logflux",
     "cs05_results_wide",
     "n03_model_backtest",
     "s01_header_derivations",
