@@ -212,6 +212,14 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
 #                    and exact token-set Jaccard >= 0.8 verifies — so
 #                    the 'band' arm's signature table AND the detection
 #                    path it exists for are both oracle-gated.
+#   which='ngram'  — n-GRAM (3-word shingle) Jaccard near-dup over the
+#                    same planted candidates: exact shingle-set Jaccard
+#                    >= 0.8 on band-collision pairs — the n-gram-Jaccard
+#                    dedup method as its own gated verify (token-set
+#                    and shingle-set similarity rank pairs differently;
+#                    shingle Jaccard is the stricter, order-sensitive
+#                    measure MinHash actually approximates). Shingle
+#                    sets are built ONLY for the candidate id set.
 #   which='simdup' — SimHash near-dup DETECTION end-to-end: a 32-bit
 #                    token SimHash, blocked into 2 halves of 16 bits —
 #                    any pair within Hamming 1 shares at least one
@@ -289,6 +297,20 @@ _PLANT_JACCARD = 0.8
             JOIN ptoks ta ON ta.doc_id = c.id_a
             JOIN ptoks tb ON tb.doc_id = c.id_b
         ) WHERE jac >= {_PLANT_JACCARD}
+    ),
+    pshingles AS (
+        SELECT doc_id, list_sort({shingles_sql_inline('text', 3)}) AS s
+        FROM plantcorp
+    ),
+    ngram AS (
+        SELECT id_a, id_b, jac FROM (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(sa.s, sb.s))::DOUBLE
+                       / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+            FROM pcands c
+            JOIN pshingles sa ON sa.doc_id = c.id_a
+            JOIN pshingles sb ON sb.doc_id = c.id_b
+        ) WHERE jac >= {_PLANT_JACCARD}
     )
     SELECT 'band' AS which, doc_id AS k1, band_id::BIGINT AS k2, band_key AS v
     FROM bands
@@ -299,6 +321,9 @@ _PLANT_JACCARD = 0.8
     UNION ALL
     SELECT 'plant', id_a, id_b, printf('%.6f', jac)
     FROM pverified
+    UNION ALL
+    SELECT 'ngram', id_a, id_b, printf('%.6f', jac)
+    FROM ngram
     """,
     tags=("dedup", "minhash", "lsh", "simhash"),
 )
@@ -375,6 +400,35 @@ def d03_minhash_lsh(spark, sf_dir):
         )
     )
 
+    # 'ngram' arm: the same candidates verified on exact 3-gram SHINGLE
+    # Jaccard — the order-sensitive n-gram similarity MinHash actually
+    # approximates. The lambda-form shingles() is fine here: it runs on
+    # the candidate id set only, never the corpus.
+    from ..functions.text import shingles
+
+    psh = (
+        corpus.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
+        .select("doc_id", F.array_sort(shingles("text", 3)).alias("s"))
+    )
+    sha = psh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa_sh"))
+    shb = psh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb_sh"))
+    njoined = pcands.join(sha, "id_a").join(shb, "id_b").withColumn(
+        "_ninter", F.size(F.array_intersect("sa_sh", "sb_sh"))
+    )
+    njac = F.col("_ninter").cast("double") / (
+        F.size("sa_sh") + F.size("sb_sh") - F.col("_ninter")
+    )
+    ngram_arm = (
+        njoined.withColumn("jac", njac)
+        .where(F.col("jac") >= _PLANT_JACCARD)
+        .select(
+            F.lit("ngram").alias("which"),
+            F.col("id_a").cast("bigint").alias("k1"),
+            F.col("id_b").cast("bigint").alias("k2"),
+            F.format_string("%.6f", F.col("jac")).alias("v"),
+        )
+    )
+
     ssig = simhash16(
         docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"), nbits=32
     )
@@ -421,7 +475,10 @@ def d03_minhash_lsh(spark, sf_dir):
         F.col("id_b").cast("bigint").alias("k2"),
         ham.cast("string").alias("v"),
     )
-    return band_arm.unionByName(simdup_arm).unionByName(plant_arm)
+    return (
+        band_arm.unionByName(simdup_arm)
+        .unionByName(plant_arm).unionByName(ngram_arm)
+    )
 
 
 # D5 — MinHash accuracy: estimated vs exact Jaccard on high-overlap pairs
