@@ -168,7 +168,7 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     return None if size >= (1 << 60) else size
 
 
-def _pairs_broadcastable(pairs_plan: DataFrame) -> bool:
+def _pairs_broadcastable(fileinfo: DataFrame) -> bool:
     """The size-based branch behind every pair-dimension broadcast hint
     (pair map, fit-row re-attach, zero-fill frame): at true scale the
     exposure dimension can outgrow broadcast, and the fallback must be a
@@ -176,23 +176,28 @@ def _pairs_broadcastable(pairs_plan: DataFrame) -> bool:
 
     ``spark.wfc3.pipeline.pairBroadcast``: ``always`` / ``never`` pin
     the choice (tests pin both shapes); ``auto`` (default) compares the
-    PRE-checkpoint pair plan's Catalyst size estimate against
-    ``spark.sql.autoBroadcastJoinThreshold`` ×16 — the pair relation is
-    ~3 short strings + a bigint per row, and the exploded pair map it
-    feeds is 2 rows each, so the estimate is compared with headroom
-    against the fan-out it becomes. Unknown stats (checkpointed inputs
-    hide file-source stats) fall back to broadcast — the domain reality
-    is exposures ≪ measurements; a deployment where that breaks sets the
-    conf to ``never`` and every pair join becomes a shuffled equi-join
-    on its key (bucket both storage sides by imagename to make those
-    co-located scans)."""
-    spark = pairs_plan.sparkSession
+    FILEINFO relation's Catalyst size estimate against
+    ``spark.sql.autoBroadcastJoinThreshold`` ×16. The estimate is taken
+    on the exposure dimension, NOT the pair self-join's output: without
+    column stats Catalyst sizes a join as roughly the product of its
+    children (measured: 2.5 TB estimated for a 150-row pair relation at
+    sf0.1), which would demote every broadcast unconditionally. The
+    pair relation is bounded by the chip-1 half of fileinfo with ~3
+    short key columns, so fileinfo's own linear-operator estimate (scan
+    stats survive project/aggregate/generate un-multiplied) is the
+    honest proxy, and the ×16 headroom covers the 2-rows-per-pair
+    exploded map. Unknown stats fall back to broadcast — the domain
+    reality is exposures ≪ measurements; a deployment where that breaks
+    sets the conf to ``never`` and every pair join becomes a shuffled
+    equi-join on its key (bucket both storage sides by imagename to
+    make those co-located scans)."""
+    spark = fileinfo.sparkSession
     mode = spark.conf.get("spark.wfc3.pipeline.pairBroadcast", "auto")
     if mode == "always":
         return True
     if mode == "never":
         return False
-    est = _plan_size_bytes(pairs_plan)
+    est = _plan_size_bytes(fileinfo)
     if est is None:
         return True
     try:
@@ -281,13 +286,10 @@ def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,
     ap_cols = ["aperture"] if multi else []
     if pairs is None:
         pairs = _keyed_pairs(fileinfo)
-    # size-based branch (see _pairs_broadcastable): estimate on the
-    # PRE-checkpoint pair plan — the checkpointed relation hides source
-    # stats. hint = identity drops every pair-dimension broadcast at once
-    # and the joins become shuffled equi-joins on their keys.
-    bcast = _pairs_broadcastable(
-        query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
-    )
+    # size-based branch (see _pairs_broadcastable): estimated on the
+    # exposure dimension. hint = identity drops every pair-dimension
+    # broadcast at once and the joins become shuffled equi-joins.
+    bcast = _pairs_broadcastable(fileinfo)
     hint = F.broadcast if bcast else (lambda d: d)
 
     p = phot_long.where(F.col("radius").isin(apertures)).select(
@@ -430,9 +432,7 @@ def compute_results(fileinfo: DataFrame, phot_long: DataFrame,
     # sort-merge join of two tiny relations. Past broadcast size the
     # same _pairs_broadcastable branch drops this hint together with the
     # pair-map hint (one decision governs every pair-dimension hint).
-    bcast = _pairs_broadcastable(
-        query_for_pair(fileinfo).select("targname", "imagename_1", "imagename_2")
-    )
+    bcast = _pairs_broadcastable(fileinfo)
     hint = F.broadcast if bcast else (lambda d: d)
     long = all_bins.join(hint(reg), group, "left").select(
         "targname", "imagename_1", "imagename_2", *ap_cols,
