@@ -91,14 +91,20 @@ def main() -> None:
         return elapsed
 
     # --- calibration probe --------------------------------------------------
-    # A fixed CPU-bound JVM job (codegen range-sum, no I/O, no Python)
-    # timed BETWEEN passes. Host-noise bursts here last tens of seconds,
-    # so a burst that inflates a query pass also inflates the probes
-    # bracketing it; a pass whose surrounding probes drifted >1.5x from
-    # the session-minimum probe is marked SUSPECT and re-run. This is the
+    # A fixed CPU-bound job timed BETWEEN passes. Host-noise bursts here
+    # last tens of seconds, so a burst that inflates a query pass also
+    # inflates the probes bracketing it; a pass whose surrounding probes
+    # drifted past the gate is marked SUSPECT and re-run. This is the
     # r4 lesson: dispersion/stall triggers can't save a query when EVERY
     # scheduled pass lands in a burst — only an external time reference
     # can (official r4 best-of sat 2-3x above quiet-window reruns).
+    # The probe is deliberately JVM-only (codegen range-sum, no I/O, no
+    # Python): a mapInPandas leg was tried and rejected — the Arrow +
+    # worker roundtrip itself jitters ~2.4x between quiet windows, which
+    # poisons the reference and re-flags everything. Known limitation:
+    # contention that squeezes ONLY the Python workers is invisible to
+    # this probe; the pandas-UDF queries' residual spread (e01/m01) is
+    # attributable to that domain, which best-of-N absorbs.
     probe_df = spark.range(0, 200_000_000, 1, par).selectExpr(
         "sum(id * 3 + 1) AS s"
     )
