@@ -246,3 +246,14 @@ def test_pair_broadcast_fallback_both_shapes(spark):
     got_auto = sorted(map(tuple, auto_df.collect()))
     got_never = sorted(map(tuple, never_df.collect()))
     assert got_auto == got_never
+
+
+def test_pair_broadcast_auto_keeps_flagship_broadcast(spark):
+    # Regression guard for the join-output-estimate trap: Catalyst sizes
+    # a no-stats self-join as ~the product of its children (2.5 TB for a
+    # 150-row pair relation), which once demoted every pair broadcast in
+    # AUTO mode. On the small analog fixture auto must keep the pair
+    # joins broadcast — no SortMergeJoin anywhere in the flagship plan.
+    plan = _plan(spark, "cs05_results_wide")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
