@@ -27,6 +27,13 @@ from .registry import register
 #                     clicks within 6 h); window_start/window_end carry
 #                     (trigger_ts, cause_ts), key is user:trigger[:cause],
 #                     sum_value the attribution lag in seconds
+#   kind='profile'  — batch twin of the CUSTOM-STATE streaming operator
+#                     (streaming/stateful.running_user_profile,
+#                     applyInPandasWithState): the converged per-user
+#                     profile (event count, value sum, first/last seen).
+#                     tests/test_streaming.py proves the stream's final
+#                     emission equals this aggregate, so arm + test gate
+#                     the custom-state path end-to-end.
 #   kind='dedup'    — batch twin of the watermarked stateful dedup
 #                     (streaming/events.stream_dedup /
 #                     dropDuplicatesWithinWatermark): the events corpus
@@ -77,6 +84,10 @@ from .registry import register
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+    UNION ALL
+    SELECT 'profile', min(ts), max(ts), CAST(user_id AS VARCHAR),
+           count(*)::BIGINT, round(sum(value), 6)
+    FROM events GROUP BY user_id
     UNION ALL
     SELECT 'dedup', min_ts, min_ts, CAST(event_id AS VARCHAR), n_copies,
            round(value, 6)
@@ -194,6 +205,27 @@ def ev01_event_windows(spark, sf_dir):
         F.lit(1).cast("bigint").alias("n_events"),
         F.col("lag_seconds").alias("sum_value"),
     )
+    # 'profile' — batch twin of the applyInPandasWithState running
+    # profile: the converged per-user (count, sum, first/last ts);
+    # test_streaming proves the stream's final emission equals this.
+    profile = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.lit("profile").alias("kind"),
+            F.col("first_ts").alias("window_start"),
+            F.col("last_ts").alias("window_end"),
+            F.col("user_id").cast("string").alias("key"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
     # 'dedup' — batch twin of stream_dedup (dropDuplicatesWithinWatermark)
     # over an at-least-once corpus: every 97th event redelivered as an
     # identical copy; one groupBy on the natural key collapses it and
@@ -218,4 +250,7 @@ def ev01_event_windows(spark, sf_dir):
             F.round("value", 6).alias("sum_value"),
         )
     )
-    return tumbling.unionAll(sliding).unionAll(session).unionAll(attrib).unionAll(dedup)
+    return (
+        tumbling.unionAll(sliding).unionAll(session)
+        .unionAll(attrib).unionAll(profile).unionAll(dedup)
+    )
