@@ -455,7 +455,13 @@ def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see cs03: fi is reused across the pair map, epoch dimension, band
     # join AND the flux clip — one materialization of the tiny relation
     fi = _materialize_fi(analog_fileinfo(spark, sf_dir, week_subset=True))
-    ph = analog_phot(spark, sf_dir, week_subset=True)
+    # cs04 is the one trend query with TWO phot consumers (the slope
+    # pipeline and the per-image flux clip), each re-running the
+    # lineitem⋈orders derivation when pipelined; materialize it once,
+    # lazily. Interleaved A/B at sf0.1: ckpt 4.77 s vs pipelined 5.07 s
+    # best — and at scale it saves a whole join pass, unlike t02's
+    # raw-text case where a checkpoint lost to scan pipelining.
+    ph = analog_phot(spark, sf_dir, week_subset=True).localCheckpoint(eager=False)
     slopes = compute_results_long(fi, ph, aperture=list(_CS04_APERTURES))
     trend = cte_slope_vs_logflux(
         fi, ph, slopes, epoch_dimension(fi), aperture=list(_CS04_APERTURES)
