@@ -611,14 +611,20 @@ _MODEL_RS = round_stable_sql(_MODEL_SQL, 8)
 _RESID_RS = round_stable_sql(f"t.mean_slope - {_MODEL_RS}", 8)
 
 
+# n03 sweeps the same two apertures as the rest of the trend layer —
+# the model fit becomes per (target, aperture, fluxbin), the grain the
+# reference's per-aperture output loop produces coefficients at.
+_N03_APERTURES = (3, 4)
+
+
 @register(
     "n03_model_backtest",
     oracle=f"""
-    WITH {_slope_pipeline_ctes(week_subset=True)},
+    WITH {_slope_pipeline_ctes(week_subset=True, apertures=_N03_APERTURES)},
     epochs AS ({_EPOCHS_SQL}),
     obs AS ({_OBS_SQL}),
     trend AS (
-        SELECT o.targname, o.epoch, r.fluxbin,
+        SELECT o.targname, o.epoch, r.aperture, r.fluxbin,
                (o.epoch - {_X_CENTER}) / {_X_SCALE} AS _x,
                {round_stable_sql("avg(r.slope)", 8)} AS mean_slope
         FROM obs o
@@ -626,17 +632,18 @@ _RESID_RS = round_stable_sql(f"t.mean_slope - {_MODEL_RS}", 8)
                   AND o.imagename_1 = r.imagename_1
                   AND o.imagename_2 = r.imagename_2
         WHERE r.slope IS NOT NULL
-        GROUP BY o.targname, o.epoch, r.fluxbin
+        GROUP BY o.targname, o.epoch, r.aperture, r.fluxbin
     ),
     fit AS ({quadfit_sql("SELECT * FROM trend", x="_x", y="mean_slope",
-                         group_cols=["targname", "fluxbin"], round_to=8)})
-    SELECT t.targname, t.epoch, t.fluxbin,
+                         group_cols=["targname", "aperture", "fluxbin"], round_to=8)})
+    SELECT t.targname, t.epoch, t.aperture, t.fluxbin,
            t.mean_slope AS observed_slope,
            {_MODEL_RS} AS model_slope,
            {_RESID_RS} AS residual,
            f.num_points AS n_epochs
     FROM trend t
     JOIN fit f ON t.targname = f.targname AND t.fluxbin = f.fluxbin
+              AND t.aperture = f.aperture
     """,
     tags=("model", "N1", "N2", "W3"),
 )
@@ -651,11 +658,11 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fi = _materialize_fi(analog_fileinfo(spark, sf_dir, week_subset=True))
     ph = analog_phot(spark, sf_dir, week_subset=True)
-    slopes = compute_results_long(fi, ph, aperture=3)
+    slopes = compute_results_long(fi, ph, aperture=list(_N03_APERTURES))
     trend = (
         cte_slope_vs_time(fi, slopes, epoch_dimension(fi))
         .select(
-            "targname", "epoch", "fluxbin",
+            "targname", "epoch", "aperture", "fluxbin",
             ((F.col("epoch") - _X_CENTER) / _X_SCALE).alias("_x"),
             round_stable("mean_slope", 8).alias("mean_slope"),
         )
@@ -670,11 +677,11 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     fit = quadfit_agg(trend, x="_x", y="mean_slope",
-                      group_cols=["targname", "fluxbin"], round_to=8)
+                      group_cols=["targname", "aperture", "fluxbin"], round_to=8)
     model = F.col("c0") + F.col("c1") * F.col("_x") + F.col("c2") * F.col("_x") * F.col("_x")
-    joined = trend.join(fit, ["targname", "fluxbin"])
+    joined = trend.join(fit, ["targname", "aperture", "fluxbin"])
     return joined.select(
-        "targname", "epoch", "fluxbin",
+        "targname", "epoch", "aperture", "fluxbin",
         F.col("mean_slope").alias("observed_slope"),
         round_stable(model, 8).alias("model_slope"),
         round_stable(F.col("mean_slope") - round_stable(model, 8), 8).alias("residual"),
