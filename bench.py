@@ -98,24 +98,45 @@ def main() -> None:
     # r4 lesson: dispersion/stall triggers can't save a query when EVERY
     # scheduled pass lands in a burst — only an external time reference
     # can (official r4 best-of sat 2-3x above quiet-window reruns).
-    # The probe is deliberately JVM-only (codegen range-sum, no I/O, no
-    # Python): a mapInPandas leg was tried and rejected — the Arrow +
-    # worker roundtrip itself jitters ~2.4x between quiet windows, which
-    # poisons the reference and re-flags everything. Known limitation:
-    # contention that squeezes ONLY the Python workers is invisible to
-    # this probe; the pandas-UDF queries' residual spread (e01/m01) is
-    # attributable to that domain, which best-of-N absorbs.
+    # This leg is deliberately JVM-only (codegen range-sum, no I/O, no
+    # Python) so its reference floor is tight; the Python-worker domain
+    # gets its OWN separately-gated leg below (r5's attempt to share one
+    # gate failed because the Arrow roundtrip jitters ~2.4x even quiet).
     probe_df = spark.range(0, 200_000_000, 1, par).selectExpr(
         "sum(id * 3 + 1) AS s"
     )
     probe_log: list[float] = []
 
-    def probe() -> float:
+    # Second, separately-gated probe for the PYTHON-WORKER domain: a tiny
+    # fixed mapInPandas job (fork-warmed pool, numpy already imported) that
+    # pays one Arrow roundtrip per core plus a bounded numpy kernel. The
+    # JVM probe is blind to contention that squeezes only the Arrow/pandas
+    # workers (r5: n03 spanned 4.2-18.3s with every pass "clean"); this
+    # leg sees it. It is gated on ITS OWN session-min with a WIDER gate —
+    # the roundtrip itself jitters ~2.4x between quiet windows, which is
+    # why the r5 attempt to fold a Python leg into the shared JVM gate
+    # poisoned the reference and was rejected — and it only flags queries
+    # whose physical plan actually contains Python eval nodes.
+    def _py_work(it):
+        import numpy as np  # already imported in the warmed workers
+
+        for pdf in it:
+            a = np.arange(200_000, dtype="float64")
+            yield pdf.assign(id=pdf["id"] + int(np.sin(a).sum() * 0))
+
+    pyprobe_df = spark.range(par).repartition(par).mapInPandas(_py_work, "id long")
+    pyprobe_log: list[float] = []
+
+    def probe() -> tuple[float, float]:
         t0 = time.perf_counter()
         probe_df.write.mode("overwrite").format("noop").save()
-        elapsed = time.perf_counter() - t0
-        probe_log.append(elapsed)
-        return elapsed
+        jvm = time.perf_counter() - t0
+        probe_log.append(jvm)
+        t0 = time.perf_counter()
+        pyprobe_df.write.mode("overwrite").format("noop").save()
+        py = time.perf_counter() - t0
+        pyprobe_log.append(py)
+        return jvm, py
 
     # A pass is SUSPECT when either bracketing probe exceeds
     # max(1.5x session-min, session-min + 0.5s): the ratio term is the
@@ -129,9 +150,41 @@ def main() -> None:
     # quiet-window probe jitter, far below any burst that matters.
     PROBE_DRIFT = 1.5
     PROBE_SLACK_S = 0.3
+    # Python-leg gate: wider than the JVM gate because the Arrow worker
+    # roundtrip itself jitters ~2.4x between quiet windows (measured r5)
+    # — 3x + 1.0s only trips on multi-second worker-pool stalls, which is
+    # the n03/e01/m01 failure mode this leg exists to surface.
+    PYPROBE_DRIFT = 3.0
+    PYPROBE_SLACK_S = 1.0
 
-    # per query: list of (elapsed, probe_before, probe_after)
-    all_passes: dict[str, list[tuple[float, float, float]]] = {n: [] for n in names}
+    # Does this query's physical plan run anything in Python workers?
+    # Decided from the plan itself (not a hand-kept list) so the py-leg
+    # gate tracks the code: only those queries can be py-flagged.
+    _PY_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                 "BatchEvalPython", "PythonUDF", "FlatMapGroupsInPandasWithState")
+    uses_python: dict[str, bool] = {}
+
+    def _uses_python(name: str) -> bool:
+        if name not in uses_python:
+            # build the probe plan with checkpoint truncation DISABLED:
+            # the lazy-checkpoint sites re-root their subtree at a
+            # LogicalRDD, which would hide e.g. e01's pandas-UDF stages
+            # from the inspector (observed: e01 read as Python-free)
+            from wfc3_cte_monitor_spark.checkpointing import DISABLE_CONF
+
+            spark.conf.set(DISABLE_CONF, "true")
+            try:
+                plan = (
+                    specs[name].fn(spark, sf_dir)
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+            finally:
+                spark.conf.set(DISABLE_CONF, "false")
+            uses_python[name] = any(m in plan for m in _PY_NODES)
+        return uses_python[name]
+
+    # per query: list of (elapsed, jvm_before, jvm_after, py_before, py_after)
+    all_passes: dict[str, list[tuple[float, float, float, float, float]]] = {n: [] for n in names}
 
     # Three passes per query, INTERLEAVED across queries (pass 1 of every
     # query, then pass 2, then pass 3): consecutive per-query passes let
@@ -139,18 +192,36 @@ def main() -> None:
     # 8.3-16.2s); interleaving decorrelates the burst from any one query.
     # Pass 1 ("cold") pays plan compilation + whole-stage codegen; passes
     # 2-3 are steady-state. Consecutive queries share the bracketing
-    # probe, so calibration costs one probe per pass, not two.
+    # probe, so calibration costs one probe pair per pass, not two.
     probe()  # settle + first sample
     last_probe = probe()
     for _ in range(3):
         for name in names:
             elapsed = run_once(name)
             p_after = probe()
-            all_passes[name].append((elapsed, last_probe, p_after))
+            all_passes[name].append((elapsed, *last_probe, *p_after))
             last_probe = p_after
 
-    def clean(p: tuple[float, float, float], pmin: float) -> bool:
-        return max(p[1], p[2]) <= max(PROBE_DRIFT * pmin, pmin + PROBE_SLACK_S)
+    # FROZEN session minima (r5 ADVICE): the redo decisions and the final
+    # clean flags must use the SAME reference, or a probe minimum found
+    # after a query's redos can retroactively mark passes the redo phase
+    # accepted as suspect — an inconsistent confidence record. Freeze
+    # after the scheduled passes (28+ samples: plenty to find the quiet
+    # floor); later probes still log for the spread record but never move
+    # the gate.
+    probe_min = min(probe_log)
+    pyprobe_min = min(pyprobe_log)
+
+    def jvm_clean(p: tuple[float, ...]) -> bool:
+        return max(p[1], p[2]) <= max(PROBE_DRIFT * probe_min, probe_min + PROBE_SLACK_S)
+
+    def py_clean(p: tuple[float, ...]) -> bool:
+        return max(p[3], p[4]) <= max(
+            PYPROBE_DRIFT * pyprobe_min, pyprobe_min + PYPROBE_SLACK_S
+        )
+
+    def clean(name: str, p: tuple[float, ...]) -> bool:
+        return jvm_clean(p) and (py_clean(p) if _uses_python(name) else True)
 
     # Redo phase: any query with no CLEAN warm pass gets re-run (fresh
     # probe bracket each time) until one lands in a quiet window.
@@ -160,12 +231,11 @@ def main() -> None:
     for name in names:
         tries = 0
         while tries < 3 and redo_budget > 0:
-            pmin = min(probe_log)
-            if any(clean(p, pmin) for p in all_passes[name][1:]):
+            if any(clean(name, p) for p in all_passes[name][1:]):
                 break
             elapsed = run_once(name)
             p_after = probe()
-            all_passes[name].append((elapsed, last_probe, p_after))
+            all_passes[name].append((elapsed, *last_probe, *p_after))
             last_probe = p_after
             tries += 1
             redo_budget -= 1
@@ -179,10 +249,8 @@ def main() -> None:
         for name in names:
             elapsed = run_once(name)
             p_after = probe()
-            all_passes[name].append((elapsed, last_probe, p_after))
+            all_passes[name].append((elapsed, *last_probe, *p_after))
             last_probe = p_after
-
-    probe_min = min(probe_log)
 
     def best_of(name: str) -> float:
         """Per-query headline: best over ALL passes. Host noise can only
@@ -198,12 +266,15 @@ def main() -> None:
 
     timings = {n: round(p[0][0], 3) for n, p in all_passes.items()}
     timings_warm = {
-        n: round(min(t for t, _, _ in p[1:]), 3) for n, p in all_passes.items()
+        n: round(min(t[0] for t in p[1:]), 3) for n, p in all_passes.items()
     }
     timings_best = {n: round(best_of(n), 3) for n in names}
-    passes = {n: [round(t, 3) for t, _, _ in p] for n, p in all_passes.items()}
+    passes = {n: [round(t[0], 3) for t in p] for n, p in all_passes.items()}
     clean_flags = {
-        n: [clean(p, probe_min) for p in ps] for n, ps in all_passes.items()
+        n: [clean(n, p) for p in ps] for n, ps in all_passes.items()
+    }
+    py_clean_flags = {
+        n: [py_clean(p) for p in ps] for n, ps in all_passes.items() if _uses_python(n)
     }
     all_suspect = sorted(n for n, flags in clean_flags.items() if not any(flags))
 
@@ -225,12 +296,22 @@ def main() -> None:
         "warm_total": round(sum(timings_warm.values()), 3),
         "passes": passes,
         "clean": clean_flags,
+        "py_clean": py_clean_flags,
+        "uses_python": {n: _uses_python(n) for n in names},
         "all_suspect": all_suspect,
         "calibration": {
+            # minima FROZEN after the scheduled passes — the same reference
+            # the redo decisions used (r5 ADVICE consistency fix)
             "probe_min": round(probe_min, 4),
             "probe_median": round(sorted(probe_log)[len(probe_log) // 2], 4),
             "probe_max": round(max(probe_log), 4),
+            "probe_min_all": round(min(probe_log), 4),
             "probe_drift_gate": PROBE_DRIFT,
+            "pyprobe_min": round(pyprobe_min, 4),
+            "pyprobe_median": round(sorted(pyprobe_log)[len(pyprobe_log) // 2], 4),
+            "pyprobe_max": round(max(pyprobe_log), 4),
+            "pyprobe_min_all": round(min(pyprobe_log), 4),
+            "pyprobe_drift_gate": PYPROBE_DRIFT,
             "n_probes": len(probe_log),
             "n_redone": n_redone,
         },

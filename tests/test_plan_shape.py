@@ -257,3 +257,47 @@ def test_pair_broadcast_auto_keeps_flagship_broadcast(spark):
     plan = _plan(spark, "cs05_results_wide")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_size_estimate_threads_through_checkpoint(spark):
+    # Empirical pin (checked while closing the r5 ADVICE finding): on
+    # THIS Spark, localCheckpoint's LogicalRDD preserves originStats, so
+    # the checkpointed fileinfo was never actually blind — the auto
+    # branch sees the pre-checkpoint estimate either way. The explicit
+    # attach_size_estimate threading stays as insurance for plans whose
+    # RDD root genuinely lacks stats (and for engines that drop
+    # originStats); this test pins BOTH properties: stats survive the
+    # checkpoint, and an attached estimate takes precedence over them.
+    from wfc3_cte_monitor_spark.checkpointing import materialize
+    from wfc3_cte_monitor_spark.plans.domain_queries import analog_fileinfo
+    from wfc3_cte_monitor_spark.plans.pipeline import (
+        _pairs_broadcastable,
+        _plan_size_bytes,
+        attach_size_estimate,
+    )
+
+    fi = analog_fileinfo(spark, SF)
+    est = _plan_size_bytes(fi)
+    assert est is not None and est > 0
+
+    ck = attach_size_estimate(materialize(fi), fi)
+    # origin stats survive the checkpoint boundary on this Spark version
+    assert _plan_size_bytes(ck) == est
+    assert ck._wfc3_size_est == est
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small fixture under the default threshold → broadcast
+        assert _pairs_broadcastable(ck) is True
+        # attached estimate takes precedence over plan stats: a huge
+        # estimate demotes even though the plan's own stats are tiny
+        big = materialize(analog_fileinfo(spark, SF))
+        big._wfc3_size_est = 1 << 50
+        assert _pairs_broadcastable(big) is False, (
+            "attached estimate must drive the demotion decision"
+        )
+        # threshold so small any real estimate exceeds 4x it → demote
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        assert _pairs_broadcastable(ck) is False
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

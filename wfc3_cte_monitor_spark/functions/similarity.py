@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
+from ..checkpointing import materialize
 from pyspark.sql import functions as F
 
 N_TABLES = 8   # L
@@ -212,7 +213,7 @@ def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
     # pruned (id, table, bucket) layout once (lazily) so the Arrow bucket
     # pass isn't embedded twice in the plan; vectors are dropped first so
     # nothing wider than the key rides the checkpoint
-    idx = idx.select("vec_id", "table_id", "bucket").localCheckpoint(eager=False)
+    idx = idx.select("vec_id", "table_id", "bucket").transform(materialize)
     a = idx.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
     b = idx.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
     # Dedup on bare (id_a, id_b) BEFORE fetching vectors: the multi-table
@@ -276,7 +277,7 @@ def decoded_corpus(embeddings: DataFrame, id_col: str = "vec_id",
     out = embeddings.select(
         F.col(id_col).alias("vec_id"), v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
     )
-    return out.localCheckpoint(eager=False) if checkpoint else out
+    return out.transform(materialize) if checkpoint else out
 
 
 def cosine_topk(embeddings: DataFrame | None = None, query_ids: list[int] | None = None,

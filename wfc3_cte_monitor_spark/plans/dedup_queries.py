@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.dedup import (
     lsh_bands,
     lsh_bands_sql,
@@ -147,12 +148,12 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     # token-set table below, joined once per pair side. Both are
     # doc-dimension relations — lazy checkpoints (no blocking barrier),
     # standard diamond-reuse hygiene for an iterative pipeline.
-    bands = lsh_bands(sig, "doc_id").localCheckpoint(eager=False)
+    bands = lsh_bands(sig, "doc_id").transform(materialize)
     cands = candidate_pairs(bands, "doc_id")
 
     toks = docs.select(
         "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
     joined = cands.join(ta, "id_a").join(tb, "id_b").withColumn(
@@ -174,7 +175,7 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     # every propagation round's edges⋈labels join reuses the cached
     # partitioning and only the (tiny) labels side shuffles per round.
     # Deterministic, so the oracle comparison is unaffected.
-    edges = edges.repartition("dst").localCheckpoint(eager=False)
+    edges = edges.repartition("dst").transform(materialize)
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(N_LABEL_ROUNDS):
         nbr_min = (
@@ -319,10 +320,10 @@ _PLANT_JACCARD = 0.8
     FROM sd_cands
     WHERE bit_count(xor(sa, sb)) <= {_SIMDUP_HAMMING}
     UNION ALL
-    SELECT 'plant', id_a, id_b, printf('%.6f', jac)
+    SELECT 'plant', id_a, id_b, printf('%.6f', round(jac, 6))
     FROM pverified
     UNION ALL
-    SELECT 'ngram', id_a, id_b, printf('%.6f', jac)
+    SELECT 'ngram', id_a, id_b, printf('%.6f', round(jac, 6))
     FROM ngram
     """,
     tags=("dedup", "minhash", "lsh", "simhash"),
@@ -354,7 +355,7 @@ def d03_minhash_lsh(spark, sf_dir):
     sig = minhash_signature_pairs(sh, "doc_id")
     # the band table feeds the arm output AND both sides of the plant
     # candidate self-join — lazy checkpoint, same diamond hygiene as d02
-    bands = lsh_bands(sig, "doc_id").localCheckpoint(eager=False)
+    bands = lsh_bands(sig, "doc_id").transform(materialize)
     band_arm = bands.where(F.col("doc_id") < _PLANT_OFFSET).select(
         F.lit("band").alias("which"),
         F.col("doc_id").cast("bigint").alias("k1"),
@@ -396,7 +397,12 @@ def d03_minhash_lsh(spark, sf_dir):
             F.lit("plant").alias("which"),
             F.col("id_a").cast("bigint").alias("k1"),
             F.col("id_b").cast("bigint").alias("k2"),
-            F.format_string("%.6f", F.col("jac")).alias("v"),
+            # round BEFORE formatting (module policy): format_string is
+            # Java HALF_UP while DuckDB printf is round-half-even, and
+            # exact dyadic i/u ratios DO land on formatting ties; both
+            # engines' round() are half-away-from-zero, so rounding first
+            # makes the 6-decimal string identical.
+            F.format_string("%.6f", F.round(F.col("jac"), 6)).alias("v"),
         )
     )
 
@@ -425,7 +431,8 @@ def d03_minhash_lsh(spark, sf_dir):
             F.lit("ngram").alias("which"),
             F.col("id_a").cast("bigint").alias("k1"),
             F.col("id_b").cast("bigint").alias("k2"),
-            F.format_string("%.6f", F.col("jac")).alias("v"),
+            # round-then-format, same tie rationale as the plant arm
+            F.format_string("%.6f", F.round(F.col("jac"), 6)).alias("v"),
         )
     )
 
@@ -451,7 +458,7 @@ def d03_minhash_lsh(spark, sf_dir):
     # the doc-dimension relation once (lazily) so the tokenize + 32-sum
     # SimHash aggregation isn't embedded twice in the plan (same diamond
     # hygiene as d02's band table)
-    blocks = blocks.localCheckpoint(eager=False)
+    blocks = blocks.transform(materialize)
     a = blocks.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"), "part", "bkey"
     )

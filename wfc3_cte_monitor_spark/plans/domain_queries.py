@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.model import quadfit_sql
 from ..functions.scalars import round_stable, round_stable_sql
 from ..operators.bins import FLUX_BINS, binspec_sql
@@ -66,12 +67,20 @@ def _materialize_fi(df: DataFrame) -> DataFrame:
     """
     import os
 
+    from .pipeline import attach_size_estimate
+
     mode = os.environ.get("WFC3_TREND_FI_CKPT", "lazy")
     if mode == "eager":
-        return df.localCheckpoint(eager=True)
-    if mode == "lazy":
-        return df.localCheckpoint(eager=False)
-    return df
+        out = df.transform(materialize, eager=True)
+    elif mode == "lazy":
+        out = df.transform(materialize)
+    else:
+        return df
+    # the checkpointed plan roots at a LogicalRDD with unknown stats,
+    # which would blind the pair-broadcast size branch downstream — carry
+    # the pre-checkpoint relation's estimate across the boundary so auto
+    # still decides on the real exposure-dimension size
+    return attach_size_estimate(out, df)
 
 # One analog target carries a '6791'-bearing name so BOTH branches of the
 # skipbins rule (skip two bins for '6791' targets, one otherwise —
@@ -238,13 +247,21 @@ _PAIRS_SQL = (
 _GROUP4 = ["targname", "imagename_1", "imagename_2", "fluxbin"]
 
 
-def _slope_pipeline_ctes(week_subset: bool, apertures: tuple[int, ...] = (3,)) -> str:
+def _slope_pipeline_ctes(week_subset: bool, apertures: tuple[int, ...] = (3,),
+                         fi_pred: str | None = None) -> str:
     """Shared oracle CTE chain: analogs → pairs → phot align → bin fan-out
     → σ-clip → per-bin regression (valid fits carry non-NULL slope).
 
     With multiple apertures the chain mirrors the engine's single-pass
     sweep: radius rides as an ``aperture`` column through every stage and
-    joins the group keys."""
+    joins the group keys.
+
+    ``fi_pred`` restricts the fileinfo analog INSIDE the chain — required
+    when a consumer's semantics depend on the exposure SET, not just the
+    pair set (the epoch dimension clusters the restricted corpus's dates;
+    filtering pairs after the fact would compute epochs over the full
+    corpus, a different dimension near the restriction boundary). The
+    pair-local results fingerprint can keep filtering outside instead."""
     multi = len(apertures) > 1
     group = (
         ["targname", "imagename_1", "imagename_2", "aperture", "fluxbin"]
@@ -256,8 +273,11 @@ def _slope_pipeline_ctes(week_subset: bool, apertures: tuple[int, ...] = (3,)) -
     ap_join = " AND p2.aperture = p1.aperture" if multi else ""
     clip = sigma_clip_sql("fan", "flux_ratio", group, sigma=4.0, iterations=3)
     reg = linregress_sql("SELECT * FROM clipped", x="ypos", y="flux_ratio", group_cols=group)
+    fi_body = f"({_fileinfo_sql(week_subset)})"
+    if fi_pred is not None:
+        fi_body = f"(SELECT * FROM {fi_body} WHERE {fi_pred})"
     return f"""
-    fi AS ({_fileinfo_sql(week_subset)}),
+    fi AS {fi_body},
     ph AS ({_phot_sql(week_subset)}),
     pairs AS ({_PAIRS_SQL}),
     plong AS (SELECT imagename, master_id, ypix, flux - totbkgrd AS net_flux{ap_col}
@@ -461,7 +481,7 @@ def cs04_cte_vs_logflux(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazily. Interleaved A/B at sf0.1: ckpt 4.77 s vs pipelined 5.07 s
     # best — and at scale it saves a whole join pass, unlike t02's
     # raw-text case where a checkpoint lost to scan pipelining.
-    ph = analog_phot(spark, sf_dir, week_subset=True).localCheckpoint(eager=False)
+    ph = analog_phot(spark, sf_dir, week_subset=True).transform(materialize)
     slopes = compute_results_long(fi, ph, aperture=list(_CS04_APERTURES))
     trend = cte_slope_vs_logflux(
         fi, ph, slopes, epoch_dimension(fi), aperture=list(_CS04_APERTURES)
@@ -674,7 +694,7 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the timed query (interleaved A/B at sf0.1: lazy 3.72s best vs
         # eager 4.44s, lazy faster on 2 of 3 pairs), same verdict as the
         # fi-analog knob in _materialize_fi.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     fit = quadfit_agg(trend, x="_x", y="mean_slope",
                       group_cols=["targname", "aperture", "fluxbin"], round_to=8)

@@ -180,6 +180,136 @@ def incremental_merge_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fingerprint(spark.read.parquet(store))
 
 
+def incremental_trend_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TREND twin of :func:`incremental_merge_arm` — the reference's
+    other ``--pr 'last'`` consumer (run_outputs.py:70-419 re-runs the
+    trend/output layer after every increment).
+
+    Unlike Results, the trend aggregate is NOT pair-local: a new exposure
+    adds a date that can merge its target's epoch clusters, shifting
+    every trend row of that target (``streaming/incremental.
+    maintain_trend_stream`` maintains at TARGET grain for exactly this
+    reason). The two chip-split micro-batches exercise both halves of
+    that hazard: batch 1 (chip-1 exposures) forms NO new pairs but
+    SHIFTS the epoch dimension — the maintained store must re-aggregate
+    existing pairs under the new epochs; batch 2 lands the partner
+    chips and the new pairs must appear under the final epochs. The
+    final store (dynamic-partition-overwritten per target) is reduced to
+    one decimal-exact fingerprint; the oracle full-recomputes the same
+    trend with the fixture restriction applied INSIDE the CTE chain
+    (epochs must cluster the restricted date set).
+
+    Cycle: seed store from snapshot trend → stream increment in two
+    batches (foreachBatch: recompute touched targets over snapshot ∪
+    all-ingested, overwrite their partitions) → fingerprint == oracle's
+    from-scratch trend. A merge that loses a batch's exposures from the
+    corpus sidecar, skips the epoch re-clustering, or drops a cross-batch
+    pair breaks k, v or ver."""
+    from ..streaming.incremental import maintain_trend_stream, trend_for_targets
+
+    base = _base_dir(sf_dir) + "_trend"
+    shutil.rmtree(base, ignore_errors=True)
+    import atexit
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    store = f"{base}/store"
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+
+    fi_all, ph = _fixture_tables(spark, sf_dir)
+    snapshot = fi_all.where(~_new_pred())
+    incoming = fi_all.where(_new_pred())
+
+    # seed: the trend of the snapshot corpus, stored partitioned by
+    # targname (the maintenance grain maintain_trend_stream overwrites)
+    (
+        trend_for_targets(snapshot, ph, snapshot.select("targname"), aperture=3)
+        .write.mode("overwrite").partitionBy("targname").parquet(store)
+    )
+
+    for i, batch in enumerate(
+        (incoming.where(F.col("chip") == 1), incoming.where(F.col("chip") == 2))
+    ):
+        bdir = f"{src}/b{i}"
+        batch.coalesce(1).write.mode("overwrite").parquet(bdir)
+        ts = time.time() - 1000.0 + i * 10.0
+        for root, _dirs, files in os.walk(bdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+
+    stream = (
+        spark.readStream.schema(fi_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = maintain_trend_stream(
+        spark, stream, snapshot, ph, store,
+        checkpoint=f"{base}/ckpt", aperture=3, ingested_path=f"{base}/ingested",
+    ).start()
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("incremental trend stream did not drain in 600s")
+    finally:
+        q.stop()
+
+    return _trend_fingerprint(spark.read.parquet(store))
+
+
+def _trend_fingerprint(df: DataFrame) -> DataFrame:
+    """(which='incr_trend', k, v, ver): pair-count total, decimal-exact
+    sum of the per-row round-stable(8) trend measures (×1e6 so the %.6f
+    detail string downstream keeps the full 1e-8-per-row resolution),
+    trend-row count. Per-row rounding first (round_stable absorbs the
+    engines' avg summation-order noise, same policy the cs03 gate hash-
+    matches at 8 decimals), THEN exact decimal summation — fold order
+    cannot perturb the fingerprint."""
+    from ..functions.scalars import round_stable
+
+    sv = (
+        round_stable("mean_slope", 8).cast("decimal(18,10)")
+        + round_stable("mean_stderr", 8).cast("decimal(18,10)")
+    )
+    return df.agg(
+        F.lit("incr_trend").alias("which"),
+        F.sum("n_pairs").cast("bigint").alias("k"),
+        (F.sum(sv) * F.lit(1_000_000)).cast("double").alias("v"),
+        F.count(F.lit(1)).cast("int").alias("ver"),
+    )
+
+
+def incr_trend_arm_sql(slope_ctes_restricted: str, epochs_sql: str, obs_sql: str) -> str:
+    """DuckDB twin: from-scratch trend over the RESTRICTED corpus (the
+    restriction lives inside ``slope_ctes_restricted``'s fi CTE so the
+    epoch dimension clusters the fixture's date set), reduced to the
+    identical decimal-exact fingerprint."""
+    from ..functions.scalars import round_stable_sql
+
+    ms = round_stable_sql("avg(r.slope)", 8)
+    se = round_stable_sql("avg(r.slopestdev / r.num_points)", 8)
+    return f"""
+    SELECT 'incr_trend' AS which,
+           CAST(sum(n_pairs) AS BIGINT) AS k,
+           CAST(sum(CAST(mean_slope AS DECIMAL(18,10))
+                    + CAST(mean_stderr AS DECIMAL(18,10))) * 1000000 AS DOUBLE) AS v,
+           CAST(count(*) AS INT) AS ver
+    FROM (
+        WITH {slope_ctes_restricted},
+        epochs AS ({epochs_sql}),
+        obs AS ({obs_sql})
+        SELECT o.targname, o.epoch, r.fluxbin,
+               {ms} AS mean_slope,
+               {se} AS mean_stderr,
+               count(*)::BIGINT AS n_pairs
+        FROM obs o
+        JOIN reg r ON o.targname = r.targname
+                  AND o.imagename_1 = r.imagename_1
+                  AND o.imagename_2 = r.imagename_2
+        WHERE r.slope IS NOT NULL
+        GROUP BY o.targname, o.epoch, r.fluxbin
+    )
+    """
+
+
 def incr_arm_sql(slope_ctes: str, wide_cols: str) -> str:
     """DuckDB twin: full recompute of the restricted wide Results (the
     same CTE chain cs05 gates, week-subset, one target) reduced to the

@@ -63,7 +63,29 @@ def _incr_maint_oracle() -> str:
     inner = incr_arm_sql(_slope_pipeline_ctes(week_subset=True), _wide_sql_cols())
     return f"""
     SELECT 'incr_maint' AS which, k AS o_orderkey, CAST(NULL AS DATE) AS obs_date,
-           printf('%.6f/%d', v, ver) AS detail
+           printf('%.6f/%d', round(v, 6), ver) AS detail
+    FROM ({inner})
+    """
+
+
+def _incr_trend_oracle() -> str:
+    from .domain_queries import _EPOCHS_SQL, _OBS_SQL, _slope_pipeline_ctes
+    from .incremental_gate import (
+        _INCR_MAX_DATEOBS,
+        _INCR_TARG,
+        incr_trend_arm_sql,
+    )
+
+    # restriction INSIDE the chain: the epoch dimension must cluster the
+    # fixture's date set, not the full corpus's (trend is not pair-local)
+    ctes = _slope_pipeline_ctes(
+        week_subset=True,
+        fi_pred=f"targname = '{_INCR_TARG}' AND dateobs < {_INCR_MAX_DATEOBS}",
+    )
+    inner = incr_trend_arm_sql(ctes, _EPOCHS_SQL, _OBS_SQL)
+    return f"""
+    SELECT 'incr_trend' AS which, k AS o_orderkey, CAST(NULL AS DATE) AS obs_date,
+           printf('%.6f/%d', round(v, 6), ver) AS detail
     FROM ({inner})
     """
 
@@ -96,7 +118,9 @@ def _incr_maint_oracle() -> str:
     )
     WHERE h < 4
     UNION ALL
-    """ + _incr_maint_oracle(),
+    """ + _incr_maint_oracle() + """
+    UNION ALL
+    """ + _incr_trend_oracle(),
     tags=("Q1", "A1", "Q2", "Q3", "J7", "F6", "sampling", "streaming", "incremental"),
 )
 def q01_filter_suite(spark, sf_dir):
@@ -110,7 +134,13 @@ def q01_filter_suite(spark, sf_dir):
     the oracle gate) — plus 'incr_maint': the streaming incremental
     Results-maintenance cycle, whose store fingerprint must equal the
     oracle's from-scratch recompute (batch-increment == full-recompute,
-    the --pr 'last' semantics)."""
+    the --pr 'last' semantics) — plus 'incr_trend': the TREND store's
+    twin cycle (maintain_trend_stream), where maintenance is at TARGET
+    grain because a new exposure can re-cluster its target's epochs;
+    the final dynamically-overwritten store must fingerprint equal to a
+    from-scratch trend over the full fixture corpus (the reference
+    re-runs trends after every --pr 'last' increment,
+    run_outputs.py:70-419)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     null_key = F.lit(None).cast("bigint")
@@ -158,17 +188,23 @@ def q01_filter_suite(spark, sf_dir):
             F.when(F.col("_h") < 2, "val").otherwise("test").alias("detail"),
         )
     )
-    from .incremental_gate import incremental_merge_arm
+    from .incremental_gate import incremental_merge_arm, incremental_trend_arm
 
-    incr = incremental_merge_arm(spark, sf_dir).select(
-        F.lit("incr_maint").alias("which"),
-        F.col("k").cast("bigint").alias("o_orderkey"),
-        F.lit(None).cast("date").alias("obs_date"),
-        F.format_string("%.6f/%d", F.col("v"), F.col("ver")).alias("detail"),
-    )
+    # round v BEFORE formatting (same Java-HALF_UP vs printf-half-even
+    # tie rationale as d03's jaccard strings — module rounding policy)
+    def _fp_arm(df, which):
+        return df.select(
+            F.lit(which).alias("which"),
+            F.col("k").cast("bigint").alias("o_orderkey"),
+            F.lit(None).cast("date").alias("obs_date"),
+            F.format_string("%.6f/%d", F.round(F.col("v"), 6), F.col("ver")).alias("detail"),
+        )
+
+    incr = _fp_arm(incremental_merge_arm(spark, sf_dir), "incr_maint")
+    incr_trend = _fp_arm(incremental_trend_arm(spark, sf_dir), "incr_trend")
     return (
         all_dates.unionAll(mode_filter).unionAll(epoch_band)
-        .unionAll(hash_split).unionAll(incr)
+        .unionAll(hash_split).unionAll(incr).unionAll(incr_trend)
     )
 
 

@@ -16,6 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..operators.bins import FLUX_BINS, bin_fanout, binspec_df
 from ..operators.pairs import pair_self_join
 from ..operators.phot_layout import results_long_to_wide
@@ -168,6 +169,24 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     return None if size >= (1 << 60) else size
 
 
+def attach_size_estimate(df: DataFrame, source: DataFrame) -> DataFrame:
+    """Carry ``source``'s Catalyst size estimate onto ``df`` (a
+    checkpointed/re-rooted derivation of it) as a Python-side attribute.
+
+    Measured on this Spark (4.1): ``localCheckpoint``'s LogicalRDD
+    PRESERVES originStats, so the checkpointed fileinfo is not actually
+    blind and the auto branch would see the right size anyway
+    (test_plan_shape pins that). The explicit threading stays as
+    insurance for plan roots that genuinely lack stats — a re-rooted RDD
+    from another construction, or an engine that drops originStats —
+    because a silently-degenerated size branch (auto ≡ always) is the
+    kind of at-scale-only failure no small-SF gate would catch."""
+    est = _plan_size_bytes(source)
+    if est is not None:
+        df._wfc3_size_est = est
+    return df
+
+
 def _pairs_broadcastable(fileinfo: DataFrame) -> bool:
     """The size-based branch behind every pair-dimension broadcast hint
     (pair map, fit-row re-attach, zero-fill frame): at true scale the
@@ -177,7 +196,7 @@ def _pairs_broadcastable(fileinfo: DataFrame) -> bool:
     ``spark.wfc3.pipeline.pairBroadcast``: ``always`` / ``never`` pin
     the choice (tests pin both shapes); ``auto`` (default) compares the
     FILEINFO relation's Catalyst size estimate against
-    ``spark.sql.autoBroadcastJoinThreshold`` ×16. The estimate is taken
+    ``spark.sql.autoBroadcastJoinThreshold`` ×4. The estimate is taken
     on the exposure dimension, NOT the pair self-join's output: without
     column stats Catalyst sizes a join as roughly the product of its
     children (measured: 2.5 TB estimated for a 150-row pair relation at
@@ -185,19 +204,29 @@ def _pairs_broadcastable(fileinfo: DataFrame) -> bool:
     pair relation is bounded by the chip-1 half of fileinfo with ~3
     short key columns, so fileinfo's own linear-operator estimate (scan
     stats survive project/aggregate/generate un-multiplied) is the
-    honest proxy, and the ×16 headroom covers the 2-rows-per-pair
-    exploded map. Unknown stats fall back to broadcast — the domain
-    reality is exposures ≪ measurements; a deployment where that breaks
-    sets the conf to ``never`` and every pair join becomes a shuffled
-    equi-join on its key (bucket both storage sides by imagename to
-    make those co-located scans)."""
+    honest proxy. The ×4 multiplier is CALIBRATED, not headroom: the
+    sf1 probe measured the broadcast-vs-shuffle break-even at est ≈
+    40 MB (SCALING.md round-5 addendum — cs05 broadcast 20.4 s vs
+    shuffled 18.0 s at est ≈ 42 MB, a wash tipping shuffled), which is
+    ~4× the default 10 MB threshold; the earlier ×16 flipped ~4× past
+    that point. A checkpointed fileinfo additionally carries its
+    pre-checkpoint estimate via :func:`attach_size_estimate` (insurance:
+    this Spark's LogicalRDD preserves originStats, but a stats-free root
+    would otherwise silently degrade auto to always-broadcast).
+    Unknown stats fall back to broadcast — the
+    domain reality is exposures ≪ measurements; a deployment where that
+    breaks sets the conf to ``never`` and every pair join becomes a
+    shuffled equi-join on its key (bucket both storage sides by
+    imagename to make those co-located scans)."""
     spark = fileinfo.sparkSession
     mode = spark.conf.get("spark.wfc3.pipeline.pairBroadcast", "auto")
     if mode == "always":
         return True
     if mode == "never":
         return False
-    est = _plan_size_bytes(fileinfo)
+    est = getattr(fileinfo, "_wfc3_size_est", None)
+    if est is None:
+        est = _plan_size_bytes(fileinfo)
     if est is None:
         return True
     try:
@@ -208,7 +237,7 @@ def _pairs_broadcastable(fileinfo: DataFrame) -> bool:
         thresh = 10 << 20
     if thresh <= 0:  # auto-broadcast disabled → honor it here too
         return False
-    return est <= 16 * thresh
+    return est <= 4 * thresh
 
 def _keyed_pairs(fileinfo: DataFrame) -> DataFrame:
     """The pair relation with its compact surrogate key, materialized
@@ -228,28 +257,38 @@ def _keyed_pairs(fileinfo: DataFrame) -> DataFrame:
     Spark's ``xxhash64`` SKIPS null inputs, so two keys differing only in
     which column is NULL alias to the same hash. The pair keys come out
     of an equi-join (no NULLs survive it) and the collision probability
-    at a broadcast-bounded pair count is ~n²/2⁶⁵; set
-    ``spark.wfc3.pipeline.assertPairIdUnique=true`` on a production run
-    to pay one count-distinct job that PROVES injectivity on the actual
-    corpus instead of assuming it."""
+    at a broadcast-bounded pair count is ~n²/2⁶⁵;
+    ``spark.wfc3.pipeline.assertPairIdUnique=true`` pays one
+    count-distinct job that PROVES injectivity on the actual corpus
+    instead of assuming it. The driver's correctness path turns it ON
+    (``session.prepare`` sets the conf), so every gated run asserts
+    injectivity on its real pair population; the bench session leaves
+    it off — the guard is a correctness instrument, not query work."""
     keyed = (
         query_for_pair(fileinfo)
         .select("targname", "imagename_1", "imagename_2")
         .withColumn("pair_id", F.xxhash64("targname", "imagename_1", "imagename_2"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     spark = fileinfo.sparkSession
     if spark.conf.get("spark.wfc3.pipeline.assertPairIdUnique", "false") == "true":
-        row = keyed.agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.count_distinct("pair_id").alias("n_ids"),
-        ).collect()[0]
-        if row["n_pairs"] != row["n_ids"]:
-            raise ValueError(
-                f"pair_id surrogate collided: {row['n_pairs']} pairs -> "
-                f"{row['n_ids']} distinct ids; widen the key or disable the rekey"
-            )
+        assert_pair_id_unique(keyed)
     return keyed
+
+
+def assert_pair_id_unique(keyed: DataFrame) -> None:
+    """One count-distinct job proving the pair_id surrogate is injective
+    on this corpus; raises if two pairs collided (see ``_keyed_pairs``'s
+    caveats: 64-bit hash collision, or xxhash64's NULL-skip aliasing)."""
+    row = keyed.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("pair_id").alias("n_ids"),
+    ).collect()[0]
+    if row["n_pairs"] != row["n_ids"]:
+        raise ValueError(
+            f"pair_id surrogate collided: {row['n_pairs']} pairs -> "
+            f"{row['n_ids']} distinct ids; widen the key or disable the rekey"
+        )
 
 
 def compute_results_long(fileinfo: DataFrame, phot_long: DataFrame,

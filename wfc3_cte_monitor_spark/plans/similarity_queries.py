@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.similarity import (
     cosine_pd,
     cosine_sql,
@@ -108,11 +109,11 @@ def e01_cosine_topk(spark, sf_dir):
     # the subtrees re-executed.
     brute = cosine_topk(corpus=corpus, k=5, query_pred=F.col("vec_id") < 10).select(
         F.lit("brute").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     ivf = ivf_ann(corpus=corpus, k=5, query_pred=F.col("vec_id") < 10,
                   refine_iterations=_IVF_REFINE_ITERS).select(
         F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     # with the arms materialized, the audit join is over two tiny cached
     # relations
     recall = (
@@ -227,7 +228,7 @@ def e02_ann_neardup(spark, sf_dir):
     # the ANN arm reads the index twice (query probe + corpus side of the
     # candidate join); materialize the pruned bucket layout once so the
     # Arrow bucket pass runs a single time (vectors re-attach by id later)
-    idx = lsh_index(emb).select("vec_id", "table_id", "bucket").localCheckpoint(eager=False)
+    idx = lsh_index(emb).select("vec_id", "table_id", "bucket").transform(materialize)
     # Candidate generation and the multi-table collision dedup move bare
     # (query_id, neighbor_id) pairs — never the 512-byte embedding arrays,
     # which would otherwise ride through two shuffles (dropDuplicates +
@@ -263,7 +264,7 @@ def e02_ann_neardup(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
         .select(F.lit("ann").alias("kind"), "query_id", "neighbor_id", "sim", "rank")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     nd = neardup_pairs(emb, _ND_TAU)
     wn = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))

@@ -28,6 +28,11 @@ RUNTIME_CONF = {
     # a caller session with the 200-partition default over-parallelizes the
     # small-SF gates; AQE coalescing mostly fixes it, but pinning is cheaper
     "spark.sql.shuffle.partitions": "32",
+    # every gated (driver-contract) run PROVES pair_id injectivity on its
+    # actual pair population — one tiny count-distinct job per pipeline
+    # query at gate scale. The bench session (get_spark, no prepare) keeps
+    # it off: the guard is a correctness instrument, not query work.
+    "spark.wfc3.pipeline.assertPairIdUnique": "true",
 }
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..operators.upsert import upsert
 from ..plans.pipeline import compute_results
 
@@ -146,7 +147,7 @@ def maintain_results_stream(
         # otherwise). A table format with real MERGE (or dynamic partition
         # overwrite on the store's partition key) removes both this copy
         # and the full rewrite at scale.
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = fresh.transform(materialize, eager=True)
         fresh.write.mode("overwrite").parquet(store_path)
 
     return (
@@ -209,7 +210,7 @@ def maintain_trend_stream(
         )
         # materialized before the write for the same straggler/lineage
         # hygiene as the Results path (the trend table is tiny)
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = fresh.transform(materialize, eager=True)
         (
             fresh.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
