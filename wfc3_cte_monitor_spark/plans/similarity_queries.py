@@ -133,7 +133,7 @@ def e01_cosine_topk(spark, sf_dir):
     return brute.unionAll(ivf).unionAll(recall)
 
 
-# E2 — tagged union of the two LSH-bucketed vector workloads:
+# E2 — tagged union of the LSH-bucketed vector workloads:
 #   kind='ann'     — multi-table LSH ANN (8 tables × 2 hyperplanes):
 #                    a corpus vector is a candidate when it shares ANY
 #                    table's bucket with a query; exact cosine re-ranks.
@@ -145,15 +145,37 @@ def e01_cosine_topk(spark, sf_dir):
 #                    rank = pair rank by sim desc WITHIN id_a — a
 #                    per-id window, because a global rank would funnel
 #                    every surviving pair through one sort task at scale.
+#   kind='plantnd' — planted GROUND-TRUTH near-dup detection (d03's
+#                    'plant' arm in vector space): every 25th corpus
+#                    vector gets a deterministic ε-perturbed copy
+#                    (component 0 + 0.125, identical IEEE arithmetic on
+#                    both engines) at id + 10M; ONE shared near-dup
+#                    index over originals ∪ plants yields candidates,
+#                    and pairs touching a plant with exact cosine ≥ 0.9
+#                    are the detections. The 'neardup' arm reads the
+#                    SAME index restricted to original-original pairs —
+#                    plants add no original collisions, so its rows are
+#                    unchanged — and a plane/table change that misses
+#                    true vector near-dups now has a ground truth to
+#                    miss (r5 gap: τ=0.35 on this corpus detected only
+#                    natural ≈0.5-cosine pairs).
 #   kind='recall'  — recall@3 of the LSH ANN arm vs a brute-force top-3
 #                    baseline on the same 10 queries, per query — the
 #                    audit that makes a hyperplane/table change that
 #                    silently craters recall FAIL the value gate (the
 #                    e01 'recall' arm's twin for the LSH path).
-# τ = 0.35 is matched to this synthetic corpus's similarity scale (max
-# pairwise cosine ≈ 0.51 — no planted near-dups); the plan is
-# threshold-independent. Both branches confine quadratic work to buckets.
+# τ = 0.35 is matched to this synthetic corpus's natural similarity
+# scale (max pairwise cosine ≈ 0.51); the planted pairs sit at ≥ 0.9 by
+# construction. All branches confine quadratic work to buckets, and the
+# WHOLE query decodes the parquet corpus ONCE: a single checkpointed
+# decoded_corpus relation feeds the ANN index, the near-dup/plant index,
+# the re-rank vector fetches and the brute-force recall baseline (r5
+# nit: brute3 re-decoded the corpus e01 had just deduplicated).
 _ND_TAU = 0.35
+_PLANTND_MOD = 25
+_PLANTND_OFFSET = 10_000_000
+_PLANTND_EPS = 0.125
+_PLANTND_TAU = 0.9
 
 
 @register(
@@ -181,7 +203,18 @@ _ND_TAU = 0.35
             FROM scored
         ) WHERE rank <= 3
     ),
-    nd AS ({neardup_pairs_sql('embeddings', _ND_TAU)}),
+    pnd_corp AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_PLANTND_OFFSET} AS vec_id,
+               list_prepend(v[1] + {_PLANTND_EPS!r}, v[2:]) AS v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % {_PLANTND_MOD} = 0)
+    ),
+    nd_all AS ({neardup_pairs_sql('(SELECT vec_id, v AS embedding FROM pnd_corp)', _ND_TAU)}),
+    nd AS (SELECT * FROM nd_all WHERE id_b < {_PLANTND_OFFSET}),
+    pnd AS (SELECT * FROM nd_all
+            WHERE id_b >= {_PLANTND_OFFSET} AND sim >= {_PLANTND_TAU!r}),
     brute3 AS (
         SELECT query_id, neighbor_id FROM (
             SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -212,23 +245,40 @@ _ND_TAU = 0.35
                                    ORDER BY sim DESC, id_b) AS INT) AS rank
     FROM nd
     UNION ALL
+    SELECT 'plantnd' AS kind, id_a AS query_id, id_b AS neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY id_a
+                                   ORDER BY sim DESC, id_b) AS INT) AS rank
+    FROM pnd
+    UNION ALL
     SELECT 'recall' AS kind, query_id, n_hits AS neighbor_id,
            recall_at_3 AS sim, 3 AS rank
     FROM rec
     """,
-    tags=("similarity", "ann", "lsh", "dedup", "neardup"),
+    tags=("similarity", "ann", "lsh", "dedup", "neardup", "plant"),
 )
 def e02_ann_neardup(spark, sf_dir):
-    """LSH ANN + embedding-cosine near-dup, one tagged union: candidate
-    generation in BOTH branches is an equi-join on (table_id, bucket) —
-    never a cross join — and only candidates pay the exact-cosine cost.
-    The 100 TB shape: each index is written bucketed so ANN probes are
-    pruned scans and the near-dup self-join is co-located."""
+    """LSH ANN + embedding-cosine near-dup + planted-ground-truth
+    detection, one tagged union: candidate generation in every branch is
+    an equi-join on (table_id, bucket) — never a cross join — and only
+    candidates pay the exact-cosine cost. The whole query decodes the
+    corpus ONCE (shared checkpointed relation). The 100 TB shape: each
+    index is written bucketed so ANN probes are pruned scans and the
+    near-dup self-join is co-located."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # ONE decoded corpus for the WHOLE query (r5 nit closed): the ANN
+    # index, the near-dup/plant index, every re-rank vector fetch and
+    # the brute recall baseline all read this checkpointed (vec_id, v,
+    # nrm) relation — one parquet decode + float64 widening, cached
+    # blocks thereafter.
+    corpus = decoded_corpus(emb)
     # the ANN arm reads the index twice (query probe + corpus side of the
     # candidate join); materialize the pruned bucket layout once so the
     # Arrow bucket pass runs a single time (vectors re-attach by id later)
-    idx = lsh_index(emb).select("vec_id", "table_id", "bucket").transform(materialize)
+    idx = (
+        lsh_index(corpus.select("vec_id", "v"), emb_col="v")
+        .select("vec_id", "table_id", "bucket")
+        .transform(materialize)
+    )
     # Candidate generation and the multi-table collision dedup move bare
     # (query_id, neighbor_id) pairs — never the 512-byte embedding arrays,
     # which would otherwise ride through two shuffles (dropDuplicates +
@@ -244,11 +294,11 @@ def e02_ann_neardup(spark, sf_dir):
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    qv = corpus.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    nv = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("nv")
+    nv = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
     )
     cos = cosine_pd()
     scored = (
@@ -266,22 +316,47 @@ def e02_ann_neardup(spark, sf_dir):
         .select(F.lit("ann").alias("kind"), "query_id", "neighbor_id", "sim", "rank")
         .transform(materialize)
     )
-    nd = neardup_pairs(emb, _ND_TAU)
+    # Planted ground truth: every 25th vector gets a deterministic
+    # ε-perturbed copy (component 0 + 0.125 — exact dyadic, identical
+    # IEEE add on both engines) at id + 10M. ONE near-dup index over
+    # originals ∪ plants serves both arms: plants add no
+    # original-original collisions, so the 'neardup' slice is exactly
+    # the pre-plant result, while the 'plantnd' slice (pairs touching a
+    # plant, cosine ≥ 0.9) is detection with a known answer.
+    plants = corpus.where(F.col("vec_id") % _PLANTND_MOD == 0).select(
+        (F.col("vec_id") + F.lit(_PLANTND_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(_PLANTND_EPS)),
+            F.slice("v", 2, 63),
+        ).alias("v"),
+    )
+    pnd_corp = corpus.select("vec_id", "v").unionByName(plants)
+    nd_all = neardup_pairs(pnd_corp, _ND_TAU, emb_col="v")
     wn = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
-    neardup = nd.select(
-        F.lit("neardup").alias("kind"),
-        F.col("id_a").alias("query_id"),
-        F.col("id_b").alias("neighbor_id"),
-        "sim",
-        F.row_number().over(wn).cast("int").alias("rank"),
+
+    def _pair_arm(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("neighbor_id"),
+            "sim",
+            F.row_number().over(wn).cast("int").alias("rank"),
+        )
+
+    neardup = _pair_arm(nd_all.where(F.col("id_b") < _PLANTND_OFFSET), "neardup")
+    plantnd = _pair_arm(
+        nd_all.where(
+            (F.col("id_b") >= _PLANTND_OFFSET) & (F.col("sim") >= _PLANTND_TAU)
+        ),
+        "plantnd",
     )
     # recall@3 audit: brute-force top-3 baseline on the same query set
-    # (one streamed corpus pass, query side broadcast), hits counted
-    # against the ann arm per query — the driver value-checks it, so a
-    # plane/table change that trades recall away fails the gate
+    # (one streamed corpus pass over the SHARED decoded relation, query
+    # side broadcast), hits counted against the ann arm per query — the
+    # driver value-checks it, so a plane/table change that trades recall
+    # away fails the gate
     brute3 = cosine_topk(
-        corpus=decoded_corpus(emb, checkpoint=False), k=3,
-        query_pred=F.col("vec_id") < 10,
+        corpus=corpus, k=3, query_pred=F.col("vec_id") < 10,
     ).select("query_id", "neighbor_id")
     recall = (
         brute3
@@ -297,4 +372,4 @@ def e02_ann_neardup(spark, sf_dir):
             F.lit(3).alias("rank"),
         )
     )
-    return ann.unionAll(neardup).unionAll(recall)
+    return ann.unionAll(neardup).unionAll(plantnd).unionAll(recall)
