@@ -80,10 +80,28 @@ def main() -> None:
         .write.mode("overwrite").format("noop").save()
     )
 
+    # Per-pass GC attribution: local mode is ONE JVM, so the GC-bean
+    # collection-time delta across a pass is exactly the stop-the-world
+    # time the query's tasks shared. A pass whose wall sits 10s above its
+    # best with ~10s of GC delta is self-explaining (the n03-class
+    # spread r5 could not attribute); a slow pass with ~0 GC points at
+    # scheduling/contention instead.
+    _gc_beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+
+    def _gc_ms() -> int:
+        return sum(int(b.getCollectionTime()) for b in _gc_beans)
+
+    gc_log: dict[str, list[int]] = {}
+
     def run_once(name: str) -> float:
+        g0 = _gc_ms()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         elapsed = time.perf_counter() - t0
+        gc_log.setdefault(name, []).append(_gc_ms() - g0)
         # release dropped shuffle files/broadcasts: the ContextCleaner only
         # frees them after a driver GC, and letting them pile up across ~75
         # executions skews late queries (observed 4s -> 27s on the same plan)
@@ -295,6 +313,7 @@ def main() -> None:
         "queries_warm": timings_warm,
         "warm_total": round(sum(timings_warm.values()), 3),
         "passes": passes,
+        "gc_ms": gc_log,
         "clean": clean_flags,
         "py_clean": py_clean_flags,
         "uses_python": {n: _uses_python(n) for n in names},

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Per-round sf1 scale artifact (VERDICT r5 #8): run the scale-sensitive
+query subset once at sf0.1 and at the synthesized sf1 (scale_probe's 10x
+replicated tables) with JVM-probe calibration, and write
+``BENCH_SF1_r{N}.json`` at the repo root so scale regressions are tracked
+round-over-round instead of re-derived by hand.
+
+Round number: ``--round N`` / ``$SPARK_GRAFT_ROUND``, else inferred as
+(max existing BENCH_r{N}.json) + 1 — the round whose bench the driver has
+not yet recorded.
+
+The probe data lives under /tmp — a bench sidecar, never an oracle input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_probe import PROBE_DIR, SRC, build_probe_data, plan_stats  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The scale-audit subset: the flagship/trend chain plus the corpus-sized
+# LLM-pipeline paths whose sf1 behavior the round verdicts track.
+QUERIES = [
+    "cs03_cte_vs_time",
+    "cs04_cte_vs_logflux",
+    "cs05_results_wide",
+    "d02_lsh_dedup_pipeline",
+    "d03_minhash_lsh",
+    "e01_cosine_topk",
+    "e02_ann_neardup",
+    "t02_text_profile",
+]
+
+PASSES = 2  # best-of-2 per (query, sf): one repeat absorbs most bursts
+
+
+def infer_round() -> int:
+    arg = None
+    if "--round" in sys.argv:
+        arg = sys.argv[sys.argv.index("--round") + 1]
+    arg = arg or os.environ.get("SPARK_GRAFT_ROUND")
+    if arg:
+        return int(arg)
+    ns = [
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def main() -> None:
+    from wfc3_cte_monitor_spark.plans.registry import load_all
+    from wfc3_cte_monitor_spark.session import get_spark
+
+    rnd = infer_round()
+    build_probe_data()
+    spark = get_spark("wfc3-bench-sf1")
+    specs = load_all()
+    par = spark.sparkContext.defaultParallelism
+    # warm the Python worker pool + parquet footers
+    (spark.range(par).repartition(par).mapInPandas(lambda it: it, "id long")
+     .write.mode("overwrite").format("noop").save())
+
+    probe_df = spark.range(0, 200_000_000, 1, par).selectExpr("sum(id * 3 + 1) AS s")
+    probe_log: list[float] = []
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        probe_df.write.mode("overwrite").format("noop").save()
+        el = time.perf_counter() - t0
+        probe_log.append(el)
+        return el
+
+    def run_once(q: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        specs[q].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        el = time.perf_counter() - t0
+        spark.sparkContext._jvm.System.gc()
+        return el
+
+    results: dict[str, dict] = {}
+    probe()
+    last = probe()
+    # interleave (all queries at 0.1, then all at 1, twice) so one burst
+    # cannot poison a single query's whole sample set — same rationale as
+    # bench.py's interleaved passes
+    samples: dict[tuple[str, str], list[tuple[float, float, float]]] = {}
+    for _ in range(PASSES):
+        for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
+            for q in QUERIES:
+                if q not in specs:
+                    continue
+                el = run_once(q, sf_dir)
+                p = probe()
+                samples.setdefault((q, sf_name), []).append((el, last, p))
+                last = p
+
+    pmin = min(probe_log)
+    gate = max(1.5 * pmin, pmin + 0.3)
+    for q in QUERIES:
+        if q not in specs:
+            continue
+        rec: dict = {}
+        for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
+            ss = samples[(q, sf_name)]
+            rec[sf_name] = round(min(s[0] for s in ss), 2)
+            rec[f"{sf_name}_clean"] = any(max(s[1], s[2]) <= gate for s in ss)
+        rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2) if rec["sf0.1"] else None
+        stats = plan_stats(specs[q].fn(spark, PROBE_DIR))
+        rec.update({f"sf1_{k}": v for k, v in stats.items()})
+        results[q] = rec
+        print(json.dumps({"query": q, **rec}), flush=True)
+
+    out = {
+        "metric": "sf1_scale_subset",
+        "round": rnd,
+        "passes": PASSES,
+        "calibration": {
+            "probe_min": round(pmin, 4),
+            "probe_max": round(max(probe_log), 4),
+            "gate": round(gate, 4),
+        },
+        "queries": results,
+    }
+    path = os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -237,14 +237,22 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
 _SIMDUP_HAMMING = 1
 
 # planted-mutation corpus: every PLANT_MOD-th doc gets a copy with ONE
-# appended token and id + PLANT_OFFSET. One new token changes one
+# appended token and id + (max(doc_id) + 1). One new token changes one
 # shingle out of ~n-2, so shingle-Jaccard stays ~0.9+ (the band join
 # finds the pair) while token-set Jaccard n/(n+1) clears the 0.8 verify
 # for any doc with >= 4 distinct tokens (corpus min is ~10).
+#
+# The offset is COMPUTED from the corpus (one pruned max() aggregate on
+# each engine), not a constant: a fixed 10M offset silently misclassified
+# 90% of the synthesized-sf1 corpus (remapped ids reach 9e7) as plants,
+# turning the plant verify's candidate set from O(plants) into the full
+# duplicate-pair population — measured 46 s vs ~13 s at sf1. An id-space
+# assumption is exactly the kind of at-scale failure the plant arm must
+# not carry.
 _PLANT_MOD = 50
-_PLANT_OFFSET = 10_000_000
 _PLANT_SUFFIX = "zzplantdupzz"
 _PLANT_JACCARD = 0.8
+_PMAX_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
 
 
 @register(
@@ -270,7 +278,7 @@ _PLANT_JACCARD = 0.8
     plantcorp AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+        SELECT doc_id + {_PMAX_SQL} AS doc_id,
                text || ' {_PLANT_SUFFIX}' AS text
         FROM documents WHERE doc_id % {_PLANT_MOD} = 0
     ),
@@ -283,7 +291,7 @@ _PLANT_JACCARD = 0.8
         FROM pbands a JOIN pbands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-        WHERE b.doc_id >= {_PLANT_OFFSET}
+        WHERE b.doc_id >= {_PMAX_SQL}
     ),
     ptoks AS (
         SELECT doc_id, list_sort(list_distinct({tokens_sql('text')})) AS t
@@ -343,11 +351,15 @@ def d03_minhash_lsh(spark, sf_dir):
     from ..functions.text import exploded_shingles, tokens
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # plant-id offset = max(doc_id) + 1, computed (one pruned max scan,
+    # mirrored by the oracle's scalar subquery) so the id-space test
+    # below stays correct on ANY corpus — see the constant block above
+    poff = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
     # ONE shingle→minhash→band pass covers originals AND plants (+2% of
     # the corpus): the 'band' arm is the original-id slice of the same
     # table the 'plant' arm's candidate join probes.
     plants = docs.where(F.col("doc_id") % _PLANT_MOD == 0).select(
-        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(poff)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(f" {_PLANT_SUFFIX}")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(plants)
@@ -356,7 +368,7 @@ def d03_minhash_lsh(spark, sf_dir):
     # the band table feeds the arm output AND both sides of the plant
     # candidate self-join — lazy checkpoint, same diamond hygiene as d02
     bands = lsh_bands(sig, "doc_id").transform(materialize)
-    band_arm = bands.where(F.col("doc_id") < _PLANT_OFFSET).select(
+    band_arm = bands.where(F.col("doc_id") < poff).select(
         F.lit("band").alias("which"),
         F.col("doc_id").cast("bigint").alias("k1"),
         F.col("band_id").cast("bigint").alias("k2"),
@@ -371,7 +383,7 @@ def d03_minhash_lsh(spark, sf_dir):
     pb = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
     pcands = (
         pa.join(pb, ["band_id", "band_key"])
-        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") >= _PLANT_OFFSET))
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") >= poff))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

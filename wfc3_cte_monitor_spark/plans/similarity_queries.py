@@ -149,7 +149,8 @@ def e01_cosine_topk(spark, sf_dir):
 #                    'plant' arm in vector space): every 25th corpus
 #                    vector gets a deterministic ε-perturbed copy
 #                    (component 0 + 0.125, identical IEEE arithmetic on
-#                    both engines) at id + 10M; ONE shared near-dup
+#                    both engines) at id + (max(vec_id)+1), the offset
+#                    COMPUTED per corpus; ONE shared near-dup
 #                    index over originals ∪ plants yields candidates,
 #                    and pairs touching a plant with exact cosine ≥ 0.9
 #                    are the detections. The 'neardup' arm reads the
@@ -173,7 +174,12 @@ def e01_cosine_topk(spark, sf_dir):
 # nit: brute3 re-decoded the corpus e01 had just deduplicated).
 _ND_TAU = 0.35
 _PLANTND_MOD = 25
-_PLANTND_OFFSET = 10_000_000
+# plant-id offset = max(vec_id) + 1, COMPUTED (one pruned max scan per
+# engine) — a fixed constant offset silently misclassifies any corpus
+# whose ids reach it as plants (d03 hit exactly this on the synthesized
+# sf1 corpus, whose remapped ids reach 9e7: the "plants-only" verify
+# degenerated to the full duplicate-pair population)
+_PLANTND_MAX_SQL = "(SELECT max(vec_id) + 1 FROM embeddings)"
 _PLANTND_EPS = 0.125
 _PLANTND_TAU = 0.9
 
@@ -206,15 +212,15 @@ _PLANTND_TAU = 0.9
     pnd_corp AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         UNION ALL
-        SELECT vec_id + {_PLANTND_OFFSET} AS vec_id,
+        SELECT vec_id + {_PLANTND_MAX_SQL} AS vec_id,
                list_prepend(v[1] + {_PLANTND_EPS!r}, v[2:]) AS v
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings WHERE vec_id % {_PLANTND_MOD} = 0)
     ),
     nd_all AS ({neardup_pairs_sql('(SELECT vec_id, v AS embedding FROM pnd_corp)', _ND_TAU)}),
-    nd AS (SELECT * FROM nd_all WHERE id_b < {_PLANTND_OFFSET}),
+    nd AS (SELECT * FROM nd_all WHERE id_b < {_PLANTND_MAX_SQL}),
     pnd AS (SELECT * FROM nd_all
-            WHERE id_b >= {_PLANTND_OFFSET} AND sim >= {_PLANTND_TAU!r}),
+            WHERE id_b >= {_PLANTND_MAX_SQL} AND sim >= {_PLANTND_TAU!r}),
     brute3 AS (
         SELECT query_id, neighbor_id FROM (
             SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -318,13 +324,14 @@ def e02_ann_neardup(spark, sf_dir):
     )
     # Planted ground truth: every 25th vector gets a deterministic
     # ε-perturbed copy (component 0 + 0.125 — exact dyadic, identical
-    # IEEE add on both engines) at id + 10M. ONE near-dup index over
+    # IEEE add on both engines) at id + (max id + 1). ONE near-dup index over
     # originals ∪ plants serves both arms: plants add no
     # original-original collisions, so the 'neardup' slice is exactly
     # the pre-plant result, while the 'plantnd' slice (pairs touching a
     # plant, cosine ≥ 0.9) is detection with a known answer.
+    poff = int(corpus.agg(F.max("vec_id")).collect()[0][0]) + 1
     plants = corpus.where(F.col("vec_id") % _PLANTND_MOD == 0).select(
-        (F.col("vec_id") + F.lit(_PLANTND_OFFSET)).alias("vec_id"),
+        (F.col("vec_id") + F.lit(poff)).alias("vec_id"),
         F.concat(
             F.array(F.element_at("v", 1) + F.lit(_PLANTND_EPS)),
             F.slice("v", 2, 63),
@@ -343,10 +350,10 @@ def e02_ann_neardup(spark, sf_dir):
             F.row_number().over(wn).cast("int").alias("rank"),
         )
 
-    neardup = _pair_arm(nd_all.where(F.col("id_b") < _PLANTND_OFFSET), "neardup")
+    neardup = _pair_arm(nd_all.where(F.col("id_b") < poff), "neardup")
     plantnd = _pair_arm(
         nd_all.where(
-            (F.col("id_b") >= _PLANTND_OFFSET) & (F.col("sim") >= _PLANTND_TAU)
+            (F.col("id_b") >= poff) & (F.col("sim") >= _PLANTND_TAU)
         ),
         "plantnd",
     )
