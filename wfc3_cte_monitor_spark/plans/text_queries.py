@@ -33,34 +33,111 @@ LANG_PROFILES = {
 }
 
 
-# T1 — token counting + basic stats.
-@register(
-    "t01_token_stats",
-    oracle=f"""
-    SELECT doc_id,
+# T1 — token stats + fixed-token-budget CHUNKING, one tagged union:
+#   which='doc'   — per-document stats (whitespace + BPE-ish token
+#                   counts, punct ratio, vocab, whole-doc fingerprint);
+#                   chunk_id = -1.
+#   which='chunk' — the training-data chunking op: the document's token
+#                   stream split into windows of CHUNK_TOKENS tokens
+#                   (non-overlapping; the last window is the remainder),
+#                   one row per (doc, chunk) with the chunk's token/BPE/
+#                   char/vocab counts and a CONTENT FINGERPRINT over the
+#                   reconstructed chunk text — the dedup-ready chunk
+#                   table an LLM training pipeline materializes before
+#                   sequence packing. Chunk construction is a pure
+#                   row-local explode (tokens bound to a column FIRST —
+#                   a lambda closing over the split+regexp expression
+#                   chain re-evaluates it per element, the shingles()
+#                   O(tokens²) trap); no shuffle, corpus-parallel.
+CHUNK_TOKENS = 50
+
+
+def _t01_sql() -> str:
+    ct_text = "array_to_string(ct, ' ')"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, text, {tokens_sql('text')} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               t[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}] AS ct
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(CAST(ceil(greatest(len(t), 1) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+            FROM toks
+        )
+    )
+    SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
            {bpe_token_count_sql('text')} AS n_bpe_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS n_unique,
            round({punct_ratio_sql('text')}, 6) AS punct_ratio,
-           CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS n_unique_tokens
+           {portable_hash64_sql(norm_text_sql('text'))} AS fp
     FROM documents
-    """,
-    tags=("text", "tokens"),
+    UNION ALL
+    SELECT 'chunk', doc_id, chunk_id,
+           CAST(len(ct) AS BIGINT),
+           {bpe_token_count_sql(ct_text)},
+           CAST(length({ct_text}) AS BIGINT),
+           CAST(len(list_distinct(ct)) AS BIGINT),
+           CAST(NULL AS DOUBLE),
+           {portable_hash64_sql(ct_text)}
+    FROM chunks
+    """
+
+
+@register(
+    "t01_token_stats",
+    oracle=_t01_sql(),
+    tags=("text", "tokens", "chunking"),
 )
 def t01_token_stats(spark, sf_dir):
-    """Tokenization stats: whitespace count, BPE-ish pre-tokenizer count
-    (letter/digit/symbol runs with leading-space affinity — the GPT-2
-    first-split shape, engine-portable regex), punctuation ratio,
-    vocab."""
+    """Tokenization stats ('doc' arm: whitespace count, BPE-ish
+    pre-tokenizer count — letter/digit/symbol runs with leading-space
+    affinity, the GPT-2 first-split shape, engine-portable regex —
+    punctuation ratio, vocab, whole-doc fingerprint) + fixed-budget
+    token chunking ('chunk' arm: 50-token windows, per-chunk stats and
+    content fingerprint — the chunk table a training pipeline dedups
+    and packs)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    return docs.select(
+    doc_arm = docs.select(
+        F.lit("doc").alias("which"),
         "doc_id",
+        F.lit(-1).cast("int").alias("chunk_id"),
         token_count("text").alias("n_tokens"),
         bpe_token_count("text").alias("n_bpe_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("n_unique"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("n_unique_tokens"),
+        portable_hash64(norm_text("text")).alias("fp"),
     )
+    # bind tokens to a COLUMN before the windowing lambda (see the arm
+    # comment); the explode is row-local — no shuffle at any corpus size
+    base = docs.select("doc_id", tokens("text").alias("t")).withColumn(
+        "n_chunks",
+        F.ceil(F.greatest(F.size("t"), F.lit(1)) / F.lit(float(CHUNK_TOKENS))).cast("int"),
+    )
+    k = CHUNK_TOKENS
+    chunked = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, n_chunks - 1), i -> slice(t, i*{k}+1, {k}))")
+        ).alias("chunk_id", "ct"),
+    )
+    ctext = F.array_join("ct", " ")
+    chunk_arm = chunked.select(
+        F.lit("chunk").alias("which"),
+        "doc_id",
+        F.col("chunk_id").cast("int"),
+        F.size("ct").cast("bigint").alias("n_tokens"),
+        bpe_token_count(ctext).alias("n_bpe_tokens"),
+        F.length(ctext).cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct("ct")).cast("bigint").alias("n_unique"),
+        F.lit(None).cast("double").alias("punct_ratio"),
+        portable_hash64(ctext).alias("fp"),
+    )
+    return doc_arm.unionAll(chunk_arm)
 
 
 # T2 — language-ID heuristic: stopword-profile hit counts, argmax with a
