@@ -81,7 +81,8 @@ _GLOBAL_WINDOW = re.compile(r"windowspecdefinition\(\s*[^,()]+ (?:ASC|DESC)")
 
 @pytest.mark.parametrize(
     "name",
-    ["e02_ann_neardup", "d02_lsh_dedup_pipeline", "cs05_results_wide", "cs03_cte_vs_time"],
+    ["e02_ann_neardup", "d02_lsh_dedup_pipeline", "cs05_results_wide",
+     "cs03_cte_vs_time", "t01_token_stats"],
 )
 def test_no_global_window_on_scale_paths(spark, name):
     # every row of these queries flows through data-sized intermediates;

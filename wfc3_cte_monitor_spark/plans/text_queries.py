@@ -49,7 +49,26 @@ LANG_PROFILES = {
 #                   a lambda closing over the split+regexp expression
 #                   chain re-evaluates it per element, the shingles()
 #                   O(tokens²) trap); no shuffle, corpus-parallel.
+#   which='pack'  — SEQUENCE PACKING: chunks greedily streamed into
+#                   PACK_TOKENS-budget packs WITHIN a shard
+#                   (shard = doc_id % N_SHARDS). Within each shard,
+#                   chunks order by (doc_id, chunk_id); a chunk joins
+#                   the pack where its running token offset starts
+#                   (no-split greedy fill — a pack can overflow by
+#                   < one chunk, the padding/overflow tradeoff real
+#                   packers make). The per-shard cumulative window is
+#                   the ONLY shuffle, partitioned by shard — global
+#                   order would funnel the corpus through one sort
+#                   task; shard-local order is how a 100 TB packer
+#                   stays parallel (N_SHARDS scales with the corpus).
+#                   Column meanings for 'pack' rows: doc_id ≡ shard,
+#                   chunk_id ≡ pack_id, n_bpe_tokens ≡ chunks in pack,
+#                   n_unique ≡ distinct docs in pack, punct_ratio ≡
+#                   fill ratio (n_tokens / PACK_TOKENS), fp ≡ bit_xor
+#                   of member-chunk fingerprints (pack content id).
 CHUNK_TOKENS = 50
+PACK_TOKENS = 512
+N_SHARDS = 64
 
 
 def _t01_sql() -> str:
@@ -84,6 +103,30 @@ def _t01_sql() -> str:
            CAST(NULL AS DOUBLE),
            {portable_hash64_sql(ct_text)}
     FROM chunks
+    UNION ALL
+    SELECT 'pack', shard, CAST(pack_id AS INT),
+           CAST(sum(n_tok) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(n_ch) AS BIGINT),
+           CAST(count(DISTINCT src_doc) AS BIGINT),
+           round(sum(n_tok) / {PACK_TOKENS}.0, 6),
+           bit_xor(cfp)
+    FROM (
+        SELECT shard, doc_id AS src_doc, n_tok, n_ch, cfp,
+               CAST(floor((cum - n_tok) / {PACK_TOKENS}.0) AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id % {N_SHARDS} AS shard, doc_id, chunk_id,
+                   len(ct) AS n_tok,
+                   length({ct_text}) AS n_ch,
+                   {portable_hash64_sql(ct_text)} AS cfp,
+                   sum(len(ct)) OVER (PARTITION BY doc_id % {N_SHARDS}
+                                      ORDER BY doc_id, chunk_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS cum
+            FROM chunks
+        )
+    )
+    GROUP BY shard, pack_id
     """
 
 
@@ -98,8 +141,12 @@ def t01_token_stats(spark, sf_dir):
     affinity, the GPT-2 first-split shape, engine-portable regex —
     punctuation ratio, vocab, whole-doc fingerprint) + fixed-budget
     token chunking ('chunk' arm: 50-token windows, per-chunk stats and
-    content fingerprint — the chunk table a training pipeline dedups
-    and packs)."""
+    content fingerprint) + sequence packing ('pack' arm: shard-local
+    greedy fill of chunks into 512-token packs — per pack the token
+    total, member-chunk count, distinct source docs, fill ratio, and a
+    bit_xor content fingerprint; the chunk→pack chain is the
+    training-data materialization an LLM pipeline runs before batch
+    assembly)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     doc_arm = docs.select(
         F.lit("doc").alias("which"),
@@ -137,7 +184,51 @@ def t01_token_stats(spark, sf_dir):
         F.lit(None).cast("double").alias("punct_ratio"),
         portable_hash64(ctext).alias("fp"),
     )
-    return doc_arm.unionAll(chunk_arm)
+    # 'pack' arm: shard-local greedy fill. The cumulative window is the
+    # only shuffle (partitioned by shard — a GLOBAL order would funnel
+    # the corpus through one sort task); pack membership = the pack of
+    # the chunk's starting offset in its shard's token stream.
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        chunked.select(
+            (F.col("doc_id") % N_SHARDS).alias("shard"),
+            "doc_id",
+            "chunk_id",
+            F.size("ct").cast("bigint").alias("n_tok"),
+            F.length(ctext).cast("bigint").alias("n_ch"),
+            portable_hash64(ctext).alias("cfp"),
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / float(PACK_TOKENS)).cast("bigint"),
+        )
+    )
+    pack_arm = (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_ch").cast("bigint").alias("n_chars"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_unique"),
+            F.round(F.sum("n_tok") / F.lit(float(PACK_TOKENS)), 6).alias("punct_ratio"),
+            F.expr("bit_xor(cfp)").alias("fp"),
+        )
+        .select(
+            F.lit("pack").alias("which"),
+            F.col("shard").alias("doc_id"),
+            F.col("pack_id").cast("int").alias("chunk_id"),
+            "n_tokens", "n_bpe_tokens", "n_chars", "n_unique",
+            "punct_ratio", "fp",
+        )
+    )
+    return doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
 
 
 # T2 — language-ID heuristic: stopword-profile hit counts, argmax with a
