@@ -195,6 +195,28 @@ def synthesize_media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_OUT_W = 8
 RESIZE_OUT_H = 6
 FRAME_HOP = 4
+# ViT-style patch grid: PATCH×PATCH pixel tiles (edge tiles are the
+# remainder), reduced per image to (n_patches, Σ floor-mean) — the
+# integer-exact stand-in for per-patch embedding extraction, restated in
+# closed form by the oracle.
+PATCH = 4
+
+
+def patch_grid_stats(img: np.ndarray, patch: int = PATCH) -> tuple[int, int]:
+    """(H, W, C) raster → (n_patches, Σ over patches of channel-sum //
+    channel-count): the patch-grid tokenization a vision-transformer
+    pipeline runs per image, reduced to integer-exact scalars (floor
+    mean per patch, summed). Pure bincount — no loops."""
+    h, w = img.shape[0], img.shape[1]
+    pw = (w + patch - 1) // patch
+    ph = (h + patch - 1) // patch
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pidx = (ys // patch) * pw + (xs // patch)
+    s2 = img.astype(np.int64).sum(axis=2)
+    npatch = pw * ph
+    psum = np.bincount(pidx.ravel(), weights=s2.ravel(), minlength=npatch).astype(np.int64)
+    pcnt = np.bincount(pidx.ravel(), minlength=npatch).astype(np.int64) * img.shape[2]
+    return int(npatch), int((psum // pcnt).sum())
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -229,7 +251,8 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
         "blob_id bigint, kind string, width int, height int,"
         " n_samples int, sample_rate int, mean_val double, checksum bigint,"
         " ap_flux bigint, ap_npix int,"
-        " rs_checksum bigint, rs_npix int, fs_checksum bigint, fs_n int"
+        " rs_checksum bigint, rs_npix int, fs_checksum bigint, fs_n int,"
+        " pg_npatch int, pg_checksum bigint"
     )
     if with_raster:
         out_schema += ", pixels array<bigint>"
@@ -253,6 +276,7 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                     # feature-extract: fixed-geometry nearest thumbnail,
                     # reduced in-partition like every other pixel pass
                     thumb = resize_nearest(img, RESIZE_OUT_H, RESIZE_OUT_W)
+                    pg_n, pg_ck = patch_grid_stats(img)
                     row = {
                         "blob_id": r["blob_id"], "kind": "image",
                         "width": w, "height": h,
@@ -264,6 +288,7 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                         "rs_checksum": int(thumb.astype(np.int64).sum()),
                         "rs_npix": RESIZE_OUT_H * RESIZE_OUT_W,
                         "fs_checksum": 0, "fs_n": 0,
+                        "pg_npatch": pg_n, "pg_checksum": pg_ck,
                     }
                     if with_raster:
                         row["pixels"] = img.astype(np.int64).ravel().tolist()
@@ -281,6 +306,7 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                         "rs_checksum": 0, "rs_npix": 0,
                         "fs_checksum": int(frames.astype(np.int64).sum()),
                         "fs_n": int(len(frames)),
+                        "pg_npatch": 0, "pg_checksum": 0,
                     }
                     if with_raster:
                         row["pixels"] = []
@@ -289,7 +315,8 @@ def decode_media_stats(blobs: DataFrame, with_raster: bool = False) -> DataFrame
                     raise NotImplementedError(f"stats for codec {r['codec']!r}")
             cols = ["blob_id", "kind", "width", "height", "n_samples",
                     "sample_rate", "mean_val", "checksum", "ap_flux", "ap_npix",
-                    "rs_checksum", "rs_npix", "fs_checksum", "fs_n"]
+                    "rs_checksum", "rs_npix", "fs_checksum", "fs_n",
+                    "pg_npatch", "pg_checksum"]
             if with_raster:
                 cols.append("pixels")
             yield pd.DataFrame(rows, columns=cols)

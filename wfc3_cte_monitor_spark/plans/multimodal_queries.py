@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..multimodal.blobs import FRAME_HOP, RESIZE_OUT_H, RESIZE_OUT_W
+from ..multimodal.blobs import FRAME_HOP, PATCH, RESIZE_OUT_H, RESIZE_OUT_W
 from .registry import register
 
 # Sum of 0..255 (one full byte cycle) = 32640; the partial-cycle sum of
@@ -132,6 +132,24 @@ fs AS (
     FROM (SELECT doc_id, a, unnest(range(0, ns, {FRAME_HOP})) AS i
           FROM p WHERE kind = 'audio')
     GROUP BY doc_id
+),
+-- ViT-style patch grid: {PATCH}x{PATCH} pixel tiles (edge tiles = the
+-- remainder); per patch the channel-value sum floor-divided by the
+-- channel-value count, summed per image — integer-exact both engines
+pg AS (
+    SELECT doc_id,
+           SUM(psum // pcnt) AS pg_checksum,
+           COUNT(*) AS pg_npatch
+    FROM (
+        SELECT doc_id,
+               SUM(((a + pq * 3) % 256) + ((a + pq * 3 + 1) % 256)
+                   + ((a + pq * 3 + 2) % 256)) AS psum,
+               COUNT(*) * 3 AS pcnt
+        FROM px
+        GROUP BY doc_id,
+                 ((pq // w) // {PATCH}) * ((w + {PATCH} - 1) // {PATCH})
+                     + (pq % w) // {PATCH}
+    ) GROUP BY doc_id
 )
 SELECT t.doc_id AS blob_id, kind,
        (CASE WHEN kind = 'image' THEN w ELSE 0 END)::INT AS width,
@@ -150,12 +168,15 @@ SELECT t.doc_id AS blob_id, kind,
        coalesce(rs.rs_checksum, 0)::BIGINT AS rs_checksum,
        coalesce(rs.rs_npix, 0)::INT AS rs_npix,
        coalesce(fs.fs_checksum, 0)::BIGINT AS fs_checksum,
-       coalesce(fs.fs_n, 0)::INT AS fs_n
+       coalesce(fs.fs_n, 0)::INT AS fs_n,
+       coalesce(pg.pg_npatch, 0)::INT AS pg_npatch,
+       coalesce(pg.pg_checksum, 0)::BIGINT AS pg_checksum
 FROM t
 LEFT JOIN ap ON t.doc_id = ap.doc_id
 LEFT JOIN corr ON t.doc_id = corr.doc_id
 LEFT JOIN rs ON t.doc_id = rs.doc_id
 LEFT JOIN fs ON t.doc_id = fs.doc_id
+LEFT JOIN pg ON t.doc_id = pg.doc_id
 """
 
 
@@ -203,8 +224,11 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     header dims, sample rate, pixel/sample mean and checksum, the
     PAM-corrected / DQ-masked pixel sums (S2 + N5 through the decoded
     raster), and the feature-extract transforms — nearest-neighbor
-    thumbnail resize (rs_checksum/rs_npix) and every-4th frame sampling
-    (fs_checksum/fs_n) — all verified against the closed-form oracle.
+    thumbnail resize (rs_checksum/rs_npix), every-4th frame sampling
+    (fs_checksum/fs_n), and the ViT-style 4x4 patch-grid reduction
+    (pg_npatch/pg_checksum: per-patch floor-mean summed — the
+    tokenization step a vision-training pipeline runs per image) — all
+    verified against the closed-form oracle.
     One synthesis, one decode pass; resize/frame-sample run on the
     decoded arrays inside the same mapInPandas batch, and the per-pixel
     PAM/DQ work is JVM column expressions over the emitted raster, which
@@ -218,4 +242,5 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_val", "checksum", "ap_flux", "ap_npix",
         *_pam_masked_cols(),
         "rs_checksum", "rs_npix", "fs_checksum", "fs_n",
+        "pg_npatch", "pg_checksum",
     )
