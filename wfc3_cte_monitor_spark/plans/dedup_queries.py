@@ -234,7 +234,25 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
 #                    vocabulary's.
 #                    The quadratic work is confined to 65536-way blocks —
 #                    the same bucketed shape as every other dedup path.
+#   which='contam' — DECONTAMINATION: training docs sharing >= 5
+#                    distinct 3-gram shingles with the EVAL SET
+#                    (doc_id % 97 == 0, ~1% of the corpus) are flagged
+#                    with their overlap count — the train/eval n-gram
+#                    contamination check every training pipeline runs
+#                    before a data release. Shape: the eval side's
+#                    distinct shingle set is tiny by nature (eval sets
+#                    are small) → broadcast semi-join against the SAME
+#                    exploded-shingle relation the MinHash pass reads;
+#                    no all-pairs stage, corpus side touched once.
 _SIMDUP_HAMMING = 1
+_CONTAM_EVAL_MOD = 97
+_CONTAM_MIN_SHARED = 5
+# planted LEAKS give detection a ground truth (this corpus has no
+# natural cross-doc 3-gram overlap, so an unplanted arm would gate an
+# empty result): each eval doc's text reappears as a "training" doc at
+# id + 2*(max+1) with one appended token — the contam join must flag
+# every leak with n_shared = the eval doc's full shingle count
+_LEAK_SUFFIX = "zzleakzz"
 
 # planted-mutation corpus: every PLANT_MOD-th doc gets a copy with ONE
 # appended token and id + (max(doc_id) + 1). One new token changes one
@@ -320,6 +338,28 @@ _PMAX_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
             JOIN pshingles sa ON sa.doc_id = c.id_a
             JOIN pshingles sb ON sb.doc_id = c.id_b
         ) WHERE jac >= {_PLANT_JACCARD}
+    ),
+    evsh AS (
+        SELECT DISTINCT unnest({shingles_sql_inline('text', 3)}) AS shingle
+        FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} = 0
+    ),
+    leaked AS (
+        SELECT doc_id + 2 * {_PMAX_SQL} AS doc_id,
+               text || ' {_LEAK_SUFFIX}' AS text
+        FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} = 0
+    ),
+    trainsh AS (
+        SELECT doc_id, unnest(list_distinct({shingles_sql_inline('text', 3)})) AS shingle
+        FROM documents WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0
+        UNION ALL
+        SELECT doc_id, unnest(list_distinct({shingles_sql_inline('text', 3)})) AS shingle
+        FROM leaked
+    ),
+    contam AS (
+        SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared
+        FROM trainsh t JOIN evsh e ON t.shingle = e.shingle
+        GROUP BY t.doc_id
+        HAVING count(DISTINCT t.shingle) >= {_CONTAM_MIN_SHARED}
     )
     SELECT 'band' AS which, doc_id AS k1, band_id::BIGINT AS k2, band_key AS v
     FROM bands
@@ -333,8 +373,11 @@ _PMAX_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
     UNION ALL
     SELECT 'ngram', id_a, id_b, printf('%.6f', round(jac, 6))
     FROM ngram
+    UNION ALL
+    SELECT 'contam', doc_id, n_shared::BIGINT, CAST(NULL AS VARCHAR)
+    FROM contam
     """,
-    tags=("dedup", "minhash", "lsh", "simhash"),
+    tags=("dedup", "minhash", "lsh", "simhash", "decontamination"),
 )
 def d03_minhash_lsh(spark, sf_dir):
     """Signature dedup surfaces, one tagged union: MinHash(16) over
@@ -346,7 +389,10 @@ def d03_minhash_lsh(spark, sf_dir):
     detection ('simdup'): 32-bit token SimHash, half-block candidate
     generation (an equi-join on the 16-bit block key — any Hamming-1
     pair shares a block by pigeonhole), bit_count(xor) verify on
-    candidates only."""
+    candidates only — plus 'contam': train/eval n-gram
+    DECONTAMINATION (training docs sharing >= 5 distinct shingles with
+    the ~1% eval slice, flagged with their overlap count; eval shingle
+    set broadcast against the same materialized shingle relation)."""
     from ..functions.dedup import minhash_signature_pairs, simhash16
     from ..functions.text import exploded_shingles, tokens
 
@@ -363,7 +409,10 @@ def d03_minhash_lsh(spark, sf_dir):
         F.concat(F.col("text"), F.lit(f" {_PLANT_SUFFIX}")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(plants)
-    sh = exploded_shingles(corpus, "doc_id", "text", 3)
+    # the shingle relation now has THREE consumers (minhash signatures,
+    # contam train side, contam eval side) — materialize it once so the
+    # posexplode+window pipeline isn't embedded per consumer
+    sh = exploded_shingles(corpus, "doc_id", "text", 3).transform(materialize)
     sig = minhash_signature_pairs(sh, "doc_id")
     # the band table feeds the arm output AND both sides of the plant
     # candidate self-join — lazy checkpoint, same diamond hygiene as d02
@@ -494,9 +543,45 @@ def d03_minhash_lsh(spark, sf_dir):
         F.col("id_b").cast("bigint").alias("k2"),
         ham.cast("string").alias("v"),
     )
+
+    # 'contam' arm: train/eval n-gram decontamination with PLANTED
+    # leaks (each eval doc's text re-planted as a training doc at
+    # id + 2*poff with one appended token — detection has a known
+    # answer). The eval side's distinct-shingle set is tiny by nature
+    # (eval sets are small) → broadcast semi-join; the original-id
+    # train side reads the SAME materialized shingle relation the
+    # MinHash pass reads, the ~1% leak slice gets its own small pass.
+    # Per-doc distinctness of exploded_shingles makes count(*) the
+    # distinct-shared count.
+    orig_sh = sh.where(F.col("doc_id") < poff)
+    ev_sh = (
+        orig_sh.where(F.col("doc_id") % _CONTAM_EVAL_MOD == 0)
+        .select("shingle").distinct()
+    )
+    leaked = docs.where(F.col("doc_id") % _CONTAM_EVAL_MOD == 0).select(
+        (F.col("doc_id") + F.lit(2 * poff)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(f" {_LEAK_SUFFIX}")).alias("text"),
+    )
+    train_sh = orig_sh.where(F.col("doc_id") % _CONTAM_EVAL_MOD != 0).unionByName(
+        exploded_shingles(leaked, "doc_id", "text", 3)
+    )
+    contam_arm = (
+        train_sh
+        .join(F.broadcast(ev_sh), "shingle", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+        .select(
+            F.lit("contam").alias("which"),
+            F.col("doc_id").cast("bigint").alias("k1"),
+            F.col("n_shared").cast("bigint").alias("k2"),
+            F.lit(None).cast("string").alias("v"),
+        )
+    )
     return (
         band_arm.unionByName(simdup_arm)
         .unionByName(plant_arm).unionByName(ngram_arm)
+        .unionByName(contam_arm)
     )
 
 
