@@ -275,8 +275,22 @@ def _langid_sql() -> str:
 
 # T2 + T3 + T4 + SimHash — the per-document text-analysis profile as one
 # joined result (50-query driver cap): language-ID heuristic, composite
-# quality score, content fingerprint + shard, and the 16-bit SimHash
-# signature, all keyed by doc_id.
+# quality score, content fingerprint + shard, 16-bit SimHash, plus two
+# training-data filter surfaces:
+# - REPETITION quality (the Gopher-rule family): duplicate-bigram
+#   fraction 1 - distinct/total over the token stream — row-local, the
+#   repetition filter a quality pipeline thresholds on;
+# - PII DETECT + REDACT with planted ground truth: every 41st doc gets
+#   a deterministic appended email + phone (both engines construct it
+#   identically), the profile counts matches and fingerprints the
+#   REDACTED text — a redaction bug (missed match, wrong replacement)
+#   breaks n_emails/n_phones or redacted_fp at the gate.
+_PII_MOD = 41
+_PII_SUFFIX = " contact bob@example.com or 555-0100"
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
 def _quality_sql() -> str:
     return f"""
     SELECT doc_id,
@@ -311,15 +325,39 @@ def _profile_sql() -> str:
             FROM documents
         )
     ),
-    sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))})
+    sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))}),
+    piirep AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(ptxt, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(ptxt, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               {portable_hash64_sql(
+                   "regexp_replace(regexp_replace(ptxt, '" + _EMAIL_RE
+                   + "', '<EMAIL>', 'g'), '" + _PHONE_RE + "', '<PHONE>', 'g')"
+               )} AS redacted_fp,
+               CASE WHEN len(t) > 1
+                    THEN round(1.0 - len(list_distinct(list_transform(
+                             range(len(t) - 1), x -> t[x+1] || ' ' || t[x+2]
+                         )))::DOUBLE / (len(t) - 1), 6)
+                    ELSE 0.0 END AS rep_ratio
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {_PII_MOD} = 0
+                        THEN text || '{_PII_SUFFIX}' ELSE text END AS ptxt,
+                   {tokens_sql('text')} AS t
+            FROM documents
+        )
+    )
     SELECT l.doc_id, l.labeled_lang,
            l.hits_en, l.hits_es, l.hits_fr, l.hits_de, l.predicted_lang,
-           q.quality, f.fingerprint, f.shard, f.n_winnow_fp, f.winnow_fp_sum,
+           q.quality, f.fingerprint, f.shard,
+           p.rep_ratio, p.n_emails, p.n_phones, p.redacted_fp,
+           f.n_winnow_fp, f.winnow_fp_sum,
            s.simhash
     FROM langid l
     JOIN quality q ON l.doc_id = q.doc_id
     JOIN fp f ON l.doc_id = f.doc_id
     JOIN sim s ON l.doc_id = s.doc_id
+    JOIN piirep p ON l.doc_id = p.doc_id
     """
 
 
@@ -329,10 +367,14 @@ def t02_text_profile(spark, sf_dir):
     """Per-document analysis profile: stopword-profile language ID
     (argmax with deterministic tiebreak), composite quality in [0,1]
     (length, punctuation, stopword density, type/token ratio),
-    content fingerprint + shard bucket, rolling-hash winnowing
-    fingerprints (Rabin-Karp token 3-gram polynomial → min-per-window-
-    of-4 selection, emitted as count + sum reductions), 16-bit SimHash.
-    All built-in expressions; one narrow join chain on doc_id."""
+    content fingerprint + shard bucket, duplicate-bigram repetition
+    ratio (the Gopher-rule repetition filter), PII detect + redact with
+    planted ground truth (every 41st doc carries a deterministic
+    email + phone; match counts and the redacted-text fingerprint are
+    value-gated), rolling-hash winnowing fingerprints (Rabin-Karp token
+    3-gram polynomial → min-per-window-of-4 selection, emitted as
+    count + sum reductions), 16-bit SimHash. All built-in expressions;
+    one narrow join chain on doc_id."""
     from ..functions.dedup import simhash16
     from ..functions.text import winnow_fingerprints
 
@@ -353,6 +395,27 @@ def t02_text_profile(spark, sf_dir):
         + 0.2 * (uniq / F.greatest(n_tok, F.lit(1)))
     )
     fp = portable_hash64(norm_text("text"))
+    # PII surface on the planted text; repetition on the raw token stream
+    ptxt = F.when(
+        F.col("doc_id") % _PII_MOD == 0, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(ptxt, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    t = tokens("text")
+    nb = F.greatest(F.size(t) - 1, F.lit(0))
+    # codegen-safe bigrams: zip of two aligned slices (the shingles()
+    # pattern), NOT a transform-over-sequence lambda closing over t
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(t, 1, nb), F.slice(t, 2, nb)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    rep_ratio = F.when(
+        nb > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(bigrams)).cast("double") / nb.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
     # lang-id and the scalar profile are per-row projections of the same
     # scan — ONE select, no join between them; only SimHash (explode +
     # groupBy vote) genuinely needs its own aggregation branch
@@ -364,6 +427,10 @@ def t02_text_profile(spark, sf_dir):
         F.round(quality, 6).alias("quality"),
         fp.alias("fingerprint"),
         (fp % 1024).alias("shard"),
+        rep_ratio.alias("rep_ratio"),
+        F.regexp_count(ptxt, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(ptxt, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        portable_hash64(redacted).alias("redacted_fp"),
     )
     sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
     wf = winnow_fingerprints(docs.select("doc_id", "text"), "doc_id", "text")
