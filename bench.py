@@ -49,6 +49,7 @@ HEADLINE = [
     "d03_minhash_lsh",
     "e01_cosine_topk",
     "e02_ann_neardup",
+    "t01_token_stats",
     "t02_text_profile",
     "ev01_event_windows",
 ]
@@ -86,22 +87,37 @@ def main() -> None:
     # best with ~10s of GC delta is self-explaining (the n03-class
     # spread r5 could not attribute); a slow pass with ~0 GC points at
     # scheduling/contention instead.
-    _gc_beans = (
-        spark.sparkContext._jvm.java.lang.management.ManagementFactory
-        .getGarbageCollectorMXBeans()
-    )
+    _mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    _gc_beans = _mf.getGarbageCollectorMXBeans()
+    # JVM pid via ProcessHandle (the MXBean's getProcessCpuTime lives on
+    # the com.sun interface, which py4j cannot reach through JPMS);
+    # /proc/<pid>/stat utime+stime gives the same process-CPU clock.
+    _jvm_pid = int(spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid())
+    _tick = os.sysconf("SC_CLK_TCK")
 
     def _gc_ms() -> int:
         return sum(int(b.getCollectionTime()) for b in _gc_beans)
 
+    def _cpu_ms() -> int:
+        # JVM process CPU (driver + all local-mode executor threads).
+        # Per-pass delta separates the two slow-pass causes the wall
+        # clock can't: cpu ≈ typical but wall inflated → the JVM was
+        # STARVED (external contention); cpu inflated with wall → the
+        # pass genuinely did more work (plan/JIT/GC-adjacent).
+        with open(f"/proc/{_jvm_pid}/stat") as fh:
+            parts = fh.read().rsplit(") ", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) * 1000 // _tick
+
     gc_log: dict[str, list[int]] = {}
+    cpu_log: dict[str, list[int]] = {}
 
     def run_once(name: str) -> float:
-        g0 = _gc_ms()
+        g0, c0 = _gc_ms(), _cpu_ms()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         elapsed = time.perf_counter() - t0
         gc_log.setdefault(name, []).append(_gc_ms() - g0)
+        cpu_log.setdefault(name, []).append(_cpu_ms() - c0)
         # release dropped shuffle files/broadcasts: the ContextCleaner only
         # frees them after a driver GC, and letting them pile up across ~75
         # executions skews late queries (observed 4s -> 27s on the same plan)
@@ -314,6 +330,7 @@ def main() -> None:
         "warm_total": round(sum(timings_warm.values()), 3),
         "passes": passes,
         "gc_ms": gc_log,
+        "cpu_ms": cpu_log,
         "clean": clean_flags,
         "py_clean": py_clean_flags,
         "uses_python": {n: _uses_python(n) for n in names},

@@ -302,3 +302,13 @@ def test_size_estimate_threads_through_checkpoint(spark):
         assert _pairs_broadcastable(ck) is False
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_contam_eval_side_broadcasts(spark):
+    # decontamination shape: the eval shingle set (small by nature) must
+    # reach the train side as a broadcast semi-join — a shuffled join
+    # here would move the corpus-sized shingle table on the shingle key
+    # for a ~1%-slice probe.
+    plan = _plan(spark, "d03_minhash_lsh")
+    m = re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert m, "contam eval-shingle semi-join must be broadcast"
