@@ -120,3 +120,37 @@ def test_ivf_refine_matches_numpy_reference(spark, sf_smoke):
     assert set(got) == set(expected)
     for lid in expected:
         assert np.allclose(got[lid], expected[lid], atol=1.5e-6), lid
+
+
+def test_int8_quantization_bounds(spark, sf_smoke):
+    """int8_quantized must emit components in [-127, 127] whose scale
+    reconstruction stays within half a quantization step per component,
+    and whose reconstructed cosine tracks the exact cosine."""
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.functions.similarity import (
+        decoded_corpus, int8_quantized,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    corpus = {r.vec_id: np.array(r.v) for r in decoded_corpus(emb, checkpoint=False).collect()}
+    rows = int8_quantized(decoded_corpus(emb, checkpoint=False)).collect()
+    assert len(rows) == len(corpus)
+    for r in rows:
+        q = np.array(r.qv, dtype=float)
+        v = corpus[r.vec_id]
+        assert np.abs(np.array(r.qv)).max() <= 127
+        # reconstruction error per component ≤ s/2 (+ float slack)
+        assert np.abs(q * r.s - v).max() <= r.s / 2 + 1e-12, r.vec_id
+    ids = sorted(corpus)[:20]
+    qrows = {r.vec_id: (np.array(r.qv, dtype=float), r.s) for r in rows}
+    errs = []
+    for a, b in zip(ids, ids[1:]):
+        va, vb = corpus[a], corpus[b]
+        qa, sa = qrows[a]
+        qb, sb = qrows[b]
+        exact = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        quant = (qa @ qb) * sa * sb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        errs.append(abs(exact - quant))
+    assert max(errs) < 0.01, max(errs)

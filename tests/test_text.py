@@ -135,3 +135,32 @@ def test_winnow_fingerprints_detect_shared_runs():
         assert got.get(i) == expect, (i, got.get(i), ref)
     assert py_fps(texts[0]) & py_fps(texts[1])          # shared run -> shared fps
     assert not (py_fps(texts[0]) & py_fps(texts[4]))    # unrelated -> disjoint
+
+
+def test_mix_arm_temperature_weighting(spark, sf_smoke):
+    """The t01 'mix' arm must honor the α=0.5 mixing contract on the
+    real corpus: weights sum to 1, every doc is sampled ≥ once, replica
+    counts are exactly epochs × doc-count, and the sqrt temperature
+    never upweights a LARGER domain above a smaller one."""
+    from wfc3_cte_monitor_spark.plans.text_queries import t01_token_stats
+
+    mix = {
+        r.doc_id: r
+        for r in t01_token_stats(spark, sf_smoke)
+        .where("which = 'mix'")
+        .collect()
+    }
+    assert len(mix) == 5  # en/es/fr/de/zh
+    assert abs(sum(r.punct_ratio for r in mix.values()) - 1.0) < 5e-6  # Σw_d = 1
+    for r in mix.values():
+        # n_bpe_tokens ≡ domain doc count, n_chars ≡ replicas emitted,
+        # n_unique ≡ distinct docs among replicas (see the arm comment)
+        assert r.n_unique == r.n_bpe_tokens          # every doc sampled ≥ once
+        assert r.n_chars % r.n_bpe_tokens == 0        # replicas = epochs × docs
+        assert r.n_chars // r.n_bpe_tokens >= 1
+    by_docs = sorted(mix.values(), key=lambda r: r.n_bpe_tokens)
+    # α = 0.5 monotonicity: a domain with more docs never gets MORE
+    # epochs than a smaller one (per-doc token lengths are iid across
+    # domains in the synthetic corpus, so doc count orders token mass)
+    epochs = [r.n_chars // r.n_bpe_tokens for r in by_docs]
+    assert all(a >= b for a, b in zip(epochs, epochs[1:])), epochs

@@ -280,6 +280,56 @@ def decoded_corpus(embeddings: DataFrame, id_col: str = "vec_id",
     return out.transform(materialize) if checkpoint else out
 
 
+# --- int8 scalar quantization (the compression an at-scale ANN index ships) --
+#
+# Per-vector symmetric int8: scale s = max|v_i| / 127 (the max fold is
+# order-free), components q_i = floor(v_i/s + 0.5) ∈ [-127, 127]
+# (floor(x + 0.5) is round-half-toward-+inf, the SAME function on both
+# engines — no HALF_UP-vs-half-even rounding mode is involved). The
+# quantized score reconstructs cosine as (q_a·q_b)·s_a·s_b / (|a|·|b|):
+# the integer dot is EXACT on both engines (|dot| ≤ 64·127² ≈ 1.0e6,
+# far inside 2^53 even through DuckDB's double-based list_dot_product),
+# so the only cross-engine noise left is the scale/norm products —
+# absorbed by round-6 like every other similarity in this module.
+
+def int8_quantized(corpus: DataFrame) -> DataFrame:
+    """:func:`decoded_corpus` relation → ``(vec_id, qv, s, nrm)`` with
+    int8-valued bigint components. Row-local — no shuffle at any corpus
+    size; at 100 TB this is the 4×-smaller index representation the
+    scoring pass streams instead of the float corpus. The scale binds to
+    a COLUMN before the transform lambda (a lambda closing over the
+    max-fold expression would re-evaluate the fold per element — the
+    O(dim²) trap this module documents on shingles())."""
+    scaled = corpus.select(
+        "vec_id", "v", "nrm",
+        (
+            F.aggregate("v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+            / 127.0
+        ).alias("s"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x / F.col("s") + 0.5).cast("bigint")).alias("qv"),
+        "s",
+        "nrm",
+    )
+
+
+def int8_quantized_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`int8_quantized` over the raw embeddings."""
+    return f"""
+    SELECT vec_id,
+           list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS qv,
+           s, nrm
+    FROM (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS s,
+               sqrt(list_dot_product(v, v)) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})
+    )
+    """
+
+
 def cosine_topk(embeddings: DataFrame | None = None, query_ids: list[int] | None = None,
                 k: int = 5, query_pred: Column | None = None,
                 corpus: DataFrame | None = None) -> DataFrame:

@@ -12,6 +12,8 @@ from ..functions.similarity import (
     cosine_sql,
     cosine_topk,
     decoded_corpus,
+    int8_quantized,
+    int8_quantized_sql,
     ivf_ann,
     ivf_ann_sql,
     lsh_index,
@@ -165,6 +167,16 @@ def e01_cosine_topk(spark, sf_dir):
 #                    audit that makes a hyperplane/table change that
 #                    silently craters recall FAIL the value gate (the
 #                    e01 'recall' arm's twin for the LSH path).
+#   kind='quant'   — int8 scalar-quantized top-3 for the same queries:
+#                    per-vector symmetric scale max|v|/127, integer
+#                    components, score = exact integer dot × scale
+#                    reconstruction (functions/similarity.py's int8
+#                    block) — the 4×-compressed representation an
+#                    at-scale index streams instead of float vectors.
+#   kind='qrecall' — recall@3 of the quantized scoring vs the SAME
+#                    brute baseline: quantization error is a gated
+#                    number, and the baseline pass is shared (one
+#                    materialized brute3 anchors both audits).
 # τ = 0.35 is matched to this synthetic corpus's natural similarity
 # scale (max pairwise cosine ≈ 0.51); the planted pairs sit at ≥ 0.9 by
 # construction. All branches confine quadratic work to buckets, and the
@@ -243,6 +255,33 @@ _PLANTND_TAU = 0.9
         LEFT JOIN ann i ON i.query_id = b.query_id
                        AND i.neighbor_id = b.neighbor_id
         GROUP BY b.query_id
+    ),
+    qc AS ({int8_quantized_sql('embeddings')}),
+    qscored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.qa, c.qv) * (q.sa * c.s)
+                     / (q.qn * c.nrm), 6) AS sim
+        FROM qc c
+        CROSS JOIN (SELECT vec_id AS query_id, qv AS qa, s AS sa, nrm AS qn
+                    FROM qc WHERE {_Q}) q
+        WHERE c.vec_id <> q.query_id
+    ),
+    quant AS (
+        SELECT 'quant' AS kind, query_id, neighbor_id, sim,
+               CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM qscored
+        ) WHERE rank <= 3
+    ),
+    qrec AS (
+        SELECT b.query_id,
+               count(i.neighbor_id)::BIGINT AS n_hits,
+               round(count(i.neighbor_id) / 3.0, 6) AS recall_at_3
+        FROM brute3 b
+        LEFT JOIN quant i ON i.query_id = b.query_id
+                         AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
     )
     SELECT * FROM ann
     UNION ALL
@@ -259,17 +298,27 @@ _PLANTND_TAU = 0.9
     SELECT 'recall' AS kind, query_id, n_hits AS neighbor_id,
            recall_at_3 AS sim, 3 AS rank
     FROM rec
+    UNION ALL
+    SELECT * FROM quant
+    UNION ALL
+    SELECT 'qrecall' AS kind, query_id, n_hits AS neighbor_id,
+           recall_at_3 AS sim, 3 AS rank
+    FROM qrec
     """,
     tags=("similarity", "ann", "lsh", "dedup", "neardup", "plant"),
 )
 def e02_ann_neardup(spark, sf_dir):
     """LSH ANN + embedding-cosine near-dup + planted-ground-truth
-    detection, one tagged union: candidate generation in every branch is
-    an equi-join on (table_id, bucket) — never a cross join — and only
-    candidates pay the exact-cosine cost. The whole query decodes the
-    corpus ONCE (shared checkpointed relation). The 100 TB shape: each
-    index is written bucketed so ANN probes are pruned scans and the
-    near-dup self-join is co-located."""
+    detection + int8-quantized scoring, one tagged union: candidate
+    generation in every bucketed branch is an equi-join on
+    (table_id, bucket) — never a cross join — and only candidates pay
+    the exact-cosine cost. The whole query decodes the corpus ONCE
+    (shared checkpointed relation); one materialized brute-force top-3
+    baseline anchors both the LSH 'recall' and quantization 'qrecall'
+    audits. The 100 TB shape: each index is written bucketed so ANN
+    probes are pruned scans, the near-dup self-join is co-located, and
+    the quantized representation is the 4×-smaller relation the scoring
+    pass streams."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     # ONE decoded corpus for the WHOLE query (r5 nit closed): the ANN
     # index, the near-dup/plant index, every re-rank vector fetch and
@@ -362,9 +411,11 @@ def e02_ann_neardup(spark, sf_dir):
     # side broadcast), hits counted against the ann arm per query — the
     # driver value-checks it, so a plane/table change that trades recall
     # away fails the gate
+    # materialized (30 rows): the baseline now anchors TWO audits —
+    # LSH recall and quantization recall — one corpus scoring pass, not two
     brute3 = cosine_topk(
         corpus=corpus, k=3, query_pred=F.col("vec_id") < 10,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").transform(materialize)
     recall = (
         brute3
         .join(ann.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
@@ -379,4 +430,57 @@ def e02_ann_neardup(spark, sf_dir):
             F.lit(3).alias("rank"),
         )
     )
-    return ann.unionAll(neardup).unionAll(plantnd).unionAll(recall)
+    # int8-quantized scoring ('quant') + its audit ('qrecall'): quantize
+    # the SHARED corpus (row-local — the query side's filter pushes below
+    # the projection, so the 10-row side quantizes 10 vectors), score the
+    # same query set with the exact integer dot × scale reconstruction,
+    # and count hits against the float brute top-3 — quantization error
+    # becomes a measured, value-gated quantity instead of an assumption.
+    qcorp = int8_quantized(corpus)
+    qq = qcorp.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("s").alias("sa"), F.col("nrm").alias("qn"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qscored = (
+        qcorp.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+            F.col("s").alias("sb"), F.col("nrm").alias("nn"),
+        )
+        .join(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                qdot * (F.col("sa") * F.col("sb")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("sim"),
+        )
+    )
+    quant = (
+        qscored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(F.lit("quant").alias("kind"), "query_id", "neighbor_id", "sim", "rank")
+        .transform(materialize)
+    )
+    qrecall = (
+        brute3
+        .join(quant.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+              ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+        .select(
+            F.lit("qrecall").alias("kind"),
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("neighbor_id"),
+            F.round(F.col("n_hits") / F.lit(3.0), 6).alias("sim"),
+            F.lit(3).alias("rank"),
+        )
+    )
+    return (
+        ann.unionAll(neardup).unionAll(plantnd).unionAll(recall)
+        .unionAll(quant).unionAll(qrecall)
+    )

@@ -21,6 +21,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
 )
+from ..checkpointing import materialize
 from ..sources.catalog import load_table, spread
 from .registry import register
 
@@ -66,9 +67,33 @@ LANG_PROFILES = {
 #                   n_unique ≡ distinct docs in pack, punct_ratio ≡
 #                   fill ratio (n_tokens / PACK_TOKENS), fp ≡ bit_xor
 #                   of member-chunk fingerprints (pack content id).
+#   which='mix'   — DOMAIN MIXING: the α-temperature sampling-rate op a
+#                   training pipeline runs to set per-domain repetition
+#                   (weights ∝ n_d^α with α=0.5 upweight rare domains;
+#                   domain = lang, the skewed column). Per domain d:
+#                   weight w_d = sqrt(n_d)/Σsqrt, epoch count
+#                   e_d = max(1, round(w_d·B/tok_d)) for a token budget
+#                   B = MIX_BUDGET_X × corpus tokens, then every doc
+#                   explodes into e_d replicas each carrying a
+#                   deterministic shuffle key hash64(doc_id:replica) —
+#                   the training-order shuffle. Cross-engine exactness:
+#                   sqrt weights are summed as ROUND(sqrt·1e6) integer
+#                   micro-units (bigint sum is order-free; sqrt of a
+#                   non-square is irrational so the round never ties).
+#                   Column meanings for 'mix' rows: doc_id ≡
+#                   hash64(lang) (content-addressed domain id — an
+#                   index would need a global window), n_tokens ≡ token
+#                   total, n_bpe_tokens ≡ domain doc count, n_chars ≡
+#                   replicas emitted (gates e_d), n_unique ≡ distinct
+#                   docs among replicas, punct_ratio ≡ w_d, fp ≡
+#                   bit_xor of replica shuffle keys (gates the explode
+#                   AND the key assignment). Plan: two tiny aggs + a
+#                   broadcast of the 5-row weight dim + a row-local
+#                   explode — no corpus-sized shuffle at any scale.
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
+MIX_BUDGET_X = 2  # token budget = 2× corpus tokens
 
 
 def _t01_sql() -> str:
@@ -85,6 +110,42 @@ def _t01_sql() -> str:
                    unnest(range(CAST(ceil(greatest(len(t), 1) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
             FROM toks
         )
+    ),
+    domstats AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({token_count_sql('text')}) AS BIGINT) AS tok_d,
+               CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS s_i
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(s_i) AS BIGINT) AS denom,
+               CAST(sum(tok_d) AS BIGINT) AS tot_tok
+        FROM domstats
+    ),
+    wts AS (
+        SELECT lang, n_docs, tok_d,
+               CAST(s_i AS DOUBLE) / denom AS w_d,
+               greatest(1, CAST(floor(
+                   CAST(s_i AS DOUBLE) / denom * ({MIX_BUDGET_X} * tot_tok) / tok_d + 0.5
+               ) AS INT)) AS epochs
+        FROM domstats, tot
+    ),
+    reps AS (
+        SELECT lang, doc_id,
+               {portable_hash64_sql(
+                   "CAST(doc_id AS VARCHAR) || ':' || CAST(replica AS VARCHAR)"
+               )} AS key
+        FROM (
+            SELECT d.lang, d.doc_id,
+                   unnest(range(1, w.epochs + 1)) AS replica
+            FROM documents d JOIN wts w ON d.lang = w.lang
+        )
+    ),
+    ragg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS replicas,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS uniq,
+               bit_xor(key) AS fp
+        FROM reps GROUP BY lang
     )
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
@@ -127,6 +188,12 @@ def _t01_sql() -> str:
         )
     )
     GROUP BY shard, pack_id
+    UNION ALL
+    SELECT 'mix', {portable_hash64_sql('w.lang')},
+           CAST(-1 AS INT),
+           w.tok_d, w.n_docs, r.replicas, r.uniq,
+           round(w.w_d, 6), r.fp
+    FROM wts w JOIN ragg r ON w.lang = r.lang
     """
 
 
@@ -146,18 +213,34 @@ def t01_token_stats(spark, sf_dir):
     total, member-chunk count, distinct source docs, fill ratio, and a
     bit_xor content fingerprint; the chunk→pack chain is the
     training-data materialization an LLM pipeline runs before batch
-    assembly)."""
+    assembly) + temperature domain mixing ('mix' arm: α=0.5 weights
+    ∝ sqrt(domain size) set per-domain epoch counts against a 2×-corpus
+    token budget; every doc explodes into its domain's replica count,
+    each replica keyed by a deterministic training-order shuffle hash —
+    per-domain weight, replica totals, and a bit_xor over the shuffle
+    keys are all value-gated)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    doc_arm = docs.select(
-        F.lit("doc").alias("which"),
+    # per-doc stats materialize ONCE (numeric columns only — the text is
+    # projected away, so this is a few MB at any corpus size): the 'doc'
+    # arm is a projection of it and the 'mix' arm's domain aggregation
+    # reads it instead of re-tokenizing the corpus (measured: the
+    # duplicate tokenize pass alone was ~0.9 s of t01's sf0.1 cost)
+    per_doc = docs.select(
         "doc_id",
-        F.lit(-1).cast("int").alias("chunk_id"),
+        "lang",
         token_count("text").alias("n_tokens"),
         bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("n_unique"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         portable_hash64(norm_text("text")).alias("fp"),
+    ).transform(materialize)
+    doc_arm = per_doc.select(
+        F.lit("doc").alias("which"),
+        "doc_id",
+        F.lit(-1).cast("int").alias("chunk_id"),
+        "n_tokens", "n_bpe_tokens", "n_chars", "n_unique",
+        "punct_ratio", "fp",
     )
     # bind tokens to a COLUMN before the windowing lambda (see the arm
     # comment); the explode is row-local — no shuffle at any corpus size
@@ -228,7 +311,72 @@ def t01_token_stats(spark, sf_dir):
             "punct_ratio", "fp",
         )
     )
-    return doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
+    # 'mix' arm: α=0.5 temperature domain mixing (see the arm comment).
+    # Two tiny aggs feed a broadcast 5-row weight dim; the replica
+    # explode is row-local, so the corpus never shuffles for this arm.
+    dom = per_doc.select("lang", "doc_id", F.col("n_tokens").alias("ntok"))
+    # materialized (5 rows): wts is read TWICE (the reps broadcast and
+    # the final select) and tot reads domstats again — un-truncated,
+    # each of those four evaluations would re-aggregate (and before
+    # per_doc was shared, re-tokenize: 1.6 s → 4.2 s at sf0.1);
+    # checkpointed, everything downstream is 5-row arithmetic
+    domstats = (
+        dom.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("tok_d"),
+        )
+        # integer micro-unit sqrt weights: bigint sums are order-free
+        # where a 4-double sum is not (see the arm comment's tie note)
+        .withColumn("s_i", F.round(F.sqrt("n_docs") * 1e6, 0).cast("bigint"))
+        .transform(materialize)
+    )
+    tot = domstats.agg(
+        F.sum("s_i").cast("bigint").alias("denom"),
+        F.sum("tok_d").cast("bigint").alias("tot_tok"),
+    )
+    w_d = F.col("s_i").cast("double") / F.col("denom")
+    wts = domstats.join(F.broadcast(tot)).select(
+        "lang", "n_docs", "tok_d",
+        w_d.alias("w_d"),
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                w_d * (MIX_BUDGET_X * F.col("tot_tok")) / F.col("tok_d") + 0.5
+            ).cast("int"),
+        ).alias("epochs"),
+    )
+    reps = (
+        dom.join(F.broadcast(wts.select("lang", "epochs")), "lang")
+        .select(
+            "lang", "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("replica"),
+        )
+        .select(
+            "lang", "doc_id",
+            portable_hash64(F.concat_ws(":", "doc_id", "replica")).alias("key"),
+        )
+    )
+    ragg = reps.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("replicas"),
+        F.count_distinct("doc_id").cast("bigint").alias("uniq"),
+        F.expr("bit_xor(key)").alias("fp"),
+    )
+    # domain id = hash of the lang itself (content-addressed): a
+    # row_number index would need an unpartitioned window — a global
+    # sort funnel the plan-shape guard rightly rejects even at 5 rows
+    mix_arm = wts.join(ragg, "lang").select(
+        F.lit("mix").alias("which"),
+        portable_hash64("lang").alias("doc_id"),
+        F.lit(-1).cast("int").alias("chunk_id"),
+        F.col("tok_d").alias("n_tokens"),
+        F.col("n_docs").alias("n_bpe_tokens"),
+        F.col("replicas").alias("n_chars"),
+        F.col("uniq").alias("n_unique"),
+        F.round("w_d", 6).alias("punct_ratio"),
+        "fp",
+    )
+    return doc_arm.unionAll(chunk_arm).unionAll(pack_arm).unionAll(mix_arm)
 
 
 # T2 — language-ID heuristic: stopword-profile hit counts, argmax with a
