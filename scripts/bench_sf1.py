@@ -37,6 +37,7 @@ QUERIES = [
     "d03_minhash_lsh",
     "e01_cosine_topk",
     "e02_ann_neardup",
+    "t01_token_stats",
     "t02_text_profile",
 ]
 

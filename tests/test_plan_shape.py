@@ -94,12 +94,15 @@ def test_no_global_window_on_scale_paths(spark, name):
 
 
 def test_text_profile_single_scan_before_simhash_join(spark):
-    # t02 = one projection branch + one SimHash aggregation branch + one
-    # winnowing window branch; the documents parquet is scanned once PER
-    # BRANCH (pruned to (doc_id, text)) and no more — the three
-    # aggregation shapes (row projection / explode+groupBy vote /
-    # posexplode+window) cannot share an exchange, and re-reading a
-    # pruned columnar scan beats materializing the corpus at scale
+    # t02 = one projection branch (which also carries the boilerplate
+    # columns via a broadcast flag join — no scan of its own) + one
+    # SimHash aggregation branch + one winnowing window branch; the
+    # documents parquet is scanned once PER BRANCH (pruned to
+    # (doc_id, text)) and no more — the aggregation shapes (row
+    # projection / explode+groupBy vote / posexplode+window) cannot
+    # share an exchange, and re-reading a pruned columnar scan beats
+    # materializing the corpus at scale. The boilerplate suffix-
+    # frequency table is a separate materialized sidecar relation.
     plan = _plan(spark, "t02_text_profile")
     nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(nodes) <= 3, nodes

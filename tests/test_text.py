@@ -164,3 +164,25 @@ def test_mix_arm_temperature_weighting(spark, sf_smoke):
     # domains in the synthetic corpus, so doc count orders token mass)
     epochs = [r.n_chars // r.n_bpe_tokens for r in by_docs]
     assert all(a >= b for a, b in zip(epochs, epochs[1:])), epochs
+
+
+def test_boilerplate_detect_and_strip(spark, sf_smoke):
+    """t02's boilerplate columns on the real corpus: every 3rd doc (the
+    planted footer population) must be flagged, its stripped fingerprint
+    must equal the pre-plant content fingerprint, and no unplanted doc
+    may be flagged (random 4-gram suffixes can't reach the ≥20%
+    per-source frequency bar)."""
+    from wfc3_cte_monitor_spark.plans.text_queries import _BOILER_MOD, t02_text_profile
+
+    rows = t02_text_profile(spark, sf_smoke).select(
+        "doc_id", "fingerprint", "boiler", "boiler_fp"
+    ).collect()
+    assert rows
+    for r in rows:
+        planted = r.doc_id % _BOILER_MOD == 0
+        assert r.boiler == (1 if planted else 0), r.doc_id
+        if planted:
+            # stripping the footer must recover the original content
+            assert r.boiler_fp == r.fingerprint, r.doc_id
+        else:
+            assert r.boiler_fp == r.fingerprint  # untouched text, same fp

@@ -437,6 +437,21 @@ _PII_MOD = 41
 _PII_SUFFIX = " contact bob@example.com or 555-0100"
 _EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
 _PHONE_RE = "[0-9]{3}-[0-9]{4}"
+# - BOILERPLATE detect + strip with planted ground truth (the
+#   C4/RefinedWeb footer-removal op): every 3rd doc gets its SOURCE's
+#   deterministic 4-token footer appended ("visit <source> homepage
+#   today" — per-source boilerplate, the real-scrape shape); detection
+#   is per-(source, last-4-token-suffix) frequency — a suffix carried
+#   by ≥ 20% of its source's docs (integer predicate 5·cnt ≥ n_src, no
+#   float threshold) is boilerplate. Flagged docs emit the fingerprint
+#   of the STRIPPED text — which for planted docs must equal the
+#   pre-plant fingerprint, so a detector that misses a plant OR strips
+#   the wrong tokens breaks `boiler`/`boiler_fp` at the gate. The
+#   frequency table shuffles bare (source, suffix) pairs and the
+#   flagged set re-attaches as a broadcast — the corpus text itself
+#   never rides a shuffle.
+_BOILER_MOD = 3
+_BOILER_MIN_FRAC = 5  # boilerplate iff 5·cnt ≥ n_src (cnt/n ≥ 20%)
 
 
 def _quality_sql() -> str:
@@ -494,11 +509,51 @@ def _profile_sql() -> str:
                    {tokens_sql('text')} AS t
             FROM documents
         )
+    ),
+    bdocs AS (
+        SELECT doc_id, source, bp,
+               CASE WHEN len(l) >= 4
+                    THEN array_to_string(l[len(l)-3:len(l)], ' ')
+                    ELSE bp END AS suffix
+        FROM (
+            SELECT doc_id, source, bp, string_split(bp, ' ') AS l
+            FROM (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % {_BOILER_MOD} = 0
+                            THEN text || ' visit ' || source || ' homepage today'
+                            ELSE text END AS bp
+                FROM documents
+            )
+        )
+    ),
+    bfreq AS (
+        SELECT source, suffix, count(*) AS cnt
+        FROM bdocs GROUP BY source, suffix
+    ),
+    bset AS (
+        SELECT g.source, g.suffix
+        FROM bfreq g
+        JOIN (SELECT source, sum(cnt) AS n_src
+              FROM bfreq GROUP BY source) s ON g.source = s.source
+        WHERE {_BOILER_MIN_FRAC} * g.cnt >= s.n_src
+    ),
+    boil AS (
+        SELECT b.doc_id,
+               CASE WHEN bs.suffix IS NOT NULL
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS boiler,
+               {portable_hash64_sql(norm_text_sql(
+                   "CASE WHEN bs.suffix IS NOT NULL "
+                   "THEN rtrim(substr(b.bp, 1, length(b.bp) - length(b.suffix))) "
+                   "ELSE b.bp END"
+               ))} AS boiler_fp
+        FROM bdocs b
+        LEFT JOIN bset bs ON b.source = bs.source AND b.suffix = bs.suffix
     )
     SELECT l.doc_id, l.labeled_lang,
            l.hits_en, l.hits_es, l.hits_fr, l.hits_de, l.predicted_lang,
            q.quality, f.fingerprint, f.shard,
            p.rep_ratio, p.n_emails, p.n_phones, p.redacted_fp,
+           b.boiler, b.boiler_fp,
            f.n_winnow_fp, f.winnow_fp_sum,
            s.simhash
     FROM langid l
@@ -506,6 +561,7 @@ def _profile_sql() -> str:
     JOIN fp f ON l.doc_id = f.doc_id
     JOIN sim s ON l.doc_id = s.doc_id
     JOIN piirep p ON l.doc_id = p.doc_id
+    JOIN boil b ON l.doc_id = b.doc_id
     """
 
 
@@ -519,7 +575,11 @@ def t02_text_profile(spark, sf_dir):
     ratio (the Gopher-rule repetition filter), PII detect + redact with
     planted ground truth (every 41st doc carries a deterministic
     email + phone; match counts and the redacted-text fingerprint are
-    value-gated), rolling-hash winnowing fingerprints (Rabin-Karp token
+    value-gated), BOILERPLATE detect + strip with planted ground truth
+    (every 3rd doc carries its source's 4-token footer; per-source
+    suffix-frequency detection with an integer ≥20% threshold, and the
+    stripped-text fingerprint of a planted doc must equal its pre-plant
+    fingerprint), rolling-hash winnowing fingerprints (Rabin-Karp token
     3-gram polynomial → min-per-window-of-4 selection, emitted as
     count + sum reductions), 16-bit SimHash. All built-in expressions;
     one narrow join chain on doc_id."""
@@ -564,21 +624,73 @@ def t02_text_profile(spark, sf_dir):
             1.0 - F.size(F.array_distinct(bigrams)).cast("double") / nb.cast("double"), 6
         ),
     ).otherwise(F.lit(0.0))
-    # lang-id and the scalar profile are per-row projections of the same
-    # scan — ONE select, no join between them; only SimHash (explode +
-    # groupBy vote) genuinely needs its own aggregation branch
+    # boilerplate inputs (see the constants comment) — pure string ops,
+    # no token arrays, no regex: the suffix is the last 4
+    # space-separated tokens of the RAW planted text, and stripping is
+    # length-arithmetic substr on the raw string, so a flagged planted
+    # doc's stripped text IS its original text and the normalized
+    # fingerprints are equal by construction, not by reconstruction
+    bptxt = F.when(
+        F.col("doc_id") % _BOILER_MOD == 0,
+        F.concat("text", F.lit(" visit "), "source", F.lit(" homepage today")),
+    ).otherwise(F.col("text"))
+    # substring_index(bp, ' ', -4) IS the whole suffix contract in one
+    # cheap reverse scan: the last 4 space-separated tokens, or the
+    # whole string when there are fewer — no regex, no token arrays.
+    # Detection runs on the RAW planted text (string-identical on both
+    # engines); normalization is paid only once, on the (possibly
+    # stripped) fingerprint input — not on the frequency scan.
+    suffix = F.substring_index(bptxt, " ", -4)
+    # suffix-frequency over a PRUNED (source, suffix) scan, materialized
+    # (≈ one small row per doc) because the per-source totals re-read it
+    # (sum of group counts == doc count — no second corpus scan)
+    freq = (
+        docs.select("source", suffix.alias("suffix"))
+        .groupBy("source", "suffix")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(materialize)
+    )
+    bset = (
+        freq.join(freq.groupBy("source").agg(F.sum("cnt").alias("n_src")), "source")
+        .where(_BOILER_MIN_FRAC * F.col("cnt") >= F.col("n_src"))
+        .select("source", "suffix")
+    )
+    # lang-id, the scalar profile AND the boilerplate columns are
+    # per-row projections of the same scan — ONE select plus a broadcast
+    # flag join (the tiny flagged-suffix set), no corpus-sized join or
+    # rescan for boilerplate; only SimHash (explode + groupBy vote)
+    # genuinely needs its own aggregation branch
     langid_cols = _langid_columns()
-    profile = docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *langid_cols,
-        F.round(quality, 6).alias("quality"),
-        fp.alias("fingerprint"),
-        (fp % 1024).alias("shard"),
-        rep_ratio.alias("rep_ratio"),
-        F.regexp_count(ptxt, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(ptxt, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
-        portable_hash64(redacted).alias("redacted_fp"),
+    profile = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("lang").alias("labeled_lang"),
+            *langid_cols,
+            F.round(quality, 6).alias("quality"),
+            fp.alias("fingerprint"),
+            (fp % 1024).alias("shard"),
+            rep_ratio.alias("rep_ratio"),
+            F.regexp_count(ptxt, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+            F.regexp_count(ptxt, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+            portable_hash64(redacted).alias("redacted_fp"),
+            bptxt.alias("bp"),
+            suffix.alias("suffix"),
+        )
+        .join(F.broadcast(bset).withColumn("_b", F.lit(1)), ["source", "suffix"], "left")
+        .withColumn("boiler", F.coalesce("_b", F.lit(0)).cast("bigint"))
+        .withColumn(
+            "boiler_fp",
+            portable_hash64(
+                norm_text(
+                    F.when(
+                        F.col("_b").isNotNull(),
+                        F.rtrim(F.expr("substr(bp, 1, length(bp) - length(suffix))")),
+                    ).otherwise(F.col("bp"))
+                )
+            ),
+        )
+        .drop("source", "suffix", "bp", "_b")
     )
     sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
     wf = winnow_fingerprints(docs.select("doc_id", "text"), "doc_id", "text")
@@ -589,5 +701,10 @@ def t02_text_profile(spark, sf_dir):
         .withColumn("winnow_fp_sum", F.coalesce("winnow_fp_sum", F.lit(0)).cast("bigint"))
     )
     # column order mirrors the oracle's select list
-    cols = [c for c in joined.columns if c not in ("n_winnow_fp", "winnow_fp_sum", "simhash")]
-    return joined.select(*cols, "n_winnow_fp", "winnow_fp_sum", "simhash")
+    cols = [
+        c for c in joined.columns
+        if c not in ("boiler", "boiler_fp", "n_winnow_fp", "winnow_fp_sum", "simhash")
+    ]
+    return joined.select(
+        *cols, "boiler", "boiler_fp", "n_winnow_fp", "winnow_fp_sum", "simhash"
+    )
