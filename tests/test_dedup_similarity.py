@@ -140,3 +140,38 @@ def test_embedding_neardup_matches_numpy_reference(spark, sf_smoke):
     assert set(got) == want
     for (i, j), s in got.items():
         assert s >= tau and i < j
+
+
+def test_dupfrac_planted_ground_truth(spark, sf_smoke):
+    """The d03 'dupfrac' arm (Gopher-style duplicate-n-gram fraction)
+    must hit its planted ground truth: a planted original's shingles are
+    a strict subset of its plant's, so its fraction is exactly 1.0; the
+    plant keeps at most one unique shingle (its suffix 3-gram), so its
+    fraction is 1.0 or k/(k+1); unplanted docs report natural overlap,
+    gated only to [0, 1]."""
+    from wfc3_cte_monitor_spark.plans.dedup_queries import (
+        _PLANT_MOD,
+        d03_minhash_lsh,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    poff = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    rows = (
+        d03_minhash_lsh(spark, sf_smoke)
+        .where("which = 'dupfrac'")
+        .collect()
+    )
+    assert rows, "dupfrac arm returned no rows"
+    by_id = {r.k1: r for r in rows}
+    planted = [i for i in by_id if i < poff and i % _PLANT_MOD == 0]
+    assert planted, "no planted originals with shingles in the corpus"
+    for i in planted:
+        assert by_id[i].v == "1.000000", (i, by_id[i].v)
+        plant = by_id.get(i + poff)
+        assert plant is not None, f"plant of {i} has no dupfrac row"
+        # every inherited shingle is shared with the original, so the
+        # plant's unique count is 0 or 1 (its suffix 3-gram):
+        # frac ∈ {1, k/(k+1)}
+        assert plant.v in ("1.000000", f"{plant.k2 / (plant.k2 + 1):.6f}"), plant
+    for i, r in by_id.items():
+        assert 0.0 <= float(r.v) <= 1.0, (i, r.v)

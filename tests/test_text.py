@@ -186,3 +186,51 @@ def test_boilerplate_detect_and_strip(spark, sf_smoke):
             assert r.boiler_fp == r.fingerprint, r.doc_id
         else:
             assert r.boiler_fp == r.fingerprint  # untouched text, same fp
+
+
+def test_score_arm_matches_python_reference(spark, sf_smoke):
+    """The t01 'score' arm's hashed-feature linear score must equal an
+    independent pure-Python recomputation (hashlib md5 prefix, same
+    bucket/weight arithmetic) on every doc of the real corpus."""
+    import hashlib
+
+    from wfc3_cte_monitor_spark.plans.text_queries import (
+        SCORE_D,
+        SCORE_MOD,
+        SCORE_MULT,
+        SCORE_SHIFT,
+        t01_token_stats,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+    import re
+
+    def py_score(text):
+        norm = re.sub(r"[^a-z0-9 ]", "", text.lower()).strip()
+        toks = [t for t in re.split(r"\s+", norm) if t]
+        n = n_pos = score = 0
+        buckets = set()
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % SCORE_D
+            w = (b * SCORE_MULT) % SCORE_MOD - SCORE_SHIFT
+            n += 1
+            n_pos += w > 0
+            score += w
+            buckets.add(b)
+        return n, n_pos, score, len(buckets)
+
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_smoke, "documents").collect()}
+    rows = t01_token_stats(spark, sf_smoke).where("which = 'score'").collect()
+    scored = {r.doc_id: r for r in rows}
+    checked = 0
+    for doc_id, text in docs.items():
+        n, n_pos, score, nb = py_score(text)
+        if n == 0:
+            assert doc_id not in scored
+            continue
+        r = scored[doc_id]
+        assert (r.n_tokens, r.n_bpe_tokens, r.n_chars, r.n_unique) == (
+            n, n_pos, score, nb,
+        ), (doc_id, r)
+        assert r.punct_ratio == round(score / n, 6), (doc_id, r.punct_ratio)
+        checked += 1
+    assert checked == len(rows) > 0

@@ -15,6 +15,8 @@ from ..functions.dedup import (
     simhash16_sql,
 )
 from ..functions.text import (
+    portable_hash64,
+    portable_hash64_sql,
     shingles_sql_inline,
     tokens,
     tokens_sql,
@@ -234,6 +236,30 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
 #                    vocabulary's.
 #                    The quadratic work is confined to 65536-way blocks —
 #                    the same bucketed shape as every other dedup path.
+#   which='dupfrac' — DUPLICATE-N-GRAM FRACTION: the per-document
+#                    repetition/quality metric from the Gopher and
+#                    RefinedWeb filtering rules — for each doc of the
+#                    PLANTED corpus, the fraction of its distinct
+#                    3-gram shingles that also occur in at least one
+#                    OTHER doc. On the planted corpus the metric has a
+#                    ground truth: planted originals gate exactly
+#                    1.000000 (their shingles are a strict subset of
+#                    their plant's) and plants k/(k+1) (their one
+#                    suffix shingle is theirs alone); unplanted docs
+#                    report their NATURAL overlap — nonzero for many
+#                    (short docs share 3-grams), which is the metric
+#                    doing its job, not noise. Shape: the
+#                    same materialized shingle relation, shingles
+#                    compressed to 60-bit portable hashes BEFORE the
+#                    shuffles (both engines hash identically; a 2^-60
+#                    collision merges a shingle pair deterministically
+#                    on both sides) so the corpus-scale groupBy and the
+#                    count join move (bigint, bigint) rows, never
+#                    20-30-byte shingle strings. Three shingle-scale
+#                    shuffles total (count-by-shingle, join back,
+#                    count-by-doc with map-side partial agg) — the
+#                    canonical two-pass shape this metric has at any
+#                    scale.
 #   which='contam' — DECONTAMINATION: training docs sharing >= 5
 #                    distinct 3-gram shingles with the EVAL SET
 #                    (doc_id % 97 == 0, ~1% of the corpus) are flagged
@@ -360,6 +386,20 @@ _PMAX_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
         FROM trainsh t JOIN evsh e ON t.shingle = e.shingle
         GROUP BY t.doc_id
         HAVING count(DISTINCT t.shingle) >= {_CONTAM_MIN_SHARED}
+    ),
+    dsh AS (
+        SELECT doc_id, {portable_hash64_sql('shingle')} AS shid
+        FROM (
+            SELECT doc_id, unnest({shingles_sql_inline('text', 3)}) AS shingle
+            FROM plantcorp
+        )
+    ),
+    shc AS (SELECT shid, count(*) AS nd FROM dsh GROUP BY shid),
+    dupfrac AS (
+        SELECT d.doc_id, count(*) AS n_sh,
+               sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM dsh d JOIN shc c ON d.shid = c.shid
+        GROUP BY d.doc_id
     )
     SELECT 'band' AS which, doc_id AS k1, band_id::BIGINT AS k2, band_key AS v
     FROM bands
@@ -376,8 +416,12 @@ _PMAX_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
     UNION ALL
     SELECT 'contam', doc_id, n_shared::BIGINT, CAST(NULL AS VARCHAR)
     FROM contam
+    UNION ALL
+    SELECT 'dupfrac', doc_id, CAST(n_dup AS BIGINT),
+           printf('%.6f', round(CAST(n_dup AS DOUBLE) / n_sh, 6))
+    FROM dupfrac
     """,
-    tags=("dedup", "minhash", "lsh", "simhash", "decontamination"),
+    tags=("dedup", "minhash", "lsh", "simhash", "decontamination", "dupfrac"),
 )
 def d03_minhash_lsh(spark, sf_dir):
     """Signature dedup surfaces, one tagged union: MinHash(16) over
@@ -392,7 +436,10 @@ def d03_minhash_lsh(spark, sf_dir):
     candidates only — plus 'contam': train/eval n-gram
     DECONTAMINATION (training docs sharing >= 5 distinct shingles with
     the ~1% eval slice, flagged with their overlap count; eval shingle
-    set broadcast against the same materialized shingle relation)."""
+    set broadcast against the same materialized shingle relation) —
+    plus 'dupfrac': the Gopher/RefinedWeb duplicate-n-gram fraction
+    per doc, computed over 60-bit shingle hashes so the corpus-scale
+    shuffles move bigints, not shingle strings."""
     from ..functions.dedup import minhash_signature_pairs, simhash16
     from ..functions.text import exploded_shingles, tokens
 
@@ -578,10 +625,39 @@ def d03_minhash_lsh(spark, sf_dir):
             F.lit(None).cast("string").alias("v"),
         )
     )
+    # 'dupfrac' arm: per-doc duplicate-shingle fraction (see the arm
+    # comment) over the PLANTED corpus, which gives the metric a ground
+    # truth: a planted original's shingles are a strict subset of its
+    # plant's (one appended token adds exactly one shingle), so every
+    # planted original gates dupfrac == 1.0 exactly and its plant
+    # k/(k+1); unplanted docs report their natural overlap. dsh is
+    # read by BOTH the per-shingle count and the join probe —
+    # materialize so the md5 pass runs once.
+    dsh = sh.select(
+        "doc_id", portable_hash64("shingle").alias("shid")
+    ).transform(materialize)
+    shc = dsh.groupBy("shid").agg(F.count(F.lit(1)).alias("nd"))
+    dupfrac_arm = (
+        dsh.join(shc, "shid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            F.lit("dupfrac").alias("which"),
+            F.col("doc_id").cast("bigint").alias("k1"),
+            F.col("n_dup").cast("bigint").alias("k2"),
+            # round-then-format, module tie policy
+            F.format_string(
+                "%.6f", F.round(F.col("n_dup") / F.col("n_sh"), 6)
+            ).alias("v"),
+        )
+    )
     return (
         band_arm.unionByName(simdup_arm)
         .unionByName(plant_arm).unionByName(ngram_arm)
-        .unionByName(contam_arm)
+        .unionByName(contam_arm).unionByName(dupfrac_arm)
     )
 
 

@@ -90,10 +90,36 @@ LANG_PROFILES = {
 #                   AND the key assignment). Plan: two tiny aggs + a
 #                   broadcast of the 5-row weight dim + a row-local
 #                   explode — no corpus-sized shuffle at any scale.
+#   which='score' — MODEL-BASED QUALITY SCORING: the fastText/CCNet-
+#                   style filter shape — a linear classifier over
+#                   HASHED token features (feature hashing into
+#                   SCORE_D buckets via the portable 60-bit hash; a
+#                   deterministic integer weight per bucket via a
+#                   Knuth multiplicative mix, so weights live in
+#                   [-500, 500] and the "model" is a broadcast-free
+#                   arithmetic expression both engines evaluate
+#                   identically). Per doc: the sparse dot product
+#                   Σ w[h(tok) mod D] over token OCCURRENCES — an
+#                   exact bigint sum (order-free, no fp ties) — plus
+#                   the positive-weight token count and the distinct-
+#                   bucket count (feature sparsity). Plan: row-local
+#                   explode + hash, then ONE groupBy(doc_id) whose
+#                   map-side partial agg shrinks the shuffle to a few
+#                   rows per (partition, doc); at 100 TB a real
+#                   weight vector would ride a broadcast array lookup
+#                   in the same shape. Column meanings for 'score'
+#                   rows: n_tokens ≡ scored occurrences, n_bpe_tokens
+#                   ≡ positive-weight occurrences, n_chars ≡ raw
+#                   score (bigint), n_unique ≡ distinct buckets,
+#                   punct_ratio ≡ round(score/n, 6), fp ≡ NULL.
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
 MIX_BUDGET_X = 2  # token budget = 2× corpus tokens
+SCORE_D = 64           # feature-hash buckets
+SCORE_MULT = 2654435761  # Knuth multiplicative constant (weight mix)
+SCORE_MOD = 1001
+SCORE_SHIFT = 500      # weights = (b*MULT % MOD) - SHIFT ∈ [-500, 500]
 
 
 def _t01_sql() -> str:
@@ -146,6 +172,17 @@ def _t01_sql() -> str:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS uniq,
                bit_xor(key) AS fp
         FROM reps GROUP BY lang
+    ),
+    scorefeat AS (
+        SELECT doc_id, b, (b * {SCORE_MULT}) % {SCORE_MOD} - {SCORE_SHIFT} AS wgt
+        FROM (
+            SELECT doc_id, {portable_hash64_sql('tok')} % {SCORE_D} AS b
+            FROM (
+                SELECT doc_id, unnest({tokens_sql('text')}) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+        )
     )
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
@@ -194,6 +231,15 @@ def _t01_sql() -> str:
            w.tok_d, w.n_docs, r.replicas, r.uniq,
            round(w.w_d, 6), r.fp
     FROM wts w JOIN ragg r ON w.lang = r.lang
+    UNION ALL
+    SELECT 'score', doc_id, CAST(-1 AS INT),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN wgt > 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(wgt) AS BIGINT),
+           CAST(count(DISTINCT b) AS BIGINT),
+           round(CAST(sum(wgt) AS DOUBLE) / count(*), 6),
+           CAST(NULL AS BIGINT)
+    FROM scorefeat GROUP BY doc_id
     """
 
 
@@ -218,7 +264,10 @@ def t01_token_stats(spark, sf_dir):
     token budget; every doc explodes into its domain's replica count,
     each replica keyed by a deterministic training-order shuffle hash —
     per-domain weight, replica totals, and a bit_xor over the shuffle
-    keys are all value-gated)."""
+    keys are all value-gated) + model-based quality scoring ('score'
+    arm: fastText-style linear classifier over hashed token features —
+    exact bigint sparse dot product per doc, one map-side-combined
+    groupBy)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # per-doc stats materialize ONCE (numeric columns only — the text is
     # projected away, so this is a few MB at any corpus size): the 'doc'
@@ -376,7 +425,38 @@ def t01_token_stats(spark, sf_dir):
         F.round("w_d", 6).alias("punct_ratio"),
         "fp",
     )
-    return doc_arm.unionAll(chunk_arm).unionAll(pack_arm).unionAll(mix_arm)
+    # 'score' arm: hashed-feature linear quality scorer (see the arm
+    # comment). base already binds the token array to a column — reuse
+    # it so the corpus isn't re-split; the explode is row-local and the
+    # single groupBy's map-side combine keeps the shuffle per-doc-sized.
+    feat = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", (portable_hash64("tok") % SCORE_D).alias("b"))
+        .withColumn("wgt", (F.col("b") * SCORE_MULT) % SCORE_MOD - SCORE_SHIFT)
+    )
+    score_arm = (
+        feat.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("wgt") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_bpe_tokens"),
+            F.sum("wgt").cast("bigint").alias("n_chars"),
+            F.count_distinct("b").cast("bigint").alias("n_unique"),
+        )
+        .select(
+            F.lit("score").alias("which"),
+            "doc_id",
+            F.lit(-1).cast("int").alias("chunk_id"),
+            "n_tokens", "n_bpe_tokens", "n_chars", "n_unique",
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("punct_ratio"),
+            F.lit(None).cast("bigint").alias("fp"),
+        )
+    )
+    return (
+        doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
+        .unionAll(mix_arm).unionAll(score_arm)
+    )
 
 
 # T2 — language-ID heuristic: stopword-profile hit counts, argmax with a
