@@ -175,3 +175,34 @@ def test_dupfrac_planted_ground_truth(spark, sf_smoke):
         assert plant.v in ("1.000000", f"{plant.k2 / (plant.k2 + 1):.6f}"), plant
     for i, r in by_id.items():
         assert 0.0 <= float(r.v) <= 1.0, (i, r.v)
+
+
+def test_hll_estimate_tracks_exact_cardinality(spark, sf_smoke):
+    """The d05 'hll' arm gates the RAW cross-engine-exact estimate plus
+    its inputs (Zint, empty-register count V); the standard small-range
+    correction applied HERE from those gated inputs must land within the
+    m=1024 error envelope (~3.25% sigma; gate 4 sigma) of the exact
+    per-domain distinct-token count carried on the same row."""
+    import math
+
+    from wfc3_cte_monitor_spark.plans.dedup_queries import (
+        HLL_M,
+        d05_minhash_accuracy,
+    )
+
+    rows = (
+        d05_minhash_accuracy(spark, sf_smoke)
+        .where("which = 'hll'")
+        .collect()
+    )
+    assert len(rows) == 5  # en/es/fr/de/zh
+    for r in rows:
+        v_empty = r.k3
+        assert 0 <= v_empty <= HLL_M
+        # Zint decomposes as zhit + V*2^51 — so it is at least that floor
+        assert r.k2 >= v_empty * (1 << 51)
+        est = r.est_v
+        if est <= 2.5 * HLL_M and v_empty > 0:
+            est = HLL_M * math.log(HLL_M / v_empty)  # linear counting
+        assert r.exact_v > 0
+        assert abs(est / r.exact_v - 1.0) < 0.13, (r.exact_v, est, r)

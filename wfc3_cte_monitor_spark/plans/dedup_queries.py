@@ -661,14 +661,46 @@ def d03_minhash_lsh(spark, sf_dir):
     )
 
 
-# D5 — MinHash accuracy: estimated vs exact Jaccard on high-overlap pairs
-# (unigram signatures so the estimate targets the same token-set Jaccard
-# d02 computes exactly). The audit runs on a FIXED-COUNT deterministic
-# sample (smallest D05_SAMPLE_K doc_ids — a bounded top-k scan, not a
-# proportional slice), so its all-pairs stage is O(k²) CONSTANT work no
-# matter how large the corpus grows: the audit's cost is independent of
-# scale, which is the whole point of auditing on a sample.
+# D5 — SKETCH ACCURACY audits, one tagged union:
+#   which='mh'  — MinHash: estimated vs exact Jaccard on high-overlap
+#                 pairs (unigram signatures so the estimate targets the
+#                 same token-set Jaccard d02 computes exactly). Runs on
+#                 a FIXED-COUNT deterministic sample (smallest
+#                 D05_SAMPLE_K doc_ids — a bounded top-k scan, not a
+#                 proportional slice), so the all-pairs stage is O(k²)
+#                 CONSTANT work no matter how large the corpus grows.
+#   which='hll' — HyperLogLog: per-domain distinct-token cardinality
+#                 estimate vs the exact count. A PORTABLE HLL — both
+#                 engines compute IDENTICAL registers from the 60-bit
+#                 md5 hash (bucket = low HLL_P bits, rho = leading-zero
+#                 rank of the remaining 50 bits via length(bin(w)),
+#                 identical in Spark and DuckDB), and the harmonic sum
+#                 Σ 2^-M_j is carried as the EXACT bigint
+#                 Σ 2^(51-M_j) (plus 2^51 per empty register), so the
+#                 estimate alpha·m²·2^51/Zint is the same double on
+#                 both sides — no fp-order or libm divergence anywhere.
+#                 The raw (uncorrected) HLL estimate is gated; the
+#                 small/large-range corrections a production sketch
+#                 adds are branch-selected from the SAME gated inputs
+#                 (Zint, V), so gating these gates the whole sketch.
+#                 Shape: one row-local hash pass over (lang, token)
+#                 pairs, a 1024-ary per-domain register agg (map-side
+#                 combined — the shuffle is ≤ m rows per domain per
+#                 partition at any corpus size); the exact count rides
+#                 the SAME aggregation chain (per-bucket distinct-token
+#                 counts sum to the domain's cardinality), so the audit
+#                 adds no extra corpus pass. At 100 TB the registers
+#                 merge associatively across any partitioning — the
+#                 property that makes HLL the distributed-distinct
+#                 workhorse; only the audit's exact side needs the
+#                 distinct shuffle.
 D05_SAMPLE_K = 400
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+# alpha_m * m^2 * 2^51 — the numerator of the estimate over the integer
+# harmonic sum Zint; a decimal literal both engines parse to the same
+# double (repr roundtrips exactly)
+HLL_EST_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << 51)
 
 
 def _d05_sql() -> str:
@@ -691,25 +723,60 @@ def _d05_sql() -> str:
                len(list_intersect(a.t, b.t))::DOUBLE
                    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
         FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    ),
+    hllh AS (
+        SELECT lang, h % {HLL_M} AS bucket, h >> {HLL_P} AS w
+        FROM (
+            SELECT lang, {portable_hash64_sql('tok')} AS h
+            FROM (
+                SELECT DISTINCT lang, tok FROM (
+                    SELECT lang, unnest({tokens_sql('text')}) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            )
+        )
+    ),
+    hllregs AS (
+        SELECT lang, bucket,
+               max(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS mr,
+               count(*) AS nt
+        FROM hllh GROUP BY lang, bucket
+    ),
+    hll AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(1::BIGINT << (51 - mr)) AS BIGINT) AS zhit,
+               CAST(sum(nt) AS BIGINT) AS exact_n
+        FROM hllregs GROUP BY lang
     )
-    SELECT p.doc_a, p.doc_b,
-           round(p.jaccard, 6) AS jaccard,
-           round(({agree}) / {float(N_HASHES)}, 6) AS minhash_est
+    SELECT 'mh' AS which, p.doc_a AS k1, p.doc_b AS k2,
+           CAST(NULL AS BIGINT) AS k3,
+           round(p.jaccard, 6) AS exact_v,
+           round(({agree}) / {float(N_HASHES)}, 6) AS est_v
     FROM pairs p
     JOIN sig a ON a.doc_id = p.doc_a
     JOIN sig b ON b.doc_id = p.doc_b
     WHERE p.jaccard >= 0.8
+    UNION ALL
+    SELECT 'hll', {portable_hash64_sql('lang')},
+           zhit + ({HLL_M} - nb) * (1::BIGINT << 51),
+           {HLL_M} - nb,
+           CAST(exact_n AS DOUBLE),
+           round({HLL_EST_NUM!r}
+                 / CAST(zhit + ({HLL_M} - nb) * (1::BIGINT << 51) AS DOUBLE), 6)
+    FROM hll
     """
 
 
-@register("d05_minhash_accuracy", oracle=_d05_sql(), tags=("dedup", "minhash"))
+@register("d05_minhash_accuracy", oracle=_d05_sql(), tags=("dedup", "minhash", "hll"))
 def d05_minhash_accuracy(spark, sf_dir):
-    """Estimated (signature-agreement) vs exact Jaccard side by side for
-    high-overlap pairs — the quality check a production dedup pipeline
-    runs on a sample before trusting LSH at full scale. The sample is a
-    bounded top-k (smallest D05_SAMPLE_K doc_ids — TakeOrdered, no full
-    sort), so the all-pairs audit is O(k²) regardless of corpus size."""
+    """Sketch-accuracy audits ('mh' arm: signature-agreement MinHash
+    estimate vs exact Jaccard on high-overlap pairs of a bounded
+    TakeOrdered sample — O(k²) at any corpus size; 'hll' arm: portable
+    HyperLogLog per-domain distinct-token estimate vs the exact count,
+    registers and the integer harmonic sum identical across engines —
+    see the header comment)."""
     from ..functions.dedup import N_HASHES, minhash_signature
+    from ..functions.text import portable_hash64
 
     docs = spread(
         load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(D05_SAMPLE_K),
@@ -734,15 +801,54 @@ def d05_minhash_accuracy(spark, sf_dir):
     est = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(N_HASHES)
     ) / float(N_HASHES)
-    return (
+    mh_arm = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
-            "doc_a", "doc_b",
-            F.round("jaccard", 6).alias("jaccard"),
-            F.round(est, 6).alias("minhash_est"),
+            F.lit("mh").alias("which"),
+            F.col("doc_a").alias("k1"),
+            F.col("doc_b").alias("k2"),
+            F.lit(None).cast("bigint").alias("k3"),
+            F.round("jaccard", 6).alias("exact_v"),
+            F.round(est, 6).alias("est_v"),
         )
     )
+
+    # 'hll' arm (see the header comment): registers and the exact count
+    # ride ONE aggregation chain — per (lang, bucket) the max rho AND
+    # the distinct-token count, then per lang the register fold.
+    full = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    td = (
+        full.select("lang", F.explode(tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    hb = td.select("lang", portable_hash64("tok").alias("h")).select(
+        "lang",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.shiftright("h", HLL_P).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.bin("w"))
+    )
+    regs = hb.select("lang", "bucket", rho.alias("rho")).groupBy("lang", "bucket").agg(
+        F.max("rho").alias("mr"), F.count(F.lit(1)).alias("nt")
+    )
+    per_lang = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 51 - mr)")).cast("bigint").alias("zhit"),
+        F.sum("nt").cast("bigint").alias("exact_n"),
+    )
+    zint = F.col("zhit") + (F.lit(HLL_M) - F.col("nb")) * F.lit(1 << 51)
+    hll_arm = per_lang.select(
+        F.lit("hll").alias("which"),
+        portable_hash64("lang").alias("k1"),
+        zint.alias("k2"),
+        (F.lit(HLL_M) - F.col("nb")).cast("bigint").alias("k3"),
+        F.col("exact_n").cast("double").alias("exact_v"),
+        F.round(F.lit(HLL_EST_NUM) / zint.cast("double"), 6).alias("est_v"),
+    )
+    return mh_arm.unionByName(hll_arm)
 
 
 # SimHash (D4) is driver-gated twice: as the 16-bit `simhash` profile
