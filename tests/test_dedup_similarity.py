@@ -206,3 +206,42 @@ def test_hll_estimate_tracks_exact_cardinality(spark, sf_smoke):
             est = HLL_M * math.log(HLL_M / v_empty)  # linear counting
         assert r.exact_v > 0
         assert abs(est / r.exact_v - 1.0) < 0.13, (r.exact_v, est, r)
+
+
+def test_cms_estimate_bounds_exact_counts(spark, sf_smoke):
+    """The d05 'cms' arm: Count-Min is a structural OVERestimate (min of
+    per-row counters, each counter a superset sum), and with CMS_D=4
+    independent rows over CMS_W=512 counters the heavy-hitter error at
+    smoke scale should be a small fraction of the true count."""
+    from wfc3_cte_monitor_spark.plans.dedup_queries import (
+        CMS_TOP,
+        d05_minhash_accuracy,
+    )
+
+    rows = (
+        d05_minhash_accuracy(spark, sf_smoke).where("which = 'cms'").collect()
+    )
+    assert len(rows) == CMS_TOP
+    for r in rows:
+        assert r.k2 == int(r.exact_v) and r.k3 == int(r.est_v)
+        assert r.est_v >= r.exact_v, r  # never underestimates
+        assert r.est_v <= r.exact_v * 1.25 + 10, r  # and not wildly over
+
+
+def test_bloom_no_false_negatives(spark, sf_smoke):
+    """The d05 'bloom' arm: membership in the base (even-doc_id) half can
+    never be missed by the filter; false positives are deterministic and
+    must stay rare at the designed load (n << m bits)."""
+    from wfc3_cte_monitor_spark.plans.dedup_queries import d05_minhash_accuracy
+
+    rows = (
+        d05_minhash_accuracy(spark, sf_smoke).where("which = 'bloom'").collect()
+    )
+    n_docs = len(rows)
+    members = [r for r in rows if r.exact_v == 1.0]
+    nonmembers = [r for r in rows if r.exact_v == 0.0]
+    assert members and nonmembers and n_docs == len(members) + len(nonmembers)
+    for r in members:
+        assert r.est_v == 1.0, r  # no false negatives, ever
+    fp = sum(1 for r in nonmembers if r.est_v == 1.0)
+    assert fp <= max(2, 0.05 * len(nonmembers)), (fp, len(nonmembers))

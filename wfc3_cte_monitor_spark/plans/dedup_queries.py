@@ -694,6 +694,36 @@ def d03_minhash_lsh(spark, sf_dir):
 #                 property that makes HLL the distributed-distinct
 #                 workhorse; only the audit's exact side needs the
 #                 distinct shuffle.
+#   which='cms' — Count-Min sketch: corpus token-frequency estimates
+#                 for the exact top-CMS_TOP heavy hitters vs their true
+#                 counts. The sketch is CMS_D rows × CMS_W counters;
+#                 row j's bucket comes from an independent 12-bit slice
+#                 of the same md5 both engines compute. Counters are
+#                 built from the per-token count relation (counter =
+#                 Σ n over tokens hashing into it — identical to
+#                 counting occurrences, one corpus pass shared with
+#                 the exact side), so the sketch shuffle moves at most
+#                 CMS_D·CMS_W rows per partition; the tiny counter
+#                 table broadcasts to the query probe. All-integer ⇒
+#                 bit-exact cross-engine; est ≥ exact structurally.
+#                 Counters merge by ADDITION across partitions — the
+#                 mergeability that makes CMS the distributed
+#                 heavy-hitter workhorse.
+#   which='bloom' — Bloom filter "seen-before" membership: the filter
+#                 is built from the even-doc_id half's canonical
+#                 fingerprints (d01's dedup key) as BLOOM_WORDS 60-bit
+#                 words (word = pos DIV 60, mask = 1<<pos%60; words
+#                 merge by bit_or — associative, so the filter builds
+#                 under any partitioning), then EVERY document probes
+#                 it: BLOOM_K positions from independent 16-bit md5
+#                 slices, hit iff all K bits set. The ≤BLOOM_WORDS-row
+#                 filter broadcasts to the probe — the incremental-
+#                 dedup shape where a new batch screens against a
+#                 prior corpus snapshot without shuffling it. Gates
+#                 BOTH columns: exact membership (fp ∈ base half) and
+#                 the bloom verdict — deterministic false positives
+#                 included, since both engines compute identical bits.
+#                 Members can never miss (est_v ≥ exact_v row-wise).
 D05_SAMPLE_K = 400
 HLL_P = 10
 HLL_M = 1 << HLL_P  # 1024 registers
@@ -701,6 +731,14 @@ HLL_M = 1 << HLL_P  # 1024 registers
 # harmonic sum Zint; a decimal literal both engines parse to the same
 # double (repr roundtrips exactly)
 HLL_EST_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << 51)
+CMS_D = 4  # sketch rows (independent hash functions)
+CMS_W = 512  # counters per row
+CMS_TOP = 20  # heavy hitters audited
+BLOOM_WORDS = 128
+BLOOM_WORD_BITS = 60  # 1<<bit stays positive in int64 on both engines
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_K = 4
+_JS = "(SELECT unnest([" + ",".join(str(j) for j in range(CMS_D)) + "]) AS j) js"
 
 
 def _d05_sql() -> str:
@@ -747,6 +785,61 @@ def _d05_sql() -> str:
                CAST(sum(1::BIGINT << (51 - mr)) AS BIGINT) AS zhit,
                CAST(sum(nt) AS BIGINT) AS exact_n
         FROM hllregs GROUP BY lang
+    ),
+    cmstok AS (
+        SELECT tok, count(*)::BIGINT AS n
+        FROM (SELECT unnest({tokens_sql('text')}) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok
+    ),
+    cmsctr AS (
+        SELECT j,
+               CAST(CONCAT('0x', substr(md5(CAST(tok AS VARCHAR)), 1 + 3*j, 3)) AS BIGINT)
+                   % {CMS_W} AS bucket,
+               sum(n)::BIGINT AS cnt
+        FROM cmstok CROSS JOIN {_JS}
+        GROUP BY 1, 2
+    ),
+    cmstop AS (SELECT tok, n FROM cmstok ORDER BY n DESC, tok ASC LIMIT {CMS_TOP}),
+    cmsest AS (
+        SELECT t.tok, t.n, min(c.cnt) AS est
+        FROM (
+            SELECT tok, n, j,
+                   CAST(CONCAT('0x', substr(md5(CAST(tok AS VARCHAR)), 1 + 3*j, 3)) AS BIGINT)
+                       % {CMS_W} AS bucket
+            FROM cmstop CROSS JOIN {_JS}
+        ) t JOIN cmsctr c ON c.j = t.j AND c.bucket = t.bucket
+        GROUP BY t.tok, t.n
+    ),
+    bfp AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct({tokens_sql('text')})), ' ') AS fp
+        FROM documents
+    ),
+    bbase AS (SELECT DISTINCT fp FROM bfp WHERE doc_id % 2 = 0),
+    bbits AS (
+        SELECT pos // {BLOOM_WORD_BITS} AS word,
+               bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+        FROM (
+            SELECT CAST(CONCAT('0x', substr(md5(CAST(fp AS VARCHAR)), 1 + 4*j, 4)) AS BIGINT)
+                       % {BLOOM_BITS} AS pos
+            FROM bbase CROSS JOIN {_JS}
+        ) GROUP BY 1
+    ),
+    bprobe AS (
+        SELECT doc_id, fp,
+               min(CASE WHEN bits IS NOT NULL AND (bits & mask) = mask
+                        THEN 1 ELSE 0 END) AS bloom_hit
+        FROM (
+            SELECT doc_id, fp, pos // {BLOOM_WORD_BITS} AS word,
+                   1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT) AS mask
+            FROM (
+                SELECT doc_id, fp,
+                       CAST(CONCAT('0x', substr(md5(CAST(fp AS VARCHAR)), 1 + 4*j, 4)) AS BIGINT)
+                           % {BLOOM_BITS} AS pos
+                FROM bfp CROSS JOIN {_JS}
+            )
+        ) p LEFT JOIN bbits b ON b.word = p.word
+        GROUP BY doc_id, fp
     )
     SELECT 'mh' AS which, p.doc_a AS k1, p.doc_b AS k2,
            CAST(NULL AS BIGINT) AS k3,
@@ -764,6 +857,15 @@ def _d05_sql() -> str:
            round({HLL_EST_NUM!r}
                  / CAST(zhit + ({HLL_M} - nb) * (1::BIGINT << 51) AS DOUBLE), 6)
     FROM hll
+    UNION ALL
+    SELECT 'cms', {portable_hash64_sql('tok')}, n, est,
+           CAST(n AS DOUBLE), CAST(est AS DOUBLE)
+    FROM cmsest
+    UNION ALL
+    SELECT 'bloom', doc_id, {portable_hash64_sql('fp')}, bloom_hit::BIGINT,
+           CASE WHEN fp IN (SELECT fp FROM bbase) THEN 1.0 ELSE 0.0 END,
+           CAST(bloom_hit AS DOUBLE)
+    FROM bprobe
     """
 
 
@@ -848,7 +950,99 @@ def d05_minhash_accuracy(spark, sf_dir):
         F.col("exact_n").cast("double").alias("exact_v"),
         F.round(F.lit(HLL_EST_NUM) / zint.cast("double"), 6).alias("est_v"),
     )
-    return mh_arm.unionByName(hll_arm)
+
+    # 'cms' arm (see the header comment): ONE corpus tokenize pass yields
+    # the per-token count relation; both the sketch counters and the
+    # exact heavy-hitter side derive from it (materialized — it feeds
+    # two aggregations).
+    tokcnt = materialize(
+        full.select(F.explode(tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def _cms_buckets() -> F.Column:
+        h = F.md5(F.col("tok").cast("string"))
+        return F.array(*[
+            F.conv(F.substring(h, 1 + 3 * j, 3), 16, 10).cast("bigint") % CMS_W
+            for j in range(CMS_D)
+        ])
+
+    counters = (
+        tokcnt.select("n", F.posexplode(_cms_buckets()).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+    top = tokcnt.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOP)
+    qb = top.select("tok", "n", F.posexplode(_cms_buckets()).alias("j", "bucket"))
+    cms_arm = (
+        qb.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            F.lit("cms").alias("which"),
+            portable_hash64("tok").alias("k1"),
+            F.col("n").alias("k2"),
+            F.col("est").alias("k3"),
+            F.col("n").cast("double").alias("exact_v"),
+            F.col("est").cast("double").alias("est_v"),
+        )
+    )
+
+    # 'bloom' arm (see the header comment): filter over the even-half's
+    # canonical fingerprints, broadcast to a probe of every document.
+    fp = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    dfp = materialize(full.select("doc_id", fp.alias("fp")))
+    base_fps = materialize(
+        dfp.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    )
+
+    def _bloom_wm(src):
+        h = F.md5(F.col("fp").cast("string"))
+        pos_arr = F.array(*[
+            F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("bigint") % BLOOM_BITS
+            for j in range(BLOOM_K)
+        ])
+        return src.select(
+            *src.columns, F.explode(pos_arr).alias("pos")
+        ).select(
+            *src.columns,
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+
+    bloom = (
+        _bloom_wm(base_fps)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        1,
+    ).otherwise(0)
+    bloom_arm = (
+        _bloom_wm(dfp)
+        .join(F.broadcast(bloom), "word", "left")
+        .select("doc_id", "fp", hit.alias("hit"))
+        .groupBy("doc_id", "fp")
+        .agg(F.min("hit").alias("bloom_hit"))
+        .join(base_fps.withColumn("is_member", F.lit(1)), "fp", "left")
+        .select(
+            F.lit("bloom").alias("which"),
+            F.col("doc_id").alias("k1"),
+            portable_hash64("fp").alias("k2"),
+            F.col("bloom_hit").cast("bigint").alias("k3"),
+            F.coalesce(F.col("is_member"), F.lit(0)).cast("double").alias("exact_v"),
+            F.col("bloom_hit").cast("double").alias("est_v"),
+        )
+    )
+    return (
+        mh_arm.unionByName(hll_arm).unionByName(cms_arm).unionByName(bloom_arm)
+    )
 
 
 # SimHash (D4) is driver-gated twice: as the 16-bit `simhash` profile
