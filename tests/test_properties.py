@@ -249,3 +249,32 @@ def test_text_primitives_cross_engine_fuzz(spark, texts):
         got_wf = wf.get(i, (0, 0))
         assert got_wf == (n_fp, s_fp), (t, got_wf, (n_fp, s_fp))
         assert rows[i].bpe >= rows[i].ws, t
+
+
+def test_quantile_sketch_within_bin_of_exact(spark):
+    """o02's histogram-sketch estimates: the sketch bin midpoint must sit
+    within one bin width + the local order-stat gap of the exact
+    interpolated percentile (numpy reference), for every group."""
+    from wfc3_cte_monitor_spark.plans.parity_queries2 import (
+        QSK_LOG2S,
+        o02_percentiles,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    width = 1.0 / (1 << QSK_LOG2S)
+    ev = load_table(spark, sf, "events").select("event_type", "value").collect()
+    groups: dict[str, list[float]] = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(r.value)
+    rows = {r.event_type: r for r in o02_percentiles(spark, sf).collect()}
+    assert rows.keys() == groups.keys()
+    for et, vals in groups.items():
+        v = np.sort(np.asarray(vals))
+        r = rows[et]
+        for q, sk in ((0.5, r.sk_p50), (0.9, r.sk_p90)):
+            exact = float(np.quantile(v, q))
+            # anchor order stat the sketch rounds to, and its successor
+            lo = int(np.floor(q * (len(v) - 1)))
+            gap = float(v[min(lo + 1, len(v) - 1)] - v[lo])
+            assert abs(sk - exact) <= width + gap + 1e-9, (et, q, sk, exact)

@@ -234,3 +234,42 @@ def test_score_arm_matches_python_reference(spark, sf_smoke):
         assert r.punct_ratio == round(score / n, 6), (doc_id, r.punct_ratio)
         checked += 1
     assert checked == len(rows) > 0
+
+
+def test_sample_arm_matches_python_reference(spark, sf_smoke):
+    """The t01 'sample' arm: Bernoulli membership and the fixed-size
+    holdout are pure functions of (doc_id, lang) — recompute both
+    stratified draws in Python from the raw table and require the gated
+    counts / xors to match exactly."""
+    import hashlib
+    from functools import reduce
+
+    from wfc3_cte_monitor_spark.plans.text_queries import (
+        HOLD_K,
+        SAMPLE_MOD,
+        t01_token_stats,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang").collect()
+    strata: dict[str, list[int]] = {}
+    for r in docs:
+        strata.setdefault(r.lang, []).append(r.doc_id)
+
+    rows = {r.doc_id: r for r in
+            t01_token_stats(spark, sf_smoke).where("which = 'sample'").collect()}
+    assert len(rows) == len(strata)
+    for lang, ids in strata.items():
+        r = rows[h64(lang)]
+        sampled = [i for i in ids if h64(f"smp|{i}") % SAMPLE_MOD == 0]
+        hold = sorted((h64(f"hold|{i}"), i) for i in ids)[:HOLD_K]
+        assert r.n_tokens == len(ids)
+        assert r.n_bpe_tokens == len(sampled)
+        assert r.n_chars == min(HOLD_K, len(ids))
+        if sampled:
+            assert r.n_unique == reduce(lambda a, b: a ^ b, sampled)
+        assert r.fp == reduce(lambda a, b: a ^ b, (hk for hk, _ in hold))
+        assert r.punct_ratio == round(len(sampled) / len(ids), 6)

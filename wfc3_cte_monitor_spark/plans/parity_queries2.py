@@ -802,27 +802,92 @@ def w04_running_total(spark, sf_dir):
 
 
 # O2 — exact interpolated percentiles per group (additive; both engines
-# implement the same linear-interpolation definition).
+# implement the same linear-interpolation definition), PLUS the
+# histogram-sketch estimates a 100 TB run would use instead: exact
+# percentile needs every group value under one reducer, while the
+# fixed-resolution histogram (bin = floor(value·2^QSK_LOG2S), a pure
+# exponent-shift multiply — bit-exact cross-engine, no libm) carries
+# bounded mergeable state (range × resolution rows, independent of
+# corpus size) that merges by ADDING bin counts under any partitioning.
+# The estimate is the midpoint of the bin holding the lower
+# interpolation anchor (rank floor(q·(n-1))+1); sk_* columns are gated
+# alongside the exact values, so the audit bounds the sketch error
+# per-round. Midpoints divide by a power of two ⇒ exact doubles.
+QSK_LOG2S = 3  # bin width 1/8
+_QSK_S = 1 << QSK_LOG2S
+
+
 @register(
     "o02_percentiles",
-    oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90,
-           round(min(value), 6) AS v_min,
-           round(max(value), 6) AS v_max
-    FROM events GROUP BY event_type
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, CAST(floor(value * {_QSK_S}) AS BIGINT) AS bin,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type,
+               min(CASE WHEN cum >= CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                        THEN bin END) AS b50,
+               min(CASE WHEN cum >= CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                        THEN bin END) AS b90
+        FROM cum GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(quantile_cont(e.value, 0.5), 6) AS p50,
+           round(quantile_cont(e.value, 0.9), 6) AS p90,
+           round(min(e.value), 6) AS v_min,
+           round(max(e.value), 6) AS v_max,
+           round((min(sk.b50) + 0.5) / {_QSK_S}, 6) AS sk_p50,
+           round((min(sk.b90) + 0.5) / {_QSK_S}, 6) AS sk_p90
+    FROM events e JOIN sk ON sk.event_type = e.event_type
+    GROUP BY e.event_type
     """,
-    tags=("O2", "percentile"),
+    tags=("O2", "percentile", "sketch"),
 )
 def o02_percentiles(spark, sf_dir):
-    """Exact (interpolated) p50/p90 per event type."""
+    """Exact (interpolated) p50/p90 per event type, plus the mergeable
+    fixed-resolution histogram-sketch estimates (see header comment)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * _QSK_S).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def _rank(q: float):
+        return F.floor(F.lit(q) * (F.col("n") - 1)).cast("bigint") + 1
+
+    sk = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= _rank(0.5), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("cum") >= _rank(0.9), F.col("bin"))).alias("b90"),
+    )
+    base = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.min("value"), 6).alias("v_min"),
         F.round(F.max("value"), 6).alias("v_max"),
+    )
+    return base.join(F.broadcast(sk), "event_type").select(
+        "event_type", "p50", "p90", "v_min", "v_max",
+        F.round((F.col("b50") + 0.5) / _QSK_S, 6).alias("sk_p50"),
+        F.round((F.col("b90") + 0.5) / _QSK_S, 6).alias("sk_p90"),
     )
 
 

@@ -112,6 +112,27 @@ LANG_PROFILES = {
 #                   ≡ positive-weight occurrences, n_chars ≡ raw
 #                   score (bigint), n_unique ≡ distinct buckets,
 #                   punct_ratio ≡ round(score/n, 6), fp ≡ NULL.
+#   which='sample'— DETERMINISTIC STRATIFIED SAMPLING, per lang
+#                   stratum, two flavors a training pipeline needs:
+#                   (1) hash-Bernoulli ~1/SAMPLE_MOD rate — membership
+#                   is a row-local predicate on hash64('smp|'doc_id),
+#                   so the sample is reproducible under ANY
+#                   partitioning and needs no shuffle to draw; the
+#                   exact member set is gated via bit_xor of sampled
+#                   ids. (2) fixed-size holdout — the HOLD_K smallest
+#                   hash64('hold|'doc_id) per stratum (hash order =
+#                   unbiased, salt-keyed, stable under reruns), the
+#                   eval-set draw; gated via count + bit_xor of the
+#                   selected hash keys. The per-stratum rank is one
+#                   shuffle on the stratum key; at 100 TB you'd
+#                   prefilter candidates by hash threshold before
+#                   ranking (noted, not needed at gate scale). Column
+#                   meanings for 'sample' rows: doc_id ≡ hash64(lang),
+#                   n_tokens ≡ stratum population, n_bpe_tokens ≡
+#                   Bernoulli sample size, n_chars ≡ holdout size,
+#                   n_unique ≡ bit_xor of sampled doc_ids,
+#                   punct_ratio ≡ round(realized rate, 6), fp ≡
+#                   bit_xor of holdout hash keys.
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -120,6 +141,8 @@ SCORE_D = 64           # feature-hash buckets
 SCORE_MULT = 2654435761  # Knuth multiplicative constant (weight mix)
 SCORE_MOD = 1001
 SCORE_SHIFT = 500      # weights = (b*MULT % MOD) - SHIFT ∈ [-500, 500]
+SAMPLE_MOD = 10        # Bernoulli rate = 1/10 by hash residue
+HOLD_K = 25            # fixed-size per-stratum holdout
 
 
 def _t01_sql() -> str:
@@ -183,6 +206,32 @@ def _t01_sql() -> str:
             )
             WHERE tok <> ''
         )
+    ),
+    sampagg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(sel) AS BIGINT) AS n_samp,
+               bit_xor(CASE WHEN sel = 1 THEN doc_id END) AS sxor
+        FROM (
+            SELECT lang, doc_id,
+                   CASE WHEN {portable_hash64_sql(
+                       "'smp|' || CAST(doc_id AS VARCHAR)"
+                   )} % {SAMPLE_MOD} = 0 THEN 1 ELSE 0 END AS sel
+            FROM documents
+        ) GROUP BY lang
+    ),
+    holdagg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_hold, bit_xor(hkey) AS hfp
+        FROM (
+            SELECT lang, hkey,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY hkey, doc_id) AS rn
+            FROM (
+                SELECT lang, doc_id, {portable_hash64_sql(
+                    "'hold|' || CAST(doc_id AS VARCHAR)"
+                )} AS hkey
+                FROM documents
+            )
+        ) WHERE rn <= {HOLD_K} GROUP BY lang
     )
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
@@ -240,6 +289,11 @@ def _t01_sql() -> str:
            round(CAST(sum(wgt) AS DOUBLE) / count(*), 6),
            CAST(NULL AS BIGINT)
     FROM scorefeat GROUP BY doc_id
+    UNION ALL
+    SELECT 'sample', {portable_hash64_sql('a.lang')}, CAST(-1 AS INT),
+           a.n_pop, a.n_samp, h.n_hold, a.sxor,
+           round(CAST(a.n_samp AS DOUBLE) / a.n_pop, 6), h.hfp
+    FROM sampagg a JOIN holdagg h ON a.lang = h.lang
     """
 
 
@@ -453,9 +507,60 @@ def t01_token_stats(spark, sf_dir):
             F.lit(None).cast("bigint").alias("fp"),
         )
     )
+    # 'sample' arm: deterministic stratified sampling (see the arm
+    # comment). Reads per_doc (already materialized — no text, no extra
+    # corpus pass): the Bernoulli draw is a row-local hash predicate,
+    # the holdout is one per-stratum rank shuffle.
+    smp_sel = F.when(
+        portable_hash64(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")))
+        % SAMPLE_MOD
+        == 0,
+        1,
+    ).otherwise(0)
+    sampagg = (
+        per_doc.select("lang", "doc_id", smp_sel.alias("sel"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+            F.sum("sel").cast("bigint").alias("n_samp"),
+            F.expr("bit_xor(CASE WHEN sel = 1 THEN doc_id END)").alias("sxor"),
+        )
+    )
+    holdagg = (
+        per_doc.select(
+            "lang",
+            "doc_id",
+            portable_hash64(
+                F.concat(F.lit("hold|"), F.col("doc_id").cast("string"))
+            ).alias("hkey"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("lang").orderBy("hkey", "doc_id")),
+        )
+        .where(F.col("rn") <= HOLD_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hold"),
+            F.expr("bit_xor(hkey)").alias("hfp"),
+        )
+    )
+    sample_arm = sampagg.join(holdagg, "lang").select(
+        F.lit("sample").alias("which"),
+        portable_hash64("lang").alias("doc_id"),
+        F.lit(-1).cast("int").alias("chunk_id"),
+        F.col("n_pop").alias("n_tokens"),
+        F.col("n_samp").alias("n_bpe_tokens"),
+        F.col("n_hold").alias("n_chars"),
+        F.col("sxor").alias("n_unique"),
+        F.round(F.col("n_samp").cast("double") / F.col("n_pop"), 6).alias(
+            "punct_ratio"
+        ),
+        F.col("hfp").alias("fp"),
+    )
     return (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
-        .unionAll(mix_arm).unionAll(score_arm)
+        .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
     )
 
 
