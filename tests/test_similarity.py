@@ -154,3 +154,45 @@ def test_int8_quantization_bounds(spark, sf_smoke):
         quant = (qa @ qb) * sa * sb / (np.linalg.norm(va) * np.linalg.norm(vb))
         errs.append(abs(exact - quant))
     assert max(errs) < 0.01, max(errs)
+
+
+def test_trunc_arm_matches_numpy_prefix_topk(spark, sf_smoke):
+    """The e02 'trunc' arm: top-3 by cosine over the first _TRUNC_D
+    components must equal a numpy reference computed from the raw
+    vectors (same rounding, same (sim desc, id) tiebreak)."""
+    import numpy as np
+
+    from wfc3_cte_monitor_spark.plans.similarity_queries import (
+        _TRUNC_D,
+        e02_ann_neardup,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.stack([np.asarray(emb[i].embedding, dtype=np.float64) for i in order])
+    P = M[:, :_TRUNC_D]
+
+    rows = [
+        r for r in e02_ann_neardup(spark, sf_smoke).collect() if r.kind == "trunc"
+    ]
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+
+    qidx = {int(v): i for i, v in enumerate(ids)}
+    for q in [int(v) for v in ids if v < 10]:
+        sims = P @ P[qidx[q]] / (
+            np.linalg.norm(P, axis=1) * np.linalg.norm(P[qidx[q]])
+        )
+        cand = [
+            (-round(float(s), 6), int(i)) for s, i in zip(sims, ids) if i != q
+        ]
+        expect = sorted(cand)[:3]
+        got = sorted((-r.sim, r.neighbor_id) for r in by_query[q])
+        assert len(got) == 3
+        assert [(round(-e[0], 6), e[1]) for e in expect] == [
+            (round(-g[0], 6), g[1]) for g in got
+        ], (q, expect, got)

@@ -177,6 +177,21 @@ def e01_cosine_topk(spark, sf_dir):
 #                    brute baseline: quantization error is a gated
 #                    number, and the baseline pass is shared (one
 #                    materialized brute3 anchors both audits).
+#   kind='trunc'   — matryoshka-style DIMENSION TRUNCATION: top-3 by
+#                    cosine over only the first _TRUNC_D of 64
+#                    components — the half-cost prefix scoring an
+#                    at-scale index uses as its coarse pass (and an
+#                    MRL-trained embedding uses outright). Pure
+#                    projection of the shared decoded corpus; the
+#                    slice happens once per side, before the join.
+#                    (This corpus is iid random, so prefix recall is
+#                    intrinsically low — 32 of 64 dims keeps the gated
+#                    audit number nonzero; a trained MRL embedding
+#                    front-loads variance and would score far higher.)
+#   kind='trecall' — recall@3 of the truncated scoring vs the SAME
+#                    materialized brute baseline (third consumer):
+#                    the prefix-vs-full quality tradeoff is a gated
+#                    number per round, like quantization error.
 # τ = 0.35 is matched to this synthetic corpus's natural similarity
 # scale (max pairwise cosine ≈ 0.51); the planted pairs sit at ≥ 0.9 by
 # construction. All branches confine quadratic work to buckets, and the
@@ -194,6 +209,7 @@ _PLANTND_MOD = 25
 _PLANTND_MAX_SQL = "(SELECT max(vec_id) + 1 FROM embeddings)"
 _PLANTND_EPS = 0.125
 _PLANTND_TAU = 0.9
+_TRUNC_D = 32  # matryoshka prefix length (of 64)
 
 
 @register(
@@ -282,6 +298,35 @@ _PLANTND_TAU = 0.9
         LEFT JOIN quant i ON i.query_id = b.query_id
                          AND i.neighbor_id = b.neighbor_id
         GROUP BY b.query_id
+    ),
+    tcorp AS (
+        SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{_TRUNC_D}] AS tv
+        FROM embeddings
+    ),
+    tscored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round({cosine_sql('q.tq', 'c.tv')}, 6) AS sim
+        FROM tcorp c
+        CROSS JOIN (SELECT vec_id AS query_id, tv AS tq
+                    FROM tcorp WHERE {_Q}) q
+        WHERE c.vec_id <> q.query_id
+    ),
+    trunc AS (
+        SELECT 'trunc' AS kind, query_id, neighbor_id, sim,
+               CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM tscored
+        ) WHERE rank <= 3
+    ),
+    trec AS (
+        SELECT b.query_id,
+               count(i.neighbor_id)::BIGINT AS n_hits,
+               round(count(i.neighbor_id) / 3.0, 6) AS recall_at_3
+        FROM brute3 b
+        LEFT JOIN trunc i ON i.query_id = b.query_id
+                         AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
     )
     SELECT * FROM ann
     UNION ALL
@@ -304,6 +349,12 @@ _PLANTND_TAU = 0.9
     SELECT 'qrecall' AS kind, query_id, n_hits AS neighbor_id,
            recall_at_3 AS sim, 3 AS rank
     FROM qrec
+    UNION ALL
+    SELECT * FROM trunc
+    UNION ALL
+    SELECT 'trecall' AS kind, query_id, n_hits AS neighbor_id,
+           recall_at_3 AS sim, 3 AS rank
+    FROM trec
     """,
     tags=("similarity", "ann", "lsh", "dedup", "neardup", "plant"),
 )
@@ -480,7 +531,46 @@ def e02_ann_neardup(spark, sf_dir):
             F.lit(3).alias("rank"),
         )
     )
+    # matryoshka truncation ('trunc') + its audit ('trecall'): score the
+    # same query set over only the first _TRUNC_D components — a pure
+    # projection of the shared corpus (the slice happens once per side,
+    # BEFORE the join, so the scoring pass streams half-size vectors) —
+    # and count hits against the same materialized float baseline. The
+    # prefix-vs-full tradeoff becomes a gated number, like quantization.
+    tcorp = corpus.select("vec_id", F.slice("v", 1, _TRUNC_D).alias("tv"))
+    tq = tcorp.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("tv").alias("tq")
+    )
+    tscored = (
+        tcorp.select(F.col("vec_id").alias("neighbor_id"), "tv")
+        .join(F.broadcast(tq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cos(F.col("tq"), F.col("tv")), 6).alias("sim"),
+        )
+    )
+    trunc = (
+        tscored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(F.lit("trunc").alias("kind"), "query_id", "neighbor_id", "sim", "rank")
+        .transform(materialize)
+    )
+    trecall = (
+        brute3
+        .join(trunc.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+              ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+        .select(
+            F.lit("trecall").alias("kind"),
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("neighbor_id"),
+            F.round(F.col("n_hits") / F.lit(3.0), 6).alias("sim"),
+            F.lit(3).alias("rank"),
+        )
+    )
     return (
         ann.unionAll(neardup).unionAll(plantnd).unionAll(recall)
-        .unionAll(quant).unionAll(qrecall)
+        .unionAll(quant).unionAll(qrecall).unionAll(trunc).unionAll(trecall)
     )
