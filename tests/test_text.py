@@ -273,3 +273,47 @@ def test_sample_arm_matches_python_reference(spark, sf_smoke):
             assert r.n_unique == reduce(lambda a, b: a ^ b, sampled)
         assert r.fp == reduce(lambda a, b: a ^ b, (hk for hk, _ in hold))
         assert r.punct_ratio == round(len(sampled) / len(ids), 6)
+
+
+def test_merge_arm_matches_python_reference(spark, sf_smoke):
+    """The t01 'merge' arm: the top-K adjacent-pair counts (one BPE
+    vocabulary-induction iteration) recomputed in pure Python from the
+    raw corpus must match the gated hashes/counts/ranks exactly."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from wfc3_cte_monitor_spark.plans.text_queries import MERGE_K, t01_token_stats
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def toks(text):
+        norm = re.sub(r"[^a-z0-9 ]", "", text.lower()).strip()
+        return [t for t in re.split(r"\s+", norm) if t != ""] if norm else []
+
+    cnt: Counter = Counter()
+    docs_with: dict[str, set] = {}
+    for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect():
+        ts = toks(r.text)
+        for a, b in zip(ts, ts[1:]):
+            pair = f"{a} {b}"
+            cnt[pair] += 1
+            docs_with.setdefault(pair, set()).add(r.doc_id)
+    tot = sum(cnt.values())
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], h64(kv[0])))[:MERGE_K]
+
+    rows = sorted(
+        (r for r in t01_token_stats(spark, sf_smoke).collect() if r.which == "merge"),
+        key=lambda r: r.chunk_id,
+    )
+    assert len(rows) == MERGE_K
+    for rank, ((pair, c), r) in enumerate(zip(expect, rows), start=1):
+        a, b = pair.split(" ", 1)
+        assert r.chunk_id == rank
+        assert r.doc_id == h64(pair)
+        assert r.n_tokens == c
+        assert r.n_bpe_tokens == len(docs_with[pair])
+        assert r.n_chars == h64(a) ^ h64(b)
+        assert r.punct_ratio == round(c / tot, 6)

@@ -133,6 +133,23 @@ LANG_PROFILES = {
 #                   n_unique ≡ bit_xor of sampled doc_ids,
 #                   punct_ratio ≡ round(realized rate, 6), fp ≡
 #                   bit_xor of holdout hash keys.
+#   which='merge' — BPE-TRAINING MERGE CANDIDATES: the top-MERGE_K most
+#                   frequent ADJACENT token pairs across the corpus —
+#                   the statistic one iteration of BPE/WordPiece
+#                   vocabulary induction maximizes. Pairs explode
+#                   row-locally and are compressed to 60-bit hashes
+#                   BEFORE the count shuffle (the dupfrac rule: corpus
+#                   exchanges move bigints, never pair strings); the
+#                   global top-k ranks the aggregated pair-vocab
+#                   relation, and the rank window runs AFTER a limit
+#                   so only MERGE_K rows pass through it. Column
+#                   meanings for 'merge' rows: doc_id ≡ hash64(pair),
+#                   chunk_id ≡ rank, n_tokens ≡ pair count,
+#                   n_bpe_tokens ≡ distinct docs containing the pair,
+#                   n_chars ≡ xor of the two member-token hashes
+#                   (gates that the pair splits into the right
+#                   members), punct_ratio ≡ round(count/Σcounts, 6)
+#                   relative frequency, n_unique/fp ≡ NULL.
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -143,6 +160,7 @@ SCORE_MOD = 1001
 SCORE_SHIFT = 500      # weights = (b*MULT % MOD) - SHIFT ∈ [-500, 500]
 SAMPLE_MOD = 10        # Bernoulli rate = 1/10 by hash residue
 HOLD_K = 25            # fixed-size per-stratum holdout
+MERGE_K = 10           # BPE merge candidates gated
 
 
 def _t01_sql() -> str:
@@ -232,6 +250,24 @@ def _t01_sql() -> str:
                 FROM documents
             )
         ) WHERE rn <= {HOLD_K} GROUP BY lang
+    ),
+    bgagg AS (
+        SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+        FROM (
+            SELECT doc_id,
+                   {portable_hash64_sql("t[i] || ' ' || t[i+1]")} AS h,
+                   xor({portable_hash64_sql('t[i]')},
+                       {portable_hash64_sql('t[i+1]')}) AS mx
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            WHERE t[i] <> '' AND t[i+1] <> ''
+        ) GROUP BY h, mx
+    ),
+    bgtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bgagg),
+    bgtop AS (
+        SELECT h, mx, cnt, ndocs,
+               CAST(row_number() OVER (ORDER BY cnt DESC, h) AS INT) AS rnk
+        FROM bgagg ORDER BY cnt DESC, h LIMIT {MERGE_K}
     )
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
@@ -294,6 +330,10 @@ def _t01_sql() -> str:
            a.n_pop, a.n_samp, h.n_hold, a.sxor,
            round(CAST(a.n_samp AS DOUBLE) / a.n_pop, 6), h.hfp
     FROM sampagg a JOIN holdagg h ON a.lang = h.lang
+    UNION ALL
+    SELECT 'merge', h, rnk, cnt, ndocs, mx, CAST(NULL AS BIGINT),
+           round(CAST(cnt AS DOUBLE) / tot, 6), CAST(NULL AS BIGINT)
+    FROM bgtop, bgtot
     """
 
 
@@ -558,9 +598,74 @@ def t01_token_stats(spark, sf_dir):
         ),
         F.col("hfp").alias("fp"),
     )
+    # 'merge' arm: BPE-training merge candidates (see the arm comment).
+    # Pairs explode row-locally off the bound token column and compress
+    # to 60-bit hashes before the ONE count shuffle; Σcounts comes from
+    # the aggregated pair-vocab relation (materialized — it feeds the
+    # top-k AND the total), not a second corpus pass; the global rank
+    # window only ever sees MERGE_K rows (post-limit).
+    bpairs = (
+        base.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1),"
+                    " i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where((F.col("a") != "") & (F.col("b") != ""))
+        .select(
+            "doc_id",
+            portable_hash64(F.concat_ws(" ", "a", "b")).alias("h"),
+            portable_hash64("a").bitwiseXOR(portable_hash64("b")).alias("mx"),
+        )
+    )
+    bgagg = (
+        bpairs.groupBy("h", "mx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.count_distinct("doc_id").cast("bigint").alias("ndocs"),
+        )
+        .transform(materialize)
+    )
+    bgtot = bgagg.agg(F.sum("cnt").cast("bigint").alias("tot"))
+    # rank WITHOUT a global window (the t01 plan guard bans unpartitioned
+    # windows on this query, and rightly — a regex guard can't see that
+    # the input is post-limit): a MERGE_K² broadcast inequality self-join
+    # over the 10 materialized top rows counts strict predecessors.
+    bgtop = (
+        bgagg.orderBy(F.desc("cnt"), F.asc("h"))
+        .limit(MERGE_K)
+        .transform(lambda df: materialize(df, eager=False))
+    )
+    rnk = (
+        bgtop.alias("x")
+        .join(
+            F.broadcast(bgtop.alias("y")),
+            F.expr("y.cnt > x.cnt OR (y.cnt = x.cnt AND y.h < x.h)"),
+            "left",
+        )
+        .groupBy("x.h", "x.mx", "x.cnt", "x.ndocs")
+        .agg((F.count("y.h") + 1).cast("int").alias("rnk"))
+    )
+    merge_arm = rnk.join(F.broadcast(bgtot)).select(
+        F.lit("merge").alias("which"),
+        F.col("h").alias("doc_id"),
+        F.col("rnk").alias("chunk_id"),
+        F.col("cnt").alias("n_tokens"),
+        F.col("ndocs").alias("n_bpe_tokens"),
+        F.col("mx").alias("n_chars"),
+        F.lit(None).cast("bigint").alias("n_unique"),
+        F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias("punct_ratio"),
+        F.lit(None).cast("bigint").alias("fp"),
+    )
     return (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
+        .unionAll(merge_arm)
     )
 
 
