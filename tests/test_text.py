@@ -293,16 +293,18 @@ def test_merge_arm_matches_python_reference(spark, sf_smoke):
         norm = re.sub(r"[^a-z0-9 ]", "", text.lower()).strip()
         return [t for t in re.split(r"\s+", norm) if t != ""] if norm else []
 
+    def pair_key(a: str, b: str) -> int:
+        return (h64(a) % (1 << 30)) * (1 << 30) + h64(b) % (1 << 30)
+
     cnt: Counter = Counter()
-    docs_with: dict[str, set] = {}
+    docs_with: dict[tuple, set] = {}
     for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect():
         ts = toks(r.text)
         for a, b in zip(ts, ts[1:]):
-            pair = f"{a} {b}"
-            cnt[pair] += 1
-            docs_with.setdefault(pair, set()).add(r.doc_id)
+            cnt[(a, b)] += 1
+            docs_with.setdefault((a, b), set()).add(r.doc_id)
     tot = sum(cnt.values())
-    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], h64(kv[0])))[:MERGE_K]
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], pair_key(*kv[0])))[:MERGE_K]
 
     rows = sorted(
         (r for r in t01_token_stats(spark, sf_smoke).collect() if r.which == "merge"),
@@ -310,9 +312,9 @@ def test_merge_arm_matches_python_reference(spark, sf_smoke):
     )
     assert len(rows) == MERGE_K
     for rank, ((pair, c), r) in enumerate(zip(expect, rows), start=1):
-        a, b = pair.split(" ", 1)
+        a, b = pair
         assert r.chunk_id == rank
-        assert r.doc_id == h64(pair)
+        assert r.doc_id == pair_key(a, b)
         assert r.n_tokens == c
         assert r.n_bpe_tokens == len(docs_with[pair])
         assert r.n_chars == h64(a) ^ h64(b)

@@ -134,22 +134,25 @@ LANG_PROFILES = {
 #                   punct_ratio ≡ round(realized rate, 6), fp ≡
 #                   bit_xor of holdout hash keys.
 #   which='merge' — BPE-TRAINING MERGE CANDIDATES: the top-MERGE_K most
-#                   frequent ADJACENT token pairs across the corpus —
-#                   the statistic one iteration of BPE/WordPiece
-#                   vocabulary induction maximizes. Pairs explode
-#                   row-locally and are compressed to 60-bit hashes
-#                   BEFORE the count shuffle (the dupfrac rule: corpus
-#                   exchanges move bigints, never pair strings); the
-#                   global top-k ranks the aggregated pair-vocab
-#                   relation, and the rank window runs AFTER a limit
-#                   so only MERGE_K rows pass through it. Column
-#                   meanings for 'merge' rows: doc_id ≡ hash64(pair),
-#                   chunk_id ≡ rank, n_tokens ≡ pair count,
-#                   n_bpe_tokens ≡ distinct docs containing the pair,
-#                   n_chars ≡ xor of the two member-token hashes
-#                   (gates that the pair splits into the right
-#                   members), punct_ratio ≡ round(count/Σcounts, 6)
-#                   relative frequency, n_unique/fp ≡ NULL.
+#                   frequent ADJACENT (non-empty) token pairs across
+#                   the corpus — the statistic one iteration of
+#                   BPE/WordPiece vocabulary induction maximizes.
+#                   Each token hashes ONCE (one md5 per token, not per
+#                   bigram); a pair is keyed by packing the two member
+#                   hashes' low 30 bits into one 60-bit bigint, so the
+#                   explode and the count shuffle move bigints only —
+#                   no pair strings anywhere (the dupfrac rule, plus
+#                   3× fewer md5s than hashing pair text). The top-k
+#                   ranks the aggregated pair-vocab relation without a
+#                   global window (predecessor-count over the
+#                   materialized MERGE_K rows). Column meanings for
+#                   'merge' rows: doc_id ≡ packed pair key, chunk_id ≡
+#                   rank, n_tokens ≡ pair count, n_bpe_tokens ≡
+#                   distinct docs containing the pair, n_chars ≡ xor
+#                   of the two member-token hashes (gates the split
+#                   into members at full 60-bit width), punct_ratio ≡
+#                   round(count/Σcounts, 6) relative frequency,
+#                   n_unique/fp ≡ NULL.
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -161,6 +164,7 @@ SCORE_SHIFT = 500      # weights = (b*MULT % MOD) - SHIFT ∈ [-500, 500]
 SAMPLE_MOD = 10        # Bernoulli rate = 1/10 by hash residue
 HOLD_K = 25            # fixed-size per-stratum holdout
 MERGE_K = 10           # BPE merge candidates gated
+_PAIR_PACK = 1 << 30   # pair key = (ha % 2^30)·2^30 + hb % 2^30, < 2^60
 
 
 def _t01_sql() -> str:
@@ -256,11 +260,17 @@ def _t01_sql() -> str:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
         FROM (
             SELECT doc_id,
-                   {portable_hash64_sql("t[i] || ' ' || t[i+1]")} AS h,
-                   xor({portable_hash64_sql('t[i]')},
-                       {portable_hash64_sql('t[i+1]')}) AS mx
-            FROM toks, UNNEST(range(1, len(t))) AS u(i)
-            WHERE t[i] <> '' AND t[i+1] <> ''
+                   (ha % {_PAIR_PACK}) * {_PAIR_PACK} + hb % {_PAIR_PACK} AS h,
+                   xor(ha, hb) AS mx
+            FROM (
+                SELECT doc_id, th[i] AS ha, th[i+1] AS hb
+                FROM (
+                    SELECT doc_id,
+                           list_transform(list_filter(t, x -> x <> ''),
+                                          x -> {portable_hash64_sql('x')}) AS th
+                    FROM toks
+                ), UNNEST(range(1, len(th))) AS u(i)
+            )
         ) GROUP BY h, mx
     ),
     bgtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bgagg),
@@ -605,22 +615,30 @@ def t01_token_stats(spark, sf_dir):
     # top-k AND the total), not a second corpus pass; the global rank
     # window only ever sees MERGE_K rows (post-limit).
     bpairs = (
-        base.where(F.size("t") >= 2)
+        base.select(
+            "doc_id",
+            F.transform(
+                F.filter("t", lambda x: x != F.lit("")),
+                lambda x: portable_hash64(x),
+            ).alias("th"),
+        )
+        .where(F.size("th") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(t)-1),"
-                    " i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))"
+                    "transform(sequence(1, size(th)-1),"
+                    " i -> struct(element_at(th, i) AS ha, element_at(th, i+1) AS hb))"
                 )
             ).alias("p"),
         )
-        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .where((F.col("a") != "") & (F.col("b") != ""))
         .select(
             "doc_id",
-            portable_hash64(F.concat_ws(" ", "a", "b")).alias("h"),
-            portable_hash64("a").bitwiseXOR(portable_hash64("b")).alias("mx"),
+            (
+                (F.col("p.ha") % _PAIR_PACK) * _PAIR_PACK
+                + F.col("p.hb") % _PAIR_PACK
+            ).alias("h"),
+            F.col("p.ha").bitwiseXOR(F.col("p.hb")).alias("mx"),
         )
     )
     bgagg = (
