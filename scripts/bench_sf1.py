@@ -39,6 +39,7 @@ QUERIES = [
     "e02_ann_neardup",
     "t01_token_stats",
     "t02_text_profile",
+    "d05_minhash_accuracy",  # sketch suite: corpus-pass scaling of HLL/CMS/Bloom
 ]
 
 PASSES = 2  # best-of-2 per (query, sf): one repeat absorbs most bursts

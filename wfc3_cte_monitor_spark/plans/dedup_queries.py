@@ -711,19 +711,29 @@ def d03_minhash_lsh(spark, sf_dir):
 #                 heavy-hitter workhorse.
 #   which='bloom' — Bloom filter "seen-before" membership: the filter
 #                 is built from the even-doc_id half's canonical
-#                 fingerprints (d01's dedup key) as BLOOM_WORDS 60-bit
-#                 words (word = pos DIV 60, mask = 1<<pos%60; words
-#                 merge by bit_or — associative, so the filter builds
-#                 under any partitioning), then EVERY document probes
-#                 it: BLOOM_K positions from independent 16-bit md5
-#                 slices, hit iff all K bits set. The ≤BLOOM_WORDS-row
-#                 filter broadcasts to the probe — the incremental-
-#                 dedup shape where a new batch screens against a
-#                 prior corpus snapshot without shuffling it. Gates
-#                 BOTH columns: exact membership (fp ∈ base half) and
-#                 the bloom verdict — deterministic false positives
+#                 fingerprints (d01's dedup key) as 60-bit words
+#                 (word = pos DIV 60, mask = 1<<pos%60; words merge by
+#                 bit_or — associative, so the filter builds under any
+#                 partitioning), then EVERY document probes it:
+#                 BLOOM_K positions from independent 16-bit md5
+#                 slices, hit iff all K bits set. The filter is SIZED
+#                 FROM THE CORPUS — BLOOM_BPK bits per base key (FP ≈
+#                 0.7% at k=4), the key count measured by one bounded
+#                 count (the e02 plant-offset rule: never bake an
+#                 assumption a bigger corpus violates — a fixed 7680
+#                 bits saturates at sf1). The word relation broadcasts
+#                 to the probe — the incremental-dedup shape where a
+#                 new batch screens against a prior corpus snapshot
+#                 without shuffling it (past broadcast size, ~100M+
+#                 keys, the same relation word-partitions into an
+#                 equi-join; bit_or merging is unchanged). Gates BOTH
+#                 columns: exact membership (fp ∈ base half) and the
+#                 bloom verdict — deterministic false positives
 #                 included, since both engines compute identical bits.
 #                 Members can never miss (est_v ≥ exact_v row-wise).
+#                 NOTE: 16-bit position slices cap addressable bits at
+#                 65536 (≈ 5.5k keys at BLOOM_BPK=12); guarded by an
+#                 explicit raise — widen the slices to grow further.
 D05_SAMPLE_K = 400
 HLL_P = 10
 HLL_M = 1 << HLL_P  # 1024 registers
@@ -734,10 +744,16 @@ HLL_EST_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << 51)
 CMS_D = 4  # sketch rows (independent hash functions)
 CMS_W = 512  # counters per row
 CMS_TOP = 20  # heavy hitters audited
-BLOOM_WORDS = 128
+BLOOM_MIN_WORDS = 128
 BLOOM_WORD_BITS = 60  # 1<<bit stays positive in int64 on both engines
-BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS
 BLOOM_K = 4
+BLOOM_BPK = 12  # bits per base key (k=4 ⇒ FP ≈ (1-e^(-1/3))^4 ≈ 0.7%)
+# bit positions come from 4-hex-digit md5 slices ⇒ at most 2^16 bits
+BLOOM_MAX_BITS = 1 << 16
+_BLOOM_WORDS_SQL = (
+    f"(SELECT greatest({BLOOM_MIN_WORDS}, CAST(ceil("
+    f"count(*) * {BLOOM_BPK} / {BLOOM_WORD_BITS}.0) AS BIGINT)) FROM bbase)"
+)
 _JS = "(SELECT unnest([" + ",".join(str(j) for j in range(CMS_D)) + "]) AS j) js"
 
 
@@ -821,7 +837,7 @@ def _d05_sql() -> str:
                bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
         FROM (
             SELECT CAST(CONCAT('0x', substr(md5(CAST(fp AS VARCHAR)), 1 + 4*j, 4)) AS BIGINT)
-                       % {BLOOM_BITS} AS pos
+                       % ({_BLOOM_WORDS_SQL} * {BLOOM_WORD_BITS}) AS pos
             FROM bbase CROSS JOIN {_JS}
         ) GROUP BY 1
     ),
@@ -835,7 +851,7 @@ def _d05_sql() -> str:
             FROM (
                 SELECT doc_id, fp,
                        CAST(CONCAT('0x', substr(md5(CAST(fp AS VARCHAR)), 1 + 4*j, 4)) AS BIGINT)
-                           % {BLOOM_BITS} AS pos
+                           % ({_BLOOM_WORDS_SQL} * {BLOOM_WORD_BITS}) AS pos
                 FROM bfp CROSS JOIN {_JS}
             )
         ) p LEFT JOIN bbits b ON b.word = p.word
@@ -997,11 +1013,25 @@ def d05_minhash_accuracy(spark, sf_dir):
     base_fps = materialize(
         dfp.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
     )
+    # size the filter from the measured key count (one bounded count over
+    # the materialized base relation — the e02 plant-offset rule); the
+    # SQL twin computes the identical number via a scalar subquery
+    n_base = base_fps.count()
+    bloom_words = max(
+        BLOOM_MIN_WORDS, -(-n_base * BLOOM_BPK // BLOOM_WORD_BITS)
+    )
+    bloom_bits = bloom_words * BLOOM_WORD_BITS
+    if bloom_bits > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"bloom filter needs {bloom_bits} bits for {n_base} keys but the "
+            f"16-bit md5 position slices address at most {BLOOM_MAX_BITS}; "
+            "widen the slices (BLOOM_K × hex digits) to scale further"
+        )
 
     def _bloom_wm(src):
         h = F.md5(F.col("fp").cast("string"))
         pos_arr = F.array(*[
-            F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("bigint") % BLOOM_BITS
+            F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("bigint") % bloom_bits
             for j in range(BLOOM_K)
         ])
         return src.select(
