@@ -393,3 +393,64 @@ def test_stream_outer_interval_join_emits_on_watermark(spark, tmp_path):
         assert (101, None) in got, got       # outer row after watermark expiry
     finally:
         q.stop()
+
+
+def test_stream_windowed_hll_registers_match_batch(spark, sf_smoke, events_stream):
+    """The HLL register state maintained under readStream must equal the
+    batch recompute exactly — max-per-bucket is the incremental agg that
+    makes the sketch streamable, and this is the proof."""
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+    from wfc3_cte_monitor_spark.streaming.events import windowed_hll_registers
+
+    q = run_to_memory(
+        windowed_hll_registers(events_stream, watermark="2 hours"),
+        "stream_hll_regs",
+        "complete",
+    )
+    try:
+        got = _rows(spark, "stream_hll_regs")
+        batch = {
+            tuple(str(v) for v in r)
+            for r in windowed_hll_registers(
+                load_table(spark, sf_smoke, "events")
+            ).collect()
+        }
+        assert got == batch and got
+    finally:
+        q.stop()
+
+
+def test_windowed_hll_linear_counting_accuracy(spark, sf_smoke):
+    """Registers → standard small-range (linear counting) correction must
+    land near the exact per-(window, type) distinct-user count. At smoke
+    scale every window is deep in the linear-counting regime, where the
+    estimator is near-exact."""
+    import math
+
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+    from wfc3_cte_monitor_spark.streaming.events import (
+        HLLW_M,
+        windowed_hll_registers,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    regs: dict[tuple, int] = {}
+    for r in windowed_hll_registers(ev).collect():
+        regs[(str(r.window_start), r.event_type)] = (
+            regs.get((str(r.window_start), r.event_type), 0) + 1
+        )
+    exact = {
+        (str(r.window_start), r.event_type): r.n_users
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_users")
+        .collect()
+    }
+    assert regs.keys() == exact.keys() and regs
+    for k, nb in regs.items():
+        v_empty = HLLW_M - nb
+        assert v_empty > 0, k  # smoke windows are sparse by construction
+        est = HLLW_M * math.log(HLLW_M / v_empty)
+        assert abs(est - exact[k]) <= max(2.0, 0.3 * exact[k]), (k, est, exact[k])

@@ -397,6 +397,12 @@ def t01_token_stats(spark, sf_dir):
     )
     # bind tokens to a COLUMN before the windowing lambda (see the arm
     # comment); the explode is row-local — no shuffle at any corpus size
+    # four arms read the tokenized corpus (chunk, pack, score, merge);
+    # measured A/B at sf0.1: materializing the token arrays is a WASH
+    # (4.8 vs 4.7 s — the checkpoint write of corpus-sized arrays costs
+    # what the saved re-splits save; the arms' own explodes + shuffles
+    # dominate), so base stays a recomputed projection and the pruned
+    # columnar scan is re-read per arm
     base = docs.select("doc_id", tokens("text").alias("t")).withColumn(
         "n_chunks",
         F.ceil(F.greatest(F.size("t"), F.lit(1)) / F.lit(float(CHUNK_TOKENS))).cast("int"),

@@ -14,7 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.text import portable_hash64, portable_hash64_sql
 from ..sources.catalog import load_table
+from ..streaming.events import HLLW_EST_NUM, HLLW_M, HLLW_P
 from .registry import register
 
 
@@ -34,6 +36,22 @@ from .registry import register
 #                     tests/test_streaming.py proves the stream's final
 #                     emission equals this aggregate, so arm + test gate
 #                     the custom-state path end-to-end.
+#   kind='hllw'     — WINDOWED DISTINCT-USER HLL (the streaming face of
+#                     d05's sketch suite): per (1 h tumbling window,
+#                     event_type), a 64-register portable HyperLogLog
+#                     over hashed user ids next to the exact distinct
+#                     count. Registers are an incremental max — the
+#                     IDENTICAL plan body runs under readStream
+#                     (streaming/events.windowed_hll_registers;
+#                     tests/test_streaming.py proves stream register
+#                     state == batch register state), and the estimate
+#                     folds ≤64 register rows per group, never events.
+#                     Column mapping: key = event_type, n_events =
+#                     exact distinct hashed-user count (collisions at
+#                     60 bits are negligible and engine-identical),
+#                     sum_value = the raw HLL estimate (round 6),
+#                     bit-exact cross-engine via the integer harmonic
+#                     sum Σ 2^(55-M).
 #   kind='dedup'    — batch twin of the watermarked stateful dedup
 #                     (streaming/events.stream_dedup /
 #                     dropDuplicatesWithinWatermark): the events corpus
@@ -46,7 +64,7 @@ from .registry import register
 #                     tests/test_streaming.py.
 @register(
     "ev01_event_windows",
-    oracle="""
+    oracle=f"""
     SELECT 'tumbling' AS kind, window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
            event_type AS key, n_events, sum_value
@@ -121,8 +139,35 @@ from .registry import register
         )
         GROUP BY user_id, session_id
     )
+    UNION ALL
+    SELECT 'hllw', window_start, window_start + INTERVAL 1 HOUR, event_type,
+           exact_u,
+           round({HLLW_EST_NUM!r}
+                 / CAST(zhit + ({HLLW_M} - nb) * (1::BIGINT << 55) AS DOUBLE), 6)
+    FROM (
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(1::BIGINT << (55 - mr)) AS BIGINT) AS zhit,
+               CAST(sum(nu) AS BIGINT) AS exact_u
+        FROM (
+            SELECT window_start, event_type, h % {HLLW_M} AS bucket,
+                   max(CASE WHEN h >> {HLLW_P} = 0 THEN 55
+                            ELSE 55 - length(bin(h >> {HLLW_P})) END) AS mr,
+                   count(*) AS nu
+            FROM (
+                SELECT DISTINCT
+                       TIMESTAMP '1970-01-01 00:00:00'
+                           + CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                             * INTERVAL 1 HOUR AS window_start,
+                       event_type, {portable_hash64_sql('user_id')} AS h
+                FROM events
+            )
+            GROUP BY 1, 2, 3
+        )
+        GROUP BY 1, 2
+    )
     """,
-    tags=("streaming", "window", "session"),
+    tags=("streaming", "window", "session", "hll"),
 )
 def ev01_event_windows(spark, sf_dir):
     """Tumbling, sliding, and session event-time windows — the identical
@@ -250,7 +295,50 @@ def ev01_event_windows(spark, sf_dir):
             F.round("value", 6).alias("sum_value"),
         )
     )
+    # 'hllw' — windowed distinct-user HLL next to the exact count (see
+    # the arm comment). The register computation is the same plan body
+    # streaming/events.windowed_hll_registers runs under readStream
+    # (equivalence proven in tests/test_streaming.py); the batch arm
+    # additionally dedups (window, type, user-hash) so the exact count
+    # rides the same aggregation chain — an audit column the streaming
+    # form deliberately omits (count-distinct isn't an incremental agg).
+    duh = (
+        ev.select(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            portable_hash64(F.col("user_id")).alias("h"),
+        )
+        .distinct()
+        .select(
+            "w", "event_type",
+            (F.col("h") % HLLW_M).alias("bucket"),
+            F.shiftright("h", HLLW_P).alias("wv"),
+        )
+    )
+    hrho = F.when(F.col("wv") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin("wv"))
+    )
+    hregs = (
+        duh.select("w", "event_type", "bucket", hrho.alias("rho"))
+        .groupBy("w", "event_type", "bucket")
+        .agg(F.max("rho").alias("mr"), F.count(F.lit(1)).alias("nu"))
+    )
+    hper = hregs.groupBy("w", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - mr)"))
+        .cast("bigint").alias("zhit"),
+        F.sum("nu").cast("bigint").alias("exact_u"),
+    )
+    hzint = F.col("zhit") + (F.lit(HLLW_M) - F.col("nb")) * F.lit(1 << 55)
+    hllw = hper.select(
+        F.lit("hllw").alias("kind"),
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("event_type").alias("key"),
+        F.col("exact_u").alias("n_events"),
+        F.round(F.lit(HLLW_EST_NUM) / hzint.cast("double"), 6).alias("sum_value"),
+    )
     return (
         tumbling.unionAll(sliding).unionAll(session)
-        .unionAll(attrib).unionAll(profile).unionAll(dedup)
+        .unionAll(attrib).unionAll(profile).unionAll(dedup).unionAll(hllw)
     )

@@ -112,6 +112,54 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+# Windowed portable HyperLogLog (the streaming face of d05's 'hll'
+# sketch): per (tumbling window, event_type), 64 registers over hashed
+# user ids. Register value = max rho — an INCREMENTAL aggregate, so the
+# same plan runs under readStream (registers absorb micro-batches, late
+# data re-raises a max under the watermark) and in batch; the estimate
+# is a read-time fold over the ≤64-row-per-group register state, never
+# over events. P=6 here (windowed cardinalities are small) ⇒ w = h>>6
+# is 54-bit and rho = 55 - bitlength(w) ∈ [1, 55]; the harmonic sum is
+# carried as the exact bigint Σ 2^(55-M) (≤ 64·2^55 < 2^63), keeping
+# the estimate bit-identical cross-engine (same scheme as the d05 arm,
+# re-based from its 50-bit layout).
+HLLW_P = 6
+HLLW_M = 1 << HLLW_P
+HLLW_EST_NUM = (0.7213 / (1.0 + 1.079 / HLLW_M)) * HLLW_M * HLLW_M * float(1 << 55)
+
+
+def windowed_hll_registers(events: DataFrame, window: str = "1 hour",
+                           watermark: str | None = None) -> DataFrame:
+    """(window_start, event_type, bucket, mr): the HLL register state for
+    per-window distinct-user estimation. One function body serves batch
+    AND streaming (pass ``watermark`` for the stream form) — the unified
+    DataFrame API is the point: the sketch state a Kafka job maintains
+    is provably the same relation the batch audit recomputes."""
+    from ..functions.text import portable_hash64
+
+    src = events.withWatermark("ts", watermark) if watermark else events
+    h = portable_hash64(F.col("user_id"))
+    hb = src.select(
+        F.window("ts", window).alias("w"), "event_type", h.alias("h")
+    ).select(
+        "w", "event_type",
+        (F.col("h") % HLLW_M).alias("bucket"),
+        F.shiftright("h", HLLW_P).alias("wv"),
+    )
+    rho = F.when(F.col("wv") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin("wv"))
+    )
+    return (
+        hb.select("w", "event_type", "bucket", rho.alias("rho"))
+        .groupBy("w", "event_type", "bucket")
+        .agg(F.max("rho").alias("mr"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "bucket", "mr",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful natural-key dedup within the watermark — the streaming
     form of the reference's insert-or-update idempotency (S7). Output ts
