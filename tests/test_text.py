@@ -306,9 +306,9 @@ def test_merge_arm_matches_python_reference(spark, sf_smoke):
     tot = sum(cnt.values())
     expect = sorted(cnt.items(), key=lambda kv: (-kv[1], pair_key(*kv[0])))[:MERGE_K]
 
+    all_rows = t01_token_stats(spark, sf_smoke).collect()
     rows = sorted(
-        (r for r in t01_token_stats(spark, sf_smoke).collect() if r.which == "merge"),
-        key=lambda r: r.chunk_id,
+        (r for r in all_rows if r.which == "merge"), key=lambda r: r.chunk_id
     )
     assert len(rows) == MERGE_K
     for rank, ((pair, c), r) in enumerate(zip(expect, rows), start=1):
@@ -319,3 +319,47 @@ def test_merge_arm_matches_python_reference(spark, sf_smoke):
         assert r.n_bpe_tokens == len(docs_with[pair])
         assert r.n_chars == h64(a) ^ h64(b)
         assert r.punct_ratio == round(c / tot, 6)
+
+    # iteration 2: apply the top DISTINCT-member pair in Python (the
+    # engine works in the 30-bit residue space — replicate that exactly,
+    # merged token id = pair key + 2^60), recount, compare.
+    P = 1 << 30
+    win = min(
+        (
+            (pair, c)
+            for pair, c in cnt.items()
+            if h64(pair[0]) % (1 << 30) != h64(pair[1]) % (1 << 30)
+        ),
+        key=lambda kv: (-kv[1], pair_key(*kv[0])),
+    )[0]
+    ar, br = h64(win[0]) % P, h64(win[1]) % P
+    nid = pair_key(*win) + (1 << 60)
+    cnt2: Counter = Counter()
+    docs2: dict[int, set] = {}
+    for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect():
+        hs = [h64(t) for t in toks(r.text)]
+        if len(hs) < 2:
+            continue
+        out, i = [], 0
+        while i < len(hs):
+            if i + 1 < len(hs) and hs[i] % P == ar and hs[i + 1] % P == br:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(hs[i])
+                i += 1
+        for x, y in zip(out, out[1:]):
+            k2 = (x % P) * P + (y % P)
+            cnt2[(k2, x ^ y)] += 1
+            docs2.setdefault(k2, set()).add(r.doc_id)
+    tot2 = sum(cnt2.values())
+    expect2 = sorted(cnt2.items(), key=lambda kv: (-kv[1], kv[0][0]))[:MERGE_K]
+    rows2 = sorted(
+        (r for r in all_rows if r.which == "merge2"), key=lambda r: r.chunk_id
+    )
+    assert len(rows2) == MERGE_K
+    for rank, (((k2, mx), c), r) in enumerate(zip(expect2, rows2), start=1):
+        assert (r.chunk_id, r.doc_id, r.n_tokens) == (rank, k2, c)
+        assert r.n_bpe_tokens == len(docs2[k2])
+        assert r.n_chars == mx
+        assert r.punct_ratio == round(c / tot2, 6)

@@ -153,6 +153,24 @@ LANG_PROFILES = {
 #                   into members at full 60-bit width), punct_ratio ≡
 #                   round(count/Σcounts, 6) relative frequency,
 #                   n_unique/fp ≡ NULL.
+#   which='merge2'— the ITERATIVE step that makes 'merge' a real BPE
+#                   trainer (the Lloyd-iteration analogue for vocab
+#                   induction): APPLY the iteration-1 winner — every
+#                   occurrence of the top pair collapses to one new
+#                   token id (pair key + 2^60, outside the 60-bit hash
+#                   range) — then recount bigrams over the merged
+#                   arrays and gate iteration 2's top-MERGE_K. The
+#                   winner is the top pair whose member RESIDUES
+#                   differ (ar ≠ br in the 30-bit key space — the
+#                   space matching compares in): distinct residues
+#                   make occurrences non-overlapping, so the apply
+#                   step is a pure
+#                   positional transform (absorb position i when
+#                   (i-1, i) matched; rewrite when (i, i+1) matches) —
+#                   row-local, no sequential state, identical lambda
+#                   on both engines. Matching compares the 30-bit
+#                   residues the pair key carries (consistent with
+#                   iteration 1's keying). Columns as 'merge'.
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -255,6 +273,12 @@ def _t01_sql() -> str:
             )
         ) WHERE rn <= {HOLD_K} GROUP BY lang
     ),
+    ths AS (
+        SELECT doc_id,
+               list_transform(list_filter(t, x -> x <> ''),
+                              x -> {portable_hash64_sql('x')}) AS th
+        FROM toks
+    ),
     bgagg AS (
         SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
@@ -264,12 +288,7 @@ def _t01_sql() -> str:
                    xor(ha, hb) AS mx
             FROM (
                 SELECT doc_id, th[i] AS ha, th[i+1] AS hb
-                FROM (
-                    SELECT doc_id,
-                           list_transform(list_filter(t, x -> x <> ''),
-                                          x -> {portable_hash64_sql('x')}) AS th
-                    FROM toks
-                ), UNNEST(range(1, len(th))) AS u(i)
+                FROM ths, UNNEST(range(1, len(th))) AS u(i)
             )
         ) GROUP BY h, mx
     ),
@@ -278,6 +297,40 @@ def _t01_sql() -> str:
         SELECT h, mx, cnt, ndocs,
                CAST(row_number() OVER (ORDER BY cnt DESC, h) AS INT) AS rnk
         FROM bgagg ORDER BY cnt DESC, h LIMIT {MERGE_K}
+    ),
+    bgtop1 AS (
+        SELECT h // {_PAIR_PACK} AS ar, h % {_PAIR_PACK} AS br,
+               h + (1::BIGINT << 60) AS nid
+        FROM bgagg WHERE h // {_PAIR_PACK} <> h % {_PAIR_PACK} ORDER BY cnt DESC, h LIMIT 1
+    ),
+    bgmerged AS (
+        SELECT doc_id,
+               list_filter(list_transform(range(1, len(th) + 1), i -> CASE
+                   WHEN i > 1 AND th[greatest(i - 1, 1)] % {_PAIR_PACK} = ar
+                        AND th[i] % {_PAIR_PACK} = br THEN NULL
+                   WHEN th[i + 1] % {_PAIR_PACK} = br
+                        AND th[i] % {_PAIR_PACK} = ar THEN nid
+                   ELSE th[i] END), x -> x IS NOT NULL) AS th
+        FROM (SELECT * FROM ths WHERE len(th) >= 2), bgtop1
+    ),
+    bgagg2 AS (
+        SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+        FROM (
+            SELECT doc_id,
+                   (ha % {_PAIR_PACK}) * {_PAIR_PACK} + hb % {_PAIR_PACK} AS h,
+                   xor(ha, hb) AS mx
+            FROM (
+                SELECT doc_id, th[i] AS ha, th[i+1] AS hb
+                FROM bgmerged, UNNEST(range(1, len(th))) AS u(i)
+            )
+        ) GROUP BY h, mx
+    ),
+    bgtot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bgagg2),
+    bgtop2 AS (
+        SELECT h, mx, cnt, ndocs,
+               CAST(row_number() OVER (ORDER BY cnt DESC, h) AS INT) AS rnk
+        FROM bgagg2 ORDER BY cnt DESC, h LIMIT {MERGE_K}
     )
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
@@ -344,6 +397,10 @@ def _t01_sql() -> str:
     SELECT 'merge', h, rnk, cnt, ndocs, mx, CAST(NULL AS BIGINT),
            round(CAST(cnt AS DOUBLE) / tot, 6), CAST(NULL AS BIGINT)
     FROM bgtop, bgtot
+    UNION ALL
+    SELECT 'merge2', h, rnk, cnt, ndocs, mx, CAST(NULL AS BIGINT),
+           round(CAST(cnt AS DOUBLE) / tot, 6), CAST(NULL AS BIGINT)
+    FROM bgtop2, bgtot2
     """
 
 
@@ -620,7 +677,10 @@ def t01_token_stats(spark, sf_dir):
     # the aggregated pair-vocab relation (materialized — it feeds the
     # top-k AND the total), not a second corpus pass; the global rank
     # window only ever sees MERGE_K rows (post-limit).
-    bpairs = (
+    # token-hash arrays feed BOTH merge iterations (the iter-1 explode
+    # and the iter-2 apply+explode) — materialized so the regex split +
+    # per-token md5 happens once
+    thd = materialize(
         base.select(
             "doc_id",
             F.transform(
@@ -628,68 +688,106 @@ def t01_token_stats(spark, sf_dir):
                 lambda x: portable_hash64(x),
             ).alias("th"),
         )
-        .where(F.size("th") >= 2)
+    )
+
+    def _bigram_agg(src):
+        pairs = (
+            src.where(F.size("th") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(th)-1),"
+                        " i -> struct(element_at(th, i) AS ha, element_at(th, i+1) AS hb))"
+                    )
+                ).alias("p"),
+            )
+            .select(
+                "doc_id",
+                (
+                    (F.col("p.ha") % _PAIR_PACK) * _PAIR_PACK
+                    + F.col("p.hb") % _PAIR_PACK
+                ).alias("h"),
+                F.col("p.ha").bitwiseXOR(F.col("p.hb")).alias("mx"),
+            )
+        )
+        # materialized: the pair-vocab relation feeds the top-k, Σcounts
+        # and (for iteration 1) the winner selection
+        return materialize(
+            pairs.groupBy("h", "mx").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.count_distinct("doc_id").cast("bigint").alias("ndocs"),
+            )
+        )
+
+    def _merge_rows(agg, tag):
+        tot = agg.agg(F.sum("cnt").cast("bigint").alias("tot"))
+        # rank WITHOUT a global window (the t01 plan guard bans
+        # unpartitioned windows on this query, and rightly — a regex
+        # guard can't see that the input is post-limit): a MERGE_K²
+        # broadcast inequality self-join counts strict predecessors.
+        top = (
+            agg.orderBy(F.desc("cnt"), F.asc("h"))
+            .limit(MERGE_K)
+            .transform(lambda df: materialize(df, eager=False))
+        )
+        rnk = (
+            top.alias("x")
+            .join(
+                F.broadcast(top.alias("y")),
+                F.expr("y.cnt > x.cnt OR (y.cnt = x.cnt AND y.h < x.h)"),
+                "left",
+            )
+            .groupBy("x.h", "x.mx", "x.cnt", "x.ndocs")
+            .agg((F.count("y.h") + 1).cast("int").alias("rnk"))
+        )
+        return rnk.join(F.broadcast(tot)).select(
+            F.lit(tag).alias("which"),
+            F.col("h").alias("doc_id"),
+            F.col("rnk").alias("chunk_id"),
+            F.col("cnt").alias("n_tokens"),
+            F.col("ndocs").alias("n_bpe_tokens"),
+            F.col("mx").alias("n_chars"),
+            F.lit(None).cast("bigint").alias("n_unique"),
+            F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias(
+                "punct_ratio"
+            ),
+            F.lit(None).cast("bigint").alias("fp"),
+        )
+
+    bgagg = _bigram_agg(thd)
+    merge_arm = _merge_rows(bgagg, "merge")
+
+    # 'merge2': apply the iteration-1 winner, recount (see arm comment).
+    # All hard indexes stay in [1, size]; only the i+1 lookahead uses
+    # try_element_at (NULL past the end, matching DuckDB's NULL-safe
+    # list indexing) — ANSI mode throws on true out-of-range element_at.
+    top1 = (
+        bgagg.where(F.expr(f"h DIV {_PAIR_PACK} <> h % {_PAIR_PACK}"))
+        .orderBy(F.desc("cnt"), F.asc("h"))
+        .limit(1)
         .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(th)-1),"
-                    " i -> struct(element_at(th, i) AS ha, element_at(th, i+1) AS hb))"
-                )
-            ).alias("p"),
-        )
-        .select(
-            "doc_id",
-            (
-                (F.col("p.ha") % _PAIR_PACK) * _PAIR_PACK
-                + F.col("p.hb") % _PAIR_PACK
-            ).alias("h"),
-            F.col("p.ha").bitwiseXOR(F.col("p.hb")).alias("mx"),
+            F.expr(f"h DIV {_PAIR_PACK}").alias("ar"),
+            (F.col("h") % _PAIR_PACK).alias("br"),
+            (F.col("h") + F.lit(1 << 60)).alias("nid"),
         )
     )
-    bgagg = (
-        bpairs.groupBy("h", "mx")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt"),
-            F.count_distinct("doc_id").cast("bigint").alias("ndocs"),
-        )
-        .transform(materialize)
+    apply_expr = f"""filter(transform(sequence(1, size(th)), i -> CASE
+        WHEN i > 1 AND element_at(th, greatest(i - 1, 1)) % {_PAIR_PACK} = ar
+             AND element_at(th, i) % {_PAIR_PACK} = br THEN CAST(NULL AS BIGINT)
+        WHEN try_element_at(th, i + 1) % {_PAIR_PACK} = br
+             AND element_at(th, i) % {_PAIR_PACK} = ar THEN nid
+        ELSE element_at(th, i) END), x -> x IS NOT NULL)"""
+    merged = (
+        thd.where(F.size("th") >= 2)
+        .crossJoin(F.broadcast(top1))
+        .select("doc_id", F.expr(apply_expr).alias("th"))
     )
-    bgtot = bgagg.agg(F.sum("cnt").cast("bigint").alias("tot"))
-    # rank WITHOUT a global window (the t01 plan guard bans unpartitioned
-    # windows on this query, and rightly — a regex guard can't see that
-    # the input is post-limit): a MERGE_K² broadcast inequality self-join
-    # over the 10 materialized top rows counts strict predecessors.
-    bgtop = (
-        bgagg.orderBy(F.desc("cnt"), F.asc("h"))
-        .limit(MERGE_K)
-        .transform(lambda df: materialize(df, eager=False))
-    )
-    rnk = (
-        bgtop.alias("x")
-        .join(
-            F.broadcast(bgtop.alias("y")),
-            F.expr("y.cnt > x.cnt OR (y.cnt = x.cnt AND y.h < x.h)"),
-            "left",
-        )
-        .groupBy("x.h", "x.mx", "x.cnt", "x.ndocs")
-        .agg((F.count("y.h") + 1).cast("int").alias("rnk"))
-    )
-    merge_arm = rnk.join(F.broadcast(bgtot)).select(
-        F.lit("merge").alias("which"),
-        F.col("h").alias("doc_id"),
-        F.col("rnk").alias("chunk_id"),
-        F.col("cnt").alias("n_tokens"),
-        F.col("ndocs").alias("n_bpe_tokens"),
-        F.col("mx").alias("n_chars"),
-        F.lit(None).cast("bigint").alias("n_unique"),
-        F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias("punct_ratio"),
-        F.lit(None).cast("bigint").alias("fp"),
-    )
+    merge2_arm = _merge_rows(_bigram_agg(merged), "merge2")
     return (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
-        .unionAll(merge_arm)
+        .unionAll(merge_arm).unionAll(merge2_arm)
     )
 
 
