@@ -278,3 +278,40 @@ def test_quantile_sketch_within_bin_of_exact(spark):
             lo = int(np.floor(q * (len(v) - 1)))
             gap = float(v[min(lo + 1, len(v) - 1)] - v[lo])
             assert abs(sk - exact) <= width + gap + 1e-9, (et, q, sk, exact)
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=2, max_size=30),
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=5),
+)
+def test_merge_apply_transform_matches_greedy(spark, seq, a, b):
+    """The merge2 positional apply (absorb i when (i-1,i) matched;
+    rewrite when (i,i+1) matches) must equal left-to-right greedy pair
+    replacement for any sequence, whenever the pair members differ — the
+    non-overlap argument the arm relies on, fuzzed over adversarial
+    arrays (pairs at either end, chained abab runs, repeats)."""
+    from pyspark.sql import functions as F
+
+    if a == b:
+        return  # the arm's winner constraint excludes equal residues
+    NID = -1
+    df = spark.createDataFrame([(1, [int(x) for x in seq])], "id long, th array<bigint>")
+    expr = f"""filter(transform(sequence(1, size(th)), i -> CASE
+        WHEN i > 1 AND element_at(th, greatest(i - 1, 1)) = {a}
+             AND element_at(th, i) = {b} THEN CAST(NULL AS BIGINT)
+        WHEN try_element_at(th, i + 1) = {b}
+             AND element_at(th, i) = {a} THEN CAST({NID} AS BIGINT)
+        ELSE element_at(th, i) END), x -> x IS NOT NULL)"""
+    (got,) = df.select(F.expr(expr).alias("m")).collect()[0]
+
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(NID)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    assert list(got) == out, (seq, a, b, list(got), out)
