@@ -96,16 +96,18 @@ def test_no_global_window_on_scale_paths(spark, name):
 def test_text_profile_single_scan_before_simhash_join(spark):
     # t02 = one projection branch (which also carries the boilerplate
     # columns via a broadcast flag join — no scan of its own) + one
-    # SimHash aggregation branch + one winnowing window branch; the
-    # documents parquet is scanned once PER BRANCH (pruned to
-    # (doc_id, text)) and no more — the aggregation shapes (row
-    # projection / explode+groupBy vote / posexplode+window) cannot
-    # share an exchange, and re-reading a pruned columnar scan beats
+    # SimHash aggregation branch + one winnowing window branch + one
+    # tf-idf (doc, term) aggregation branch; the documents parquet is
+    # scanned once PER BRANCH (pruned to (doc_id, text)) and no more —
+    # the aggregation shapes (row projection / explode+groupBy vote /
+    # posexplode+window / explode+two-level count) cannot share an
+    # exchange, and re-reading a pruned columnar scan beats
     # materializing the corpus at scale. The boilerplate suffix-
-    # frequency table is a separate materialized sidecar relation.
+    # frequency table and the (doc, term) tf relation are separate
+    # materialized sidecar relations.
     plan = _plan(spark, "t02_text_profile")
     nodes = re.findall(r"\(\d+\) Scan parquet", plan)
-    assert len(nodes) <= 3, nodes
+    assert len(nodes) <= 4, nodes
 
 
 def test_ivf_assign_is_single_pass(spark):

@@ -363,3 +363,43 @@ def test_merge_arm_matches_python_reference(spark, sf_smoke):
         assert r.n_bpe_tokens == len(docs2[k2])
         assert r.n_chars == mx
         assert r.punct_ratio == round(c / tot2, 6)
+
+
+def test_tfidf_top_term_matches_python_reference(spark, sf_smoke):
+    """t02's tfidf columns: the rarity-weighted top term per doc
+    (score = tf · (N·10⁶ DIV df), deterministic (score, hash) argmax)
+    recomputed in pure Python must match exactly."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from wfc3_cte_monitor_spark.plans.text_queries import t02_text_profile
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def toks(text):
+        norm = re.sub(r"[^a-z0-9 ]", "", text.lower()).strip()
+        return [t for t in re.split(r"\s+", norm) if t != ""] if norm else []
+
+    docs = {
+        r.doc_id: Counter(h64(t) for t in toks(r.text))
+        for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+    n = len(docs)
+    df: Counter = Counter()
+    for tf in docs.values():
+        for th in tf:
+            df[th] += 1
+
+    rows = {r.doc_id: r for r in
+            t02_text_profile(spark, sf_smoke).select("doc_id", "tfidf_w", "tfidf_top").collect()}
+    assert rows.keys() == docs.keys()
+    for doc_id, tf in docs.items():
+        r = rows[doc_id]
+        if not tf:
+            assert r.tfidf_w is None and r.tfidf_top is None
+            continue
+        w, h = max((c * ((n * 1_000_000) // df[th]), th) for th, c in tf.items())
+        assert (r.tfidf_w, r.tfidf_top) == (w, h), doc_id

@@ -901,6 +901,25 @@ def _profile_sql() -> str:
         )
     ),
     sim AS ({simhash16_sql('documents', 'doc_id', tokens_sql('text'))}),
+    tft AS (
+        SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, {portable_hash64_sql('tok')} AS th
+            FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents)
+            WHERE tok <> ''
+        ) GROUP BY doc_id, th
+    ),
+    tdf AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tft GROUP BY th),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tfidf AS (
+        SELECT doc_id,
+               (max(struct_pack(w := s, h := th))).w AS tfidf_w,
+               (max(struct_pack(w := s, h := th))).h AS tfidf_top
+        FROM (
+            SELECT t.doc_id, t.th, t.tf * ((n.n * 1000000) // d.df) AS s
+            FROM tft t JOIN tdf d ON t.th = d.th, tn n
+        ) GROUP BY doc_id
+    ),
     piirep AS (
         SELECT doc_id,
                CAST(len(regexp_extract_all(ptxt, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
@@ -966,6 +985,7 @@ def _profile_sql() -> str:
            q.quality, f.fingerprint, f.shard,
            p.rep_ratio, p.n_emails, p.n_phones, p.redacted_fp,
            b.boiler, b.boiler_fp,
+           tf2.tfidf_w, tf2.tfidf_top,
            f.n_winnow_fp, f.winnow_fp_sum,
            s.simhash
     FROM langid l
@@ -974,6 +994,7 @@ def _profile_sql() -> str:
     JOIN sim s ON l.doc_id = s.doc_id
     JOIN piirep p ON l.doc_id = p.doc_id
     JOIN boil b ON l.doc_id = b.doc_id
+    LEFT JOIN tfidf tf2 ON l.doc_id = tf2.doc_id
     """
 
 
@@ -1106,9 +1127,41 @@ def t02_text_profile(spark, sf_dir):
     )
     sim = simhash16(docs.select("doc_id", tokens("text").alias("t")), "doc_id", F.col("t"))
     wf = winnow_fingerprints(docs.select("doc_id", "text"), "doc_id", "text")
+    # TF-IDF-ish rarity-weighted top term: the GLOBAL-STATS JOIN-BACK
+    # shape the rest of the profile deliberately avoids — document
+    # frequencies are corpus statistics that at 100 TB cannot broadcast,
+    # so the (doc, term) relation shuffles by term hash (bigints, never
+    # token strings), joins the df relation co-located, and reduces per
+    # doc with a lexicographic max(struct) — a DETERMINISTIC argmax
+    # (score, then hash) on both engines, unlike max_by/arg_max whose
+    # tie choice is undefined. rarity = (N·10⁶) DIV df, all-integer;
+    # at extreme corpus sizes the 10⁶ scale constant shrinks to keep
+    # tf·rarity inside int64 (noted, irrelevant at gate scale).
+    tft = materialize(
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .select("doc_id", portable_hash64("tok").alias("th"))
+        .groupBy("doc_id", "th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    tdf = tft.groupBy("th").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    tn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tfidf = (
+        tft.join(tdf, "th")
+        .join(F.broadcast(tn))
+        .select("doc_id", "th", F.expr("tf * ((n * 1000000) DIV df)").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("s", "th")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.s").alias("tfidf_w"),
+            F.col("m.th").alias("tfidf_top"),
+        )
+    )
     joined = (
         profile.join(sim, "doc_id")
         .join(wf, "doc_id", "left")
+        .join(tfidf, "doc_id", "left")
         .withColumn("n_winnow_fp", F.coalesce("n_winnow_fp", F.lit(0)).cast("bigint"))
         .withColumn("winnow_fp_sum", F.coalesce("winnow_fp_sum", F.lit(0)).cast("bigint"))
     )
