@@ -245,3 +245,32 @@ def test_bloom_no_false_negatives(spark, sf_smoke):
         assert r.est_v == 1.0, r  # no false negatives, ever
     fp = sum(1 for r in nonmembers if r.est_v == 1.0)
     assert fp <= max(2, 0.05 * len(nonmembers)), (fp, len(nonmembers))
+
+
+def test_d02_representative_selection(spark, sf_smoke):
+    """The d02 keep/rep columns: exactly one representative per cluster,
+    and it is the member with the most distinct tokens (ties to the
+    smallest doc_id) — recomputed from the raw corpus."""
+    from collections import defaultdict
+
+    from wfc3_cte_monitor_spark.plans.dedup_queries import d02_lsh_dedup_pipeline
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("nu")
+    ).collect()
+    nu = {r.doc_id: r.nu for r in docs}
+
+    rows = d02_lsh_dedup_pipeline(spark, sf_smoke).collect()
+    assert len(rows) == len(nu)
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        reps = {r.rep_id for r in members}
+        assert len(reps) == 1
+        expect = max(members, key=lambda r: (nu[r.doc_id], -r.doc_id)).doc_id
+        assert reps == {expect}, (cid, reps, expect)
+        kept = [r.doc_id for r in members if r.keep == 1]
+        assert kept == [expect] or set(kept) == {expect}
+        for r in members:
+            assert r.keep == (1 if r.doc_id == expect else 0)

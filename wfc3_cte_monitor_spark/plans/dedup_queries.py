@@ -115,10 +115,20 @@ def _d02_sql() -> str:
         GROUP BY l.doc_id, l.label
     )"""
         prev = f"l{i}"
-    body += f"""
-    SELECT doc_id, label AS cluster_id,
-           (count(*) OVER (PARTITION BY label))::BIGINT AS cluster_size
-    FROM {prev}
+    body += f""",
+    reps AS (
+        SELECT label,
+               -(max(struct_pack(nu := q.nu, nid := -l.doc_id))).nid AS rep_id
+        FROM {prev} l
+        JOIN (SELECT doc_id, CAST(len(t) AS BIGINT) AS nu FROM toks) q
+          ON q.doc_id = l.doc_id
+        GROUP BY label
+    )
+    SELECT l.doc_id, l.label AS cluster_id,
+           (count(*) OVER (PARTITION BY l.label))::BIGINT AS cluster_size,
+           r.rep_id,
+           CAST(CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM {prev} l JOIN reps r ON r.label = l.label
     """
     return body
 
@@ -192,10 +202,26 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
             )
         )
-    return labels.select(
+    # REPRESENTATIVE SELECTION — the dedup DECISION a pipeline
+    # materializes: keep the richest-vocabulary doc per cluster (distinct
+    # token count, already computed in the verify stage's token-set
+    # relation), ties to the smallest id. Deterministic argmax via
+    # lexicographic max(struct(nu, -doc_id)) — max_by's tie choice is
+    # undefined on both engines. One cluster-keyed agg + one join; the
+    # token sets themselves never ride either shuffle (nu is a bigint).
+    reps = (
+        labels.join(
+            toks.select("doc_id", F.size("t").cast("bigint").alias("nu")), "doc_id"
+        )
+        .groupBy("label")
+        .agg((-F.max(F.struct(F.col("nu"), (-F.col("doc_id")).alias("nid")))["nid"]).alias("rep_id"))
+    )
+    return labels.join(reps, "label").select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint").alias("cluster_size"),
+        "rep_id",
+        F.when(F.col("doc_id") == F.col("rep_id"), 1).otherwise(0).cast("bigint").alias("keep"),
     )
 
 
