@@ -274,3 +274,36 @@ def test_d02_representative_selection(spark, sf_smoke):
         assert kept == [expect] or set(kept) == {expect}
         for r in members:
             assert r.keep == (1 if r.doc_id == expect else 0)
+
+
+def test_duplicated_spans_merge_and_split(spark):
+    """Hand-built corpus pins the gap-and-island semantics: A and D share
+    two 5-token runs — adjacent in A (one merged span covering the whole
+    doc), 10 tokens apart in D (two separate spans); C shares nothing."""
+    from wfc3_cte_monitor_spark.functions.dedup import duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),                      # A: runs at pos 1 and 6 -> adjacent, merge
+        (2, "a b c d e m m m m m f g h i j"),            # D: runs at pos 1 and 11 -> gap > k, split
+        (3, "p q r s t u v w"),                          # C: no duplicated window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["nt"], r["n_spans"], r["covered"])
+        for r in duplicated_spans(docs, k=5).collect()
+    }
+    assert got == {
+        1: (10, 1, 10),   # [1..5] and [6..10] touch -> one span, full coverage
+        2: (15, 2, 10),   # [1..5] and [11..15] -> two spans, 10 covered
+    }
+    assert 3 not in got
+
+
+def test_duplicated_spans_same_doc_repeat_not_duplicate(spark):
+    """A run repeated WITHIN one doc only (ndocs == 1) is not a cross-doc
+    duplicate — the >= 2 distinct-docs criterion must exclude it."""
+    from wfc3_cte_monitor_spark.functions.dedup import duplicated_spans
+
+    rows = [(1, "a b c d e x a b c d e"), (2, "q r s t u v w x y z")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicated_spans(docs, k=5).count() == 0

@@ -166,3 +166,66 @@ def simhash16_sql(source: str, id_col: str, token_expr: str,
         GROUP BY {id_col}
     )
     """
+
+
+def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 5) -> DataFrame:
+    """Span-level exact-substring dedup (the ExactSubstr removal shape):
+    positional token k-gram windows whose hash occurs in >= 2 distinct
+    docs are duplicated; per doc, overlapping/adjacent duplicated
+    windows merge gap-and-island into maximal spans.
+
+    Returns one row per doc WITH at least one duplicated span:
+    (id, nt=token count, n_spans, covered=tokens inside spans).
+
+    Shape: the window relation is corpus-token-sized but row-local to
+    build (posexplode + lead, codegen); the duplicate set is one
+    map-side-combined groupBy on the 60-bit window hash; the hit probe
+    is a semi-join co-located on that hash; the island merge sorts only
+    within id partitions (bounded by doc length). No all-pairs stage.
+    """
+    from pyspark.sql import Window
+
+    from ..checkpointing import materialize
+    from .text import portable_hash64, tokens
+
+    tok = docs.select(id_col, tokens(text_col).alias("t")).where(F.size("t") >= k)
+    ex = tok.select(id_col, F.size("t").alias("nt"), F.posexplode("t").alias("p0", "tok"))
+    wp = Window.partitionBy(id_col).orderBy("p0")
+    win = (
+        ex.select(
+            id_col, "nt", (F.col("p0") + 1).alias("pos"),
+            # concat_ws skips NULLs — the lead(k-1) IS NOT NULL filter
+            # is what drops the ragged tail windows
+            F.concat_ws(
+                " ", "tok", *[F.lead("tok", j).over(wp) for j in range(1, k)]
+            ).alias("sh"),
+            F.lead("tok", k - 1).over(wp).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select(id_col, "nt", "pos", portable_hash64("sh").alias("h"))
+        # feeds BOTH the duplicate-set aggregation and the hit probe —
+        # materialize so tokenize+window runs once (diamond hygiene)
+        .transform(materialize)
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    hits = win.join(dup, "h", "leftsemi")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.select(
+        id_col, "nt", "pos",
+        F.when(F.col("pos") - F.lag("pos", 1).over(wd) > k, 1).otherwise(0).alias("brk"),
+    ).withColumn("island", F.sum("brk").over(wd))
+    sp = isl.groupBy(id_col, "island").agg(
+        F.first("nt").alias("nt"),
+        (F.max("pos") + F.lit(k - 1) - F.min("pos") + F.lit(1)).alias("span_len"),
+    )
+    return sp.groupBy(id_col).agg(
+        F.first("nt").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("covered"),
+    )

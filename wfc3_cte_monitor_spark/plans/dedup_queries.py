@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ..checkpointing import materialize
 from ..functions.dedup import (
+    duplicated_spans,
     lsh_bands,
     lsh_bands_sql,
     minhash_signature,
@@ -25,12 +26,85 @@ from ..sources.catalog import load_table, spread
 from .registry import register
 
 
-# D1 — exact dedup after canonicalization: documents whose sorted distinct
-# token sets coincide collapse to one cluster (hash-groupBy; one shuffle).
+# D1 — EXACT dedup, two arms in one tagged union:
+#   which='exact' — whole-document: documents whose sorted distinct
+#                   token sets coincide collapse to one cluster
+#                   (hash-groupBy on the fingerprint; one shuffle).
+#   which='spans' — span-level exact-substring dedup (the ExactSubstr
+#                   removal shape of Lee et al., "Deduplicating Training
+#                   Data Makes Language Models Better"): positional
+#                   token K-gram windows → windows whose hash occurs in
+#                   >= 2 distinct docs are duplicated → per doc,
+#                   overlapping/adjacent duplicated windows merge
+#                   gap-and-island into MAXIMAL duplicated spans; the
+#                   output is what a span-removal pass consumes
+#                   (span count, covered tokens, coverage fraction),
+#                   not just a doc-level verdict. Only docs with >= 1
+#                   duplicated span appear.
+# Scale: the positional-window relation is corpus-token-sized but
+# row-local to build (posexplode + lead, whole-stage codegen); the
+# duplicate set is one map-side-combined groupBy on the 60-bit window
+# hash; the hit probe is a semi-join co-located on that same hash; the
+# island merge sorts WITHIN doc_id partitions only (bounded by doc
+# length, never global). No all-pairs stage anywhere — at 100 TB the
+# quadratic "which docs share text" question stays inside hash buckets.
+# K=5 (vs the shingle k=3 used elsewhere): at k=3 the synthetic corpus's
+# natural trigram overlap saturates the metric (500/500 docs, ~64% of
+# windows duplicated at sf0.01); k=5 isolates genuinely shared runs
+# (71/500 docs, ~9% of windows) — the long-run regime ExactSubstr targets.
+K_SPAN = 5
+
+
+def _d01_spans_ctes() -> str:
+    h = portable_hash64_sql(
+        " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(K_SPAN))
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ),
+    win AS (
+        SELECT doc_id, len(t) AS nt, i AS pos, {h} AS h
+        FROM toks, UNNEST(range(1, len(t) - {K_SPAN} + 2)) AS u(i)
+        WHERE len(t) >= {K_SPAN}
+    ),
+    dup AS (
+        SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, nt, pos FROM win WHERE h IN (SELECT h FROM dup)
+    ),
+    brk AS (
+        SELECT doc_id, nt, pos,
+               CASE WHEN pos - lag(pos) OVER w > {K_SPAN} THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+        SELECT doc_id, nt, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk
+    ),
+    sp AS (
+        SELECT doc_id, any_value(nt) AS nt,
+               max(pos) + {K_SPAN} - 1 - min(pos) + 1 AS span_len
+        FROM isl GROUP BY doc_id, island
+    ),
+    pd AS (
+        SELECT doc_id, any_value(nt) AS nt, count(*)::BIGINT AS n_spans,
+               sum(span_len)::BIGINT AS covered
+        FROM sp GROUP BY doc_id
+    )
+    """
+
+
 @register(
     "d01_dedup_exact",
     oracle=f"""
-    SELECT doc_id, cluster_id, cluster_size FROM (
+    WITH {_d01_spans_ctes()}
+    SELECT 'exact' AS which, doc_id, cluster_id AS k1, cluster_size AS k2,
+           CAST(NULL AS VARCHAR) AS v
+    FROM (
         SELECT doc_id,
                min(doc_id) OVER (PARTITION BY fp) AS cluster_id,
                count(*) OVER (PARTITION BY fp)::BIGINT AS cluster_size
@@ -40,23 +114,42 @@ from .registry import register
             FROM documents
         )
     )
+    UNION ALL
+    SELECT 'spans' AS which, doc_id, n_spans AS k1, covered AS k2,
+           printf('%.6f', round(CAST(covered AS DOUBLE) / nt, 6)) AS v
+    FROM pd
     """,
-    tags=("dedup", "exact"),
+    tags=("dedup", "exact", "spans"),
 )
 def d01_dedup_exact(spark, sf_dir):
-    """Exact dedup on a canonical fingerprint (sorted distinct tokens):
-    cluster id = min doc_id sharing the fingerprint."""
+    """Exact dedup union: whole-document fingerprint clusters ('exact')
+    plus span-level exact-substring dedup ('spans') — see the family
+    comment above for semantics and the 100 TB shape."""
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
     fp = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
     w = Window.partitionBy("fp")
-    return (
+    exact_arm = (
         docs.select("doc_id", fp.alias("fp"))
-        .withColumn("cluster_id", F.min("doc_id").over(w))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
-        .select("doc_id", "cluster_id", "cluster_size")
+        .withColumn("k1", F.min("doc_id").over(w))
+        .withColumn("k2", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select(
+            F.lit("exact").alias("which"), "doc_id", "k1", "k2",
+            F.lit(None).cast("string").alias("v"),
+        )
     )
+
+    spans_arm = duplicated_spans(docs, "doc_id", "text", K_SPAN).select(
+        F.lit("spans").alias("which"), "doc_id",
+        F.col("n_spans").alias("k1"), F.col("covered").alias("k2"),
+        # round-then-format, module tie policy
+        F.format_string(
+            "%.6f", F.round(F.col("covered") / F.col("nt"), 6)
+        ).alias("v"),
+    )
+    return exact_arm.unionByName(spans_arm)
 
 
 # D2 — the COMPOSED near-dup dedup pipeline a production run executes:
