@@ -196,3 +196,50 @@ def test_trunc_arm_matches_numpy_prefix_topk(spark, sf_smoke):
         assert [(round(-e[0], 6), e[1]) for e in expect] == [
             (round(-g[0], 6), g[1]) for g in got
         ], (q, expect, got)
+
+
+def test_semdedup_finds_planted_vector_dups(spark, sf_smoke):
+    """Plant an exact copy and a tiny-perturbation copy of two corpus
+    vectors: both copies land in the same cluster as their original and
+    must be removed with the original as keeper (cosine ~1 >= tau)."""
+    from pyspark.sql import functions as F
+
+    from wfc3_cte_monitor_spark.functions.similarity import ivf_semdedup
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    exact = emb.where(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    near = emb.where(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).cast(
+            "array<float>"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(exact).unionByName(near)
+    removed = {
+        r["removed_id"]: r["keeper_id"]
+        for r in ivf_semdedup(corpus, tau=0.95).collect()
+    }
+    assert removed.get(100003) == 3
+    # scaling preserves direction: cosine(v, 1.001*v) == 1 up to rounding
+    assert removed.get(200007) == 7
+
+
+def test_semdedup_keeper_is_min_qualifying_id(spark):
+    """Three mutually-near vectors: 1 and 2 both qualify against 3; the
+    keeper must be the MINIMUM qualifying lower id (deterministic), and
+    the lowest id of the group must never be removed."""
+    from wfc3_cte_monitor_spark.functions.similarity import ivf_semdedup
+
+    base = [1.0] * 64
+    rows = [
+        (1, [x * 1.0 for x in base]),
+        (2, [x * 1.0002 for x in base]),
+        (3, [x * 1.0001 for x in base]),
+        (4, [-x for x in base]),  # opposite direction: untouched
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["removed_id"]: r["keeper_id"] for r in ivf_semdedup(df, tau=0.9).collect()}
+    assert got == {2: 1, 3: 1}

@@ -451,7 +451,8 @@ def _assign_with_matrix(embeddings: DataFrame | None, ids, Cn, id_col: str = "ve
 def ivf_ann(embeddings: DataFrame | None = None, k: int = 5, nprobe: int = N_PROBE,
             query_pred: Column | None = None, query_ids: list[int] | None = None,
             id_col: str = "vec_id", emb_col: str = "embedding",
-            refine_iterations: int = 0, corpus: DataFrame | None = None) -> DataFrame:
+            refine_iterations: int = 0, corpus: DataFrame | None = None,
+            centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     lists; candidates come from an equi-join on list_id (never a cross
     join against the corpus); exact cosine re-ranks candidates only.
@@ -478,9 +479,15 @@ def ivf_ann(embeddings: DataFrame | None = None, k: int = 5, nprobe: int = N_PRO
         # pass once, and callers sharing passes (e01) pass their own
         # checkpointed relation in
         corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
-    cents = ivf_centroids(corpus=corpus)
-    if refine_iterations:
-        cents = ivf_refine(None, cents, refine_iterations, corpus=corpus)
+    if centroids is not None:
+        # caller-built quantizer (init + refinement already applied) —
+        # lets several consumers (e01's ivf + semdedup arms) share ONE
+        # materialized centroid relation instead of re-running Lloyd
+        cents = centroids
+    else:
+        cents = ivf_centroids(corpus=corpus)
+        if refine_iterations:
+            cents = ivf_refine(None, cents, refine_iterations, corpus=corpus)
     ids, Cn = _collect_centroid_matrix(cents)
     assigned = _assign_with_matrix(None, ids, Cn, corpus=corpus)
 
@@ -527,18 +534,16 @@ def ivf_ann(embeddings: DataFrame | None = None, k: int = 5, nprobe: int = N_PRO
     )
 
 
-def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
-                n_lists: int = N_LISTS, query_pred: str = "vec_id < 10",
-                refine_iterations: int = 0) -> str:
-    """DuckDB twin of ``ivf_ann``'s deterministic structure: sampled-init
-    centroids (first n_lists by id), ``refine_iterations`` Lloyd steps
-    (assignment with the (sim desc, list_id) tiebreak → per-list
-    component-wise ROUNDED mean → empty lists keep the old centroid),
-    nearest-centroid assignment, nprobe probed lists per query, exact
-    cosine re-rank on candidates. Returns a SELECT producing
-    (query_id, neighbor_id, sim, rank)."""
+def _ivf_assign_ctes(source: str, n_lists: int = N_LISTS,
+                     refine_iterations: int = 0) -> str:
+    """Shared CTE text (``ivf_cents0`` … ``ivf_assigned``) for the
+    DuckDB twins of the IVF structure: sampled-init centroids (first
+    n_lists by id), ``refine_iterations`` Lloyd steps (assignment with
+    the (sim desc, list_id) tiebreak → per-list component-wise ROUNDED
+    mean → empty lists keep the old centroid), nearest-centroid
+    assignment. ``ivf_ann_sql`` and ``ivf_semdedup_sql`` both splice
+    this in so the centroid trajectory is defined exactly once."""
     cos_ec = cosine_sql("CAST(e.embedding AS DOUBLE[])", "c.cv")
-    cos_ab = cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
     refine_ctes = ""
     for i in range(1, refine_iterations + 1):
         prev = f"ivf_cents{i - 1}" if i > 1 else "ivf_cents0"
@@ -567,8 +572,7 @@ def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
         FROM {prev} c LEFT JOIN newc{i} n USING (list_id)
     ),"""
     final_cents = f"ivf_cents{refine_iterations}" if refine_iterations else "ivf_cents0"
-    return f"""
-    WITH ivf_cents0 AS (
+    return f"""ivf_cents0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
                CAST(embedding AS DOUBLE[]) AS cv
         FROM (SELECT vec_id, embedding FROM {source} ORDER BY vec_id LIMIT {n_lists})
@@ -584,7 +588,19 @@ def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
                                       ORDER BY csim DESC, list_id) AS rn
             FROM ivf_csim
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+def ivf_ann_sql(source: str, k: int = 5, nprobe: int = N_PROBE,
+                n_lists: int = N_LISTS, query_pred: str = "vec_id < 10",
+                refine_iterations: int = 0) -> str:
+    """DuckDB twin of ``ivf_ann``: the shared centroid/assignment CTEs
+    (:func:`_ivf_assign_ctes`), nprobe probed lists per query, exact
+    cosine re-rank on candidates. Returns a SELECT producing
+    (query_id, neighbor_id, sim, rank)."""
+    cos_ab = cosine_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")
+    return f"""
+    WITH {_ivf_assign_ctes(source, n_lists, refine_iterations)},
     ivf_probes AS (
         SELECT query_id, list_id FROM (
             SELECT vec_id AS query_id, list_id,
@@ -687,3 +703,97 @@ def _make_lloyd_partials(ids, Cn):
             })
 
     return partials
+
+
+def ivf_semdedup(embeddings: DataFrame | None = None, tau: float = 0.3,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 refine_iterations: int = 0, corpus: DataFrame | None = None,
+                 centroids: DataFrame | None = None) -> DataFrame:
+    """Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF coarse quantizer,
+    then mark a vector REDUNDANT when some lower-id member of its
+    cluster has cosine >= tau with it; the keeper reported is the
+    minimum qualifying lower id (deterministic via lexicographic
+    min(struct) — portable where min_by/arg_max tie choice is not).
+
+    Returns (removed_id, keeper_id, sim, list_id) — one row per removed
+    vector, sim = cosine(removed, keeper) rounded to 6.
+
+    Shape: the pairwise stage is ONE applyInPandas over list_id groups —
+    the corpus shuffles once (each vector rides to its cluster exactly
+    once) and the quadratic work is confined to clusters, which is the
+    SemDeDup contract: cluster count scales with corpus size precisely
+    so that per-cluster pairwise stays bounded. Only qualifying bare-id
+    pairs leave the pass; vectors never ride a second shuffle. At 100 TB
+    the cluster groups land on executors by list_id partitioning and
+    each group is a dense-matmul-sized batch."""
+    if corpus is None:
+        corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = ivf_centroids(corpus=corpus)
+        if refine_iterations:
+            cents = ivf_refine(None, cents, refine_iterations, corpus=corpus)
+    ids, Cn = _collect_centroid_matrix(cents)
+    assigned = _assign_with_matrix(None, ids, Cn, corpus=corpus)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "list_id": pd.Series(dtype="int32"), "sim": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        vids = pdf["vec_id"].to_numpy()[order]
+        M = np.stack(pdf["v"].to_numpy()[order])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        # round to 6 BEFORE the threshold compare (module floating
+        # policy) so the tau cut is the same cut the oracle applies
+        sims = _round6_half_away((M @ M.T) / (nrm * nrm.T))
+        iu, ju = np.triu_indices(len(vids), k=1)
+        keep = sims[iu, ju] >= tau
+        return pd.DataFrame({
+            "id_a": vids[iu[keep]], "id_b": vids[ju[keep]],
+            "list_id": np.full(int(keep.sum()), pdf["list_id"].iloc[0], dtype="int32"),
+            "sim": sims[iu, ju][keep],
+        })
+
+    qual = assigned.groupBy("list_id").applyInPandas(
+        _pairs, "id_a bigint, id_b bigint, list_id int, sim double"
+    )
+    sel = qual.groupBy("id_b").agg(F.min(F.struct("id_a", "sim", "list_id")).alias("kp"))
+    return sel.select(
+        F.col("id_b").alias("removed_id"),
+        F.col("kp.id_a").alias("keeper_id"),
+        F.col("kp.sim").alias("sim"),
+        F.col("kp.list_id").cast("int").alias("list_id"),
+    )
+
+
+def ivf_semdedup_sql(source: str, tau: float = 0.3, n_lists: int = N_LISTS,
+                     refine_iterations: int = 0) -> str:
+    """DuckDB twin of :func:`ivf_semdedup` — same centroid trajectory
+    via the shared :func:`_ivf_assign_ctes`, within-list pairs, round-6
+    cosine threshold, lexicographic min(struct) keeper."""
+    cos_ab = cosine_sql("CAST(ea.embedding AS DOUBLE[])", "CAST(eb.embedding AS DOUBLE[])")
+    return f"""
+    WITH {_ivf_assign_ctes(source, n_lists, refine_iterations)},
+    sd_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.list_id,
+               round({cos_ab}, 6) AS sim
+        FROM ivf_assigned a
+        JOIN ivf_assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        JOIN {source} ea ON ea.vec_id = a.vec_id
+        JOIN {source} eb ON eb.vec_id = b.vec_id
+    ),
+    sd_sel AS (
+        SELECT id_b,
+               min(struct_pack(id_a := id_a, sim := sim, list_id := list_id)) AS kp
+        FROM sd_pairs WHERE sim >= {tau}
+        GROUP BY id_b
+    )
+    SELECT id_b AS removed_id, kp.id_a AS keeper_id, kp.sim AS sim,
+           CAST(kp.list_id AS INT) AS list_id
+    FROM sd_sel
+    """

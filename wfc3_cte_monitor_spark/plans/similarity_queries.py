@@ -16,6 +16,10 @@ from ..functions.similarity import (
     int8_quantized_sql,
     ivf_ann,
     ivf_ann_sql,
+    ivf_centroids,
+    ivf_refine,
+    ivf_semdedup,
+    ivf_semdedup_sql,
     lsh_index,
     lsh_index_sql,
     neardup_pairs,
@@ -37,10 +41,19 @@ _Q = "vec_id < 10"  # deterministic query set at every scale factor
 #                  lists per query, exact cosine re-rank on candidates
 #                  only. Complements e02's LSH: recall bought with
 #                  probed lists, not tables.
+#   kind='semdedup' — SemDeDup (Abbas et al. 2023) over the SAME
+#                  Lloyd-refined clusters: within-cluster cosine >= tau
+#                  marks the larger id redundant; rows are
+#                  (removed_id, keeper_id, sim, list_id) mapped onto the
+#                  union schema. The cluster build is shared with the
+#                  ivf arm (one materialized centroid relation), so the
+#                  semantic-dedup pass costs one clustered pairwise
+#                  stage, not a second Lloyd.
 # Both branches gate against the same DuckDB twin structure, so IVF's
 # deterministic build (centroid choice, Lloyd step, tiebreaks) is
 # oracle-checked — and its recall is readable against the brute rows.
 _IVF_REFINE_ITERS = 1
+_SD_TAU = 0.3
 
 
 @register(
@@ -66,6 +79,8 @@ _IVF_REFINE_ITERS = 1
     ),
     ivf AS ({ivf_ann_sql('embeddings', k=5, query_pred=_Q,
                          refine_iterations=_IVF_REFINE_ITERS)}),
+    sd AS ({ivf_semdedup_sql('embeddings', tau=_SD_TAU,
+                             refine_iterations=_IVF_REFINE_ITERS)}),
     recall AS (
         SELECT b.query_id,
                count(i.neighbor_id)::BIGINT AS n_hits,
@@ -82,6 +97,10 @@ _IVF_REFINE_ITERS = 1
     SELECT 'recall' AS kind, query_id, n_hits AS neighbor_id,
            recall_at_5 AS sim, 5 AS rank
     FROM recall
+    UNION ALL
+    SELECT 'semdedup' AS kind, removed_id AS query_id,
+           keeper_id AS neighbor_id, sim, list_id AS rank
+    FROM sd
     """,
     tags=("similarity", "topk", "ivf"),
 )
@@ -112,10 +131,23 @@ def e01_cosine_topk(spark, sf_dir):
     brute = cosine_topk(corpus=corpus, k=5, query_pred=F.col("vec_id") < 10).select(
         F.lit("brute").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
     ).transform(materialize)
+    # ONE Lloyd-refined quantizer feeds both the ann and semdedup arms —
+    # materialized (nlist rows) so each arm's collect reads the refined
+    # centroids instead of re-running the Lloyd corpus pass
+    cents = ivf_refine(
+        None, ivf_centroids(corpus=corpus), _IVF_REFINE_ITERS, corpus=corpus
+    ).transform(materialize)
     ivf = ivf_ann(corpus=corpus, k=5, query_pred=F.col("vec_id") < 10,
-                  refine_iterations=_IVF_REFINE_ITERS).select(
+                  centroids=cents).select(
         F.lit("ivf").alias("kind"), "query_id", "neighbor_id", "sim", "rank"
     ).transform(materialize)
+    semdedup = ivf_semdedup(corpus=corpus, tau=_SD_TAU, centroids=cents).select(
+        F.lit("semdedup").alias("kind"),
+        F.col("removed_id").alias("query_id"),
+        F.col("keeper_id").alias("neighbor_id"),
+        "sim",
+        F.col("list_id").alias("rank"),
+    )
     # with the arms materialized, the audit join is over two tiny cached
     # relations
     recall = (
@@ -132,7 +164,7 @@ def e01_cosine_topk(spark, sf_dir):
             F.lit(5).alias("rank"),
         )
     )
-    return brute.unionAll(ivf).unionAll(recall)
+    return brute.unionAll(ivf).unionAll(recall).unionAll(semdedup)
 
 
 # E2 — tagged union of the LSH-bucketed vector workloads:
