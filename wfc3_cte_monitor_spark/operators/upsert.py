@@ -34,3 +34,28 @@ def upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str], version_col
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def scd2(snapshots: DataFrame, keys: Sequence[str], version_col: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from versioned change rows.
+
+    Where :func:`upsert` keeps only the latest row per natural key (the
+    reference's ``insert_or_update`` overwrite semantics,
+    wfc3_cte_monitor/database_update.py:214-255), SCD2 keeps EVERY
+    version and closes each one's validity when its successor arrives:
+    ``valid_to`` = the next version for the key (``lead`` over the key's
+    version order), ``is_current`` = no successor exists. ``snapshots``
+    is the union of all change batches, each row carrying
+    ``version_col`` (batch id / effective timestamp).
+
+    Same scale shape as upsert — ONE shuffle on the natural key, then a
+    partition-local sort; history length per key only affects the local
+    sort, never the exchange count. Re-applying an already-applied batch
+    is idempotent only if the caller dedups (key, version) first, same
+    contract as the reference's ``--pr 'last'`` re-runs.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).asc())
+    nxt = F.lead(version_col).over(w)
+    return snapshots.withColumn("valid_to", nxt).withColumn(
+        "is_current", nxt.isNull()
+    )

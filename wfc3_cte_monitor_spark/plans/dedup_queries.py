@@ -118,13 +118,40 @@ def _d01_spans_ctes() -> str:
     SELECT 'spans' AS which, doc_id, n_spans AS k1, covered AS k2,
            printf('%.6f', round(CAST(covered AS DOUBLE) / nt, 6)) AS v
     FROM pd
+    UNION ALL
+    SELECT 'incr' AS which, doc_id, cluster_id AS k1, cluster_size AS k2, src AS v
+    FROM (
+        SELECT doc_id, is_delta,
+               min(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+               count(*) OVER (PARTITION BY fp)::BIGINT AS cluster_size,
+               CASE WHEN max(CASE WHEN is_delta THEN 0 ELSE 1 END)
+                             OVER (PARTITION BY fp) = 1
+                    THEN 'store' ELSE 'delta' END AS src
+        FROM (
+            SELECT doc_id, doc_id % 5 = 0 AS is_delta,
+                   array_to_string(list_sort(list_distinct({tokens_sql('text')})), ' ') AS fp
+            FROM documents
+        )
+    ) WHERE is_delta
     """,
-    tags=("dedup", "exact", "spans"),
+    tags=("dedup", "exact", "spans", "incremental"),
 )
 def d01_dedup_exact(spark, sf_dir):
-    """Exact dedup union: whole-document fingerprint clusters ('exact')
-    plus span-level exact-substring dedup ('spans') — see the family
-    comment above for semantics and the 100 TB shape."""
+    """Exact dedup union: whole-document fingerprint clusters ('exact'),
+    span-level exact-substring dedup ('spans'), and INCREMENTAL dedup
+    against a persisted fingerprint store ('incr') — see the family
+    comment above for semantics and the 100 TB shape.
+
+    'incr' is the shape a production corpus actually runs: the existing
+    corpus (doc_id % 5 != 0 here) is distilled ONCE into a store of
+    (fingerprint → representative id, count); a new delta batch
+    (doc_id % 5 == 0) dedups by joining the store and merging
+    within-delta groups — work proportional to the DELTA, never a corpus
+    re-shingle. The arm's output (per delta doc: global cluster id,
+    global cluster size, 'store'/'delta' provenance of the match) is
+    gated against a DuckDB FULL recompute restricted to delta docs, so
+    incremental == full is what the hash proves — the same
+    increment-equals-recompute contract as q01's 'incr_maint' arm."""
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -149,7 +176,34 @@ def d01_dedup_exact(spark, sf_dir):
             "%.6f", F.round(F.col("covered") / F.col("nt"), 6)
         ).alias("v"),
     )
-    return exact_arm.unionByName(spans_arm)
+
+    # 'incr' — the store build scans only the base partition (in
+    # production it is a persisted table, amortized across batches); the
+    # delta path is two fingerprint-keyed groupBys and two equi-joins on
+    # fp, all delta-sized except the one store probe.
+    fps = docs.select("doc_id", fp.alias("fp"), (F.col("doc_id") % 5 == 0).alias("is_delta"))
+    store = (
+        fps.where(~F.col("is_delta"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt"))
+    )
+    dstats = (
+        fps.where("is_delta")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dmin"), F.count(F.lit(1)).alias("dcnt"))
+    )
+    merged = dstats.join(store, "fp", "left").select(
+        "fp",
+        F.least(F.coalesce("rep", "dmin"), F.col("dmin")).alias("k1"),
+        (F.coalesce("cnt", F.lit(0)) + F.col("dcnt")).cast("bigint").alias("k2"),
+        F.when(F.col("rep").isNotNull(), F.lit("store")).otherwise(F.lit("delta")).alias("v"),
+    )
+    incr_arm = (
+        fps.where("is_delta")
+        .join(merged, "fp")
+        .select(F.lit("incr").alias("which"), "doc_id", "k1", "k2", "v")
+    )
+    return exact_arm.unionByName(spans_arm).unionByName(incr_arm)
 
 
 # D2 — the COMPOSED near-dup dedup pipeline a production run executes:

@@ -15,7 +15,7 @@ from ..operators.polyfit import polyfit2d
 from ..operators.pairs import matching_lookup, rank_pairing
 from ..operators.sigma_clip import SIGMA13_ITERS, sigma_clip, sigma_clip_sql
 from ..operators.spatial import point_in_quad, point_in_quad_sql
-from ..operators.upsert import upsert
+from ..operators.upsert import scd2, upsert
 from ..sources.catalog import load_table
 from .ascii_roundtrip import ASCII_ARMS_SQL, ascii_roundtrip_arms
 from .registry import register
@@ -938,12 +938,31 @@ def f02_json_extract(spark, sf_dir):
         )
     ) WHERE _rn = 1
     UNION ALL
+    SELECT 'scd2' AS which, o_orderkey AS k, o_totalprice AS v,
+           CAST(version * 100
+                + coalesce(lead(version) OVER (PARTITION BY o_orderkey
+                                               ORDER BY version), 0) AS INT) AS ver
+    FROM (
+        SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+        WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000, 2 FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 3000, 3 FROM orders WHERE o_orderkey % 200 = 0
+    )
+    UNION ALL
     """ + ASCII_ARMS_SQL,
-    tags=("S7", "S3", "S4", "S5", "S6"),
+    tags=("S7", "S3", "S4", "S5", "S6", "scd2"),
 )
 def s07_upsert_merge(spark, sf_dir):
     """MERGE-without-Delta (union + row_number latest-wins on the natural
-    key) + the ASCII sidecar write→read→fingerprint round-trip arms."""
+    key) + SCD2 history tracking (operators/upsert.scd2 — same natural-key
+    shuffle, but every version kept with lead()-closed validity) + the
+    ASCII sidecar write→read→fingerprint round-trip arms.
+
+    The 'scd2' arm packs (version, valid_to) into ver = version*100 +
+    coalesce(valid_to, 0) so the interval-close logic — the part of SCD2
+    that isn't just an append — is what the value hash gates."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = o.withColumn("version", F.lit(1))
     updates = (
@@ -957,4 +976,21 @@ def s07_upsert_merge(spark, sf_dir):
         F.col("o_totalprice").cast("double").alias("v"),
         F.col("version").cast("int").alias("ver"),
     )
-    return merged.unionByName(ascii_roundtrip_arms(spark, sf_dir))
+    snapshots = (
+        base.where(F.col("o_orderkey") % 20 == 0)
+        .unionByName(updates)
+        .unionByName(
+            o.where(F.col("o_orderkey") % 200 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 3000)
+            .withColumn("version", F.lit(3))
+        )
+    )
+    hist = scd2(snapshots, keys=["o_orderkey"], version_col="version").select(
+        F.lit("scd2").alias("which"),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        (F.col("version") * 100 + F.coalesce(F.col("valid_to"), F.lit(0)))
+        .cast("int")
+        .alias("ver"),
+    )
+    return merged.unionByName(hist).unionByName(ascii_roundtrip_arms(spark, sf_dir))

@@ -29,6 +29,13 @@ from .registry import register
 #                     clicks within 6 h); window_start/window_end carry
 #                     (trigger_ts, cause_ts), key is user:trigger[:cause],
 #                     sum_value the attribution lag in seconds
+#   kind='asof'     — AS-OF JOIN (purchase ← single LATEST same-user
+#                     click at-or-before, operators/asof_join.py): one
+#                     union+window shuffle in Spark vs DuckDB's NATIVE
+#                     ASOF LEFT JOIN as the oracle. window_start/
+#                     window_end carry (purchase_ts, matched_click_ts),
+#                     key is user:purchase, sum_value the as-of lag in
+#                     seconds (NULL when no prior click exists).
 #   kind='profile'  — batch twin of the CUSTOM-STATE streaming operator
 #                     (streaming/stateful.running_user_profile,
 #                     applyInPandasWithState): the converged per-user
@@ -102,6 +109,15 @@ from .registry import register
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+    UNION ALL
+    SELECT 'asof', p.ts, c.ts,
+           CAST(p.user_id AS VARCHAR) || ':' || CAST(p.event_id AS VARCHAR),
+           1::BIGINT,
+           round(epoch(p.ts) - epoch(c.ts), 6)
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
     UNION ALL
     SELECT 'profile', min(ts), max(ts), CAST(user_id AS VARCHAR),
            count(*)::BIGINT, round(sum(value), 6)
@@ -250,6 +266,42 @@ def ev01_event_windows(spark, sf_dir):
         F.lit(1).cast("bigint").alias("n_events"),
         F.col("lag_seconds").alias("sum_value"),
     )
+    # 'asof' — the AS-OF JOIN operator (operators/asof_join.py): each
+    # purchase matched to the single LATEST same-user click at-or-before
+    # it. Deliberate contrast with 'attrib' (the interval join takes ALL
+    # clicks in a window; as-of takes exactly one) and a genuinely
+    # independent oracle — DuckDB runs its NATIVE ASOF LEFT JOIN while
+    # Spark runs the union+window single-shuffle plan. Clicks are
+    # pre-aggregated to one row per (user, ts) (max event_id) because
+    # as-of is ambiguous under right-timestamp ties in both engines.
+    from ..operators.asof_join import asof_join
+
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    asof = asof_join(
+        purch, clicks, on=["user_id"], left_ts="ts", right_ts="ts"
+    ).select(
+        F.lit("asof").alias("kind"),
+        F.col("ts").alias("window_start"),
+        F.col("asof_matched_ts").alias("window_end"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), F.col("purchase_id").cast("string")
+        ).alias("key"),
+        F.lit(1).cast("bigint").alias("n_events"),
+        # NTZ → LTZ cast is deterministic under the pinned-UTC session
+        # (same idiom as attributed_events' lag_seconds)
+        F.round(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("asof_matched_ts").cast("timestamp").cast("double"),
+            6,
+        ).alias("sum_value"),
+    )
     # 'profile' — batch twin of the applyInPandasWithState running
     # profile: the converged per-user (count, sum, first/last ts);
     # test_streaming proves the stream's final emission equals this.
@@ -340,5 +392,6 @@ def ev01_event_windows(spark, sf_dir):
     )
     return (
         tumbling.unionAll(sliding).unionAll(session)
-        .unionAll(attrib).unionAll(profile).unionAll(dedup).unionAll(hllw)
+        .unionAll(attrib).unionAll(asof).unionAll(profile)
+        .unionAll(dedup).unionAll(hllw)
     )
