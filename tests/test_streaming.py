@@ -454,3 +454,89 @@ def test_windowed_hll_linear_counting_accuracy(spark, sf_smoke):
         assert v_empty > 0, k  # smoke windows are sparse by construction
         est = HLLW_M * math.log(HLLW_M / v_empty)
         assert abs(est - exact[k]) <= max(2.0, 0.3 * exact[k]), (k, est, exact[k])
+
+
+def test_stream_asof_matches_batch(spark, sf_smoke, tmp_path):
+    """Streaming as-of join (applyInPandasWithState + EventTimeTimeout)
+    must emit every purchase exactly once with the same match the batch
+    operator computes. The source is split into 3 files by event_id % 3
+    (so pair sides arrive in different micro-batches, in neither ts nor
+    key order) under a watermark wide enough that nothing is late; a
+    far-future sentinel then seals every purchase."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from wfc3_cte_monitor_spark.operators.asof_join import asof_join
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+    from wfc3_cte_monitor_spark.streaming.stateful import stream_asof
+
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .cache()
+    )
+
+    def _pin_mtime(batch_dir, seq: int) -> None:
+        base = _time.time() - 1000.0 + seq * 10.0
+        for root, _dirs, files in _os.walk(batch_dir):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (base, base))
+
+    src = tmp_path / "src"
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(str(src / f"b{i}"))
+        _pin_mtime(str(src / f"b{i}"), i)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # two sentinel batches: the first advances the watermark past every
+    # purchase, the second guarantees a batch runs AFTER that advance so
+    # the event-time timeouts fire even if no no-data batch is scheduled.
+    # Sentinels must be 'click'-typed: Catalyst pushes the operator's
+    # event_type filter BELOW the watermark node, so a filtered-out type
+    # would never reach the watermark tracker.
+    for j, days in enumerate((5000, 5001)):
+        sent = spark.createDataFrame(
+            [(10_000_000 + j, max_ts + dt.timedelta(days=days), -999, "click")],
+            schema=ev.schema,
+        )
+        sent.coalesce(1).write.parquet(str(src / f"s{j}"))
+        _pin_mtime(str(src / f"s{j}"), 3 + j)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "900 days")
+    )
+    q = run_to_memory(stream_asof(stream), "stream_asof_sink", "append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.purchase_id): (r.matched_id, r.lag_seconds)
+            for r in spark.sql("SELECT * FROM stream_asof_sink").collect()
+        }
+    finally:
+        q.stop()
+
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    want = {
+        (r.user_id, r.purchase_id): (
+            r.click_id,
+            None
+            if r.asof_matched_ts is None
+            else round((r.ts - r.asof_matched_ts).total_seconds(), 6),
+        )
+        for r in asof_join(
+            purch, clicks, on=["user_id"], left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -19,6 +19,7 @@ import datetime as dt
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -90,4 +91,130 @@ def running_user_profile(events: DataFrame, idle_timeout_ms: int | None = None) 
             outputMode="update",
             timeoutConf=timeout,
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming AS-OF join (the temporal-join face of operators/asof_join.py).
+#
+# Batch as-of is one union+window pass; under a stream neither side is
+# complete, so the operator becomes stateful: per key, remember enough
+# clicks to answer "latest click at-or-before ts" for any purchase the
+# watermark hasn't sealed yet, and emit each purchase exactly once, when
+# the watermark guarantees no earlier click can still arrive.
+#
+# State is BOUNDED by the watermark lag, not the stream: clicks at or
+# below the watermark can only ever be beaten by a later click for the
+# purchases that remain (all of which sit above the watermark), so they
+# collapse into ONE (ts, id) register; only in-flight rows — clicks and
+# purchases above the watermark — are buffered. Finalization rides
+# EventTimeTimeout: the key times out when the watermark passes its
+# earliest pending purchase, so emission needs no new data for the key
+# (Spark's no-data batches deliver the timeout).
+# ---------------------------------------------------------------------------
+
+ASOF_OUTPUT_SCHEMA = (
+    "user_id bigint, purchase_id bigint, purchase_ts timestamp, "
+    "matched_ts timestamp, matched_id bigint, lag_seconds double"
+)
+ASOF_STATE_SCHEMA = (
+    "last_click_ts bigint, last_click_id bigint, "
+    "click_ts array<bigint>, click_id array<bigint>, "
+    "purch_ts array<bigint>, purch_id array<bigint>"
+)
+
+
+def _asof_update(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        lct, lci, cts, cis, pts, pis = state.get
+        cts, cis, pts, pis = list(cts), list(cis), list(pts), list(pis)
+    else:
+        lct, lci, cts, cis, pts, pis = -1, -1, [], [], [], []
+
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            for ts, kind, eid in zip(pdf["ts"], pdf["kind"], pdf["event_id"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if kind == "click":
+                    cts.append(us)
+                    cis.append(int(eid))
+                else:
+                    pts.append(us)
+                    pis.append(int(eid))
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    # Finalize sealed purchases (ts <= watermark): every click at-or-
+    # before such a purchase has either arrived or is late beyond the
+    # watermark contract. Deterministic under right-ts ties: greater id
+    # wins, matching the batch arm's max(event_id) pre-aggregation.
+    out = []
+    sealed = sorted(
+        (i for i in range(len(pts)) if pts[i] <= wm_us),
+        key=lambda i: (pts[i], pis[i]),
+    )
+    for i in sealed:
+        best_ts, best_id = (lct, lci) if lct >= 0 else (-1, -1)
+        for ct, ci in zip(cts, cis):
+            if ct <= pts[i] and (ct > best_ts or (ct == best_ts and ci > best_id)):
+                best_ts, best_id = ct, ci
+        out.append(
+            {
+                "user_id": user_id,
+                "purchase_id": pis[i],
+                "purchase_ts": pd.Timestamp(pts[i], unit="us"),
+                "matched_ts": pd.Timestamp(best_ts, unit="us") if best_ts >= 0 else pd.NaT,
+                "matched_id": best_id if best_ts >= 0 else None,
+                "lag_seconds": round((pts[i] - best_ts) / 1e6, 6) if best_ts >= 0 else None,
+            }
+        )
+    if sealed:
+        keep = [i for i in range(len(pts)) if pts[i] > wm_us]
+        pts, pis = [pts[i] for i in keep], [pis[i] for i in keep]
+
+    # Collapse clicks at-or-below the watermark into the single register:
+    # the purchases that remain all sit above the watermark, so among
+    # these clicks only the latest can ever win.
+    keep_c, keep_i = [], []
+    for ct, ci in zip(cts, cis):
+        if ct <= wm_us:
+            if ct > lct or (ct == lct and ci > lci):
+                lct, lci = ct, ci
+        else:
+            keep_c.append(ct)
+            keep_i.append(ci)
+    cts, cis = keep_c, keep_i
+
+    state.update((lct, lci, cts, cis, pts, pis))
+    if pts:
+        # fire when the watermark passes the earliest pending purchase
+        # (must be strictly above the current watermark to be accepted)
+        state.setTimeoutTimestamp(max(min(pts) // 1000, state.getCurrentWatermarkMs() + 1))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def stream_asof(events: DataFrame) -> DataFrame:
+    """Streaming as-of join over the events stream: each purchase emitted
+    exactly once — when the watermark seals it — with the latest same-user
+    click at-or-before it, equal to the batch ev01 'asof' arm
+    (tests/test_streaming.py proves it). ``events`` must carry a
+    watermark on ``ts`` (LTZ) wide enough for the source's disorder.
+
+    Watermark-advance gotcha: Catalyst pushes this function's
+    ``event_type`` filter BELOW the upstream watermark node, so only
+    rows that SURVIVE the filter advance the watermark — a stream whose
+    tail is all non-purchase/click traffic stalls sealing until the next
+    click/purchase arrives (an at-scale liveness property, not a
+    correctness one)."""
+    tagged = events.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id", "ts", F.col("event_type").alias("kind"), "event_id"
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
