@@ -1,0 +1,50 @@
+"""connected_components must reach the true fixpoint — in particular on
+chains longer than any fixed round count (the case the old 3-round
+propagation in d02 could not collapse)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wfc3_cte_monitor_spark.operators.connected_components import connected_components
+
+
+def _run(spark, n_vertices, undirected_edges):
+    vertices = spark.createDataFrame([(i,) for i in range(n_vertices)], "doc_id long")
+    if undirected_edges:
+        both = [(a, b) for a, b in undirected_edges] + [(b, a) for a, b in undirected_edges]
+    else:
+        both = []
+    edges = spark.createDataFrame(both or [(None, None)], "src long, dst long")
+    if not both:
+        edges = edges.where(F.col("src").isNotNull())
+    out = connected_components(vertices, edges)
+    return {r["doc_id"]: r["label"] for r in out.collect()}
+
+
+def test_long_chain_collapses(spark):
+    # a 40-vertex path: 0-1-2-...-39. Fixed 3-round HashMin labels vertex
+    # 39 as 36; the converged operator must label everything 0.
+    labels = _run(spark, 40, [(i, i + 1) for i in range(39)])
+    assert set(labels.values()) == {0}
+
+
+def test_disjoint_components_and_singletons(spark):
+    labels = _run(spark, 10, [(1, 2), (2, 3), (5, 6), (8, 9)])
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[5] == labels[6] == 5
+    assert labels[8] == labels[9] == 8
+    for singleton in (0, 4, 7):
+        assert labels[singleton] == singleton
+
+
+def test_no_edges(spark):
+    labels = _run(spark, 5, [])
+    assert labels == {i: i for i in range(5)}
+
+
+def test_star_and_cycle(spark):
+    # star centered high (7 connects 3,4,5,6) plus a 3-cycle 0-1-2-0
+    labels = _run(spark, 8, [(7, 3), (7, 4), (7, 5), (7, 6), (0, 1), (1, 2), (2, 0)])
+    assert labels[3] == labels[4] == labels[5] == labels[6] == labels[7] == 3
+    assert labels[0] == labels[1] == labels[2] == 0

@@ -209,10 +209,12 @@ def d01_dedup_exact(spark, sf_dir):
 # D2 — the COMPOSED near-dup dedup pipeline a production run executes:
 # MinHash/LSH band buckets → candidate pairs via equi-join on the band key
 # (never all-pairs — this is the 100 TB shape) → exact token-set Jaccard
-# >= 0.8 verification on candidates only → cluster assignment by bounded
-# min-label propagation over the verified-pair graph (3 rounds, identical
-# in the oracle, so parity holds independent of convergence).
-N_LABEL_ROUNDS = 3
+# >= 0.8 verification on candidates only → cluster assignment by
+# CONNECTED COMPONENTS TO CONVERGENCE over the verified-pair graph
+# (operators/connected_components.py, HashMin + pointer jumping; the
+# oracle computes the same fixpoint via a recursive reachability CTE, so
+# the gate now checks true components — a duplication CHAIN a–b–c
+# collapses to one cluster even where a,c never met in a band).
 JACCARD_THRESHOLD = 0.8
 
 
@@ -223,7 +225,7 @@ def _d02_sql() -> str:
     sig = minhash_signature_sql("documents", "doc_id", shingles_sql_inline("text", 3))
     bands = lsh_bands_sql(f"({sig})", "doc_id")
     body = f"""
-    WITH bands AS ({bands}),
+    WITH RECURSIVE bands AS ({bands}),
     cands AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
@@ -249,19 +251,14 @@ def _d02_sql() -> str:
         UNION ALL
         SELECT id_b, id_a FROM verified
     ),
-    l0 AS (SELECT doc_id, doc_id AS label FROM documents)
+    reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    cc AS (SELECT id AS doc_id, min(label) AS label FROM reach GROUP BY id)
     """
-    prev = "l0"
-    for i in range(1, N_LABEL_ROUNDS + 1):
-        body += f""",
-    l{i} AS (
-        SELECT l.doc_id, least(l.label, coalesce(min(nl.label), l.label)) AS label
-        FROM {prev} l
-        LEFT JOIN edges e ON e.src = l.doc_id
-        LEFT JOIN {prev} nl ON nl.doc_id = e.dst
-        GROUP BY l.doc_id, l.label
-    )"""
-        prev = f"l{i}"
+    prev = "cc"
     body += f""",
     reps AS (
         SELECT label,
@@ -287,14 +284,16 @@ def _d02_sql() -> str:
 )
 def d02_lsh_dedup_pipeline(spark, sf_dir):
     """End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify →
-    connected-cluster assignment (bounded min-label propagation). Every
-    join is an equi-join on band key or doc_id — no all-pairs stage, so
-    the plan survives a 100 TB corpus (bucket sizes, not corpus size,
-    bound the pair work)."""
+    cluster assignment by CONNECTED COMPONENTS to convergence
+    (operators/connected_components.py). Every join is an equi-join on
+    band key or doc_id — no all-pairs stage, so the plan survives a
+    100 TB corpus (bucket sizes, not corpus size, bound the pair
+    work)."""
     from pyspark.sql import Window
 
     from ..functions.dedup import candidate_pairs, minhash_signature_pairs
     from ..functions.text import exploded_shingles
+    from ..operators.connected_components import connected_components
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = exploded_shingles(docs, "doc_id", "text", 3)
@@ -335,20 +334,7 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     # partitioning and only the (tiny) labels side shuffles per round.
     # Deterministic, so the oracle comparison is unaffected.
     edges = edges.repartition("dst").transform(materialize)
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(N_LABEL_ROUNDS):
-        nbr_min = (
-            edges.join(labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("nl")), "dst")
-            .groupBy("src")
-            .agg(F.min("nl").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
-            )
-        )
+    labels = connected_components(docs.select("doc_id"), edges)
     # REPRESENTATIVE SELECTION — the dedup DECISION a pipeline
     # materializes: keep the richest-vocabulary doc per cluster (distinct
     # token count, already computed in the verify stage's token-set
