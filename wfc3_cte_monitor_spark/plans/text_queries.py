@@ -133,6 +133,14 @@ LANG_PROFILES = {
 #                   n_unique ≡ bit_xor of sampled doc_ids,
 #                   punct_ratio ≡ round(realized rate, 6), fp ≡
 #                   bit_xor of holdout hash keys.
+#   which='cap'   — PER-SOURCE QUOTA (the per-domain cap of CCNet /
+#                   RefinedWeb-style corpus curation): within each
+#                   source, rank docs by vocabulary richness and keep
+#                   the top CAP_N — the anti-domination control that
+#                   stops one crawl domain from swamping the corpus.
+#                   Kept docs only; see the arm code for the column
+#                   mapping (rank, rank key, population, kept count,
+#                   kept fraction, source hash).
 #   which='merge' — BPE-TRAINING MERGE CANDIDATES: the top-MERGE_K most
 #                   frequent ADJACENT (non-empty) token pairs across
 #                   the corpus — the statistic one iteration of
@@ -182,6 +190,7 @@ SCORE_SHIFT = 500      # weights = (b*MULT % MOD) - SHIFT ∈ [-500, 500]
 SAMPLE_MOD = 10        # Bernoulli rate = 1/10 by hash residue
 HOLD_K = 25            # fixed-size per-stratum holdout
 MERGE_K = 10           # BPE merge candidates gated
+CAP_N = 2              # per-source quota ('cap' arm) — binds at every sf
 _PAIR_PACK = 1 << 30   # pair key = (ha % 2^30)·2^30 + hb % 2^30, < 2^60
 
 
@@ -394,6 +403,22 @@ def _t01_sql() -> str:
            round(CAST(a.n_samp AS DOUBLE) / a.n_pop, 6), h.hfp
     FROM sampagg a JOIN holdagg h ON a.lang = h.lang
     UNION ALL
+    SELECT 'cap', doc_id, CAST(rnk AS INT),
+           nu, n_pop, least(n_pop, {CAP_N}), CAST(NULL AS BIGINT),
+           round(CAST(least(n_pop, {CAP_N}) AS DOUBLE) / n_pop, 6),
+           {portable_hash64_sql('source')}
+    FROM (
+        SELECT doc_id, source, nu,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY nu DESC, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY source)::BIGINT AS n_pop
+        FROM (
+            SELECT doc_id, source,
+                   CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS nu
+            FROM documents
+        )
+    ) WHERE rnk <= {CAP_N}
+    UNION ALL
     SELECT 'merge', h, rnk, cnt, ndocs, mx, CAST(NULL AS BIGINT),
            round(CAST(cnt AS DOUBLE) / tot, 6), CAST(NULL AS BIGINT)
     FROM bgtop, bgtot
@@ -438,6 +463,7 @@ def t01_token_stats(spark, sf_dir):
     per_doc = docs.select(
         "doc_id",
         "lang",
+        "source",
         token_count("text").alias("n_tokens"),
         bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
@@ -671,6 +697,38 @@ def t01_token_stats(spark, sf_dir):
         ),
         F.col("hfp").alias("fp"),
     )
+    # 'cap' arm: PER-SOURCE QUOTA — the per-domain cap of the CCNet/
+    # RefinedWeb-style pipelines: rank each source's docs by vocabulary
+    # richness (n_unique desc, doc_id tiebreak — deterministic in both
+    # engines) and keep the top CAP_N. Reads per_doc (no extra corpus
+    # pass); one shuffle on source for the two windows. Column meanings:
+    # chunk_id ≡ rank within source, n_tokens ≡ the doc's distinct-token
+    # count (the rank key), n_bpe_tokens ≡ source population, n_chars ≡
+    # kept count, punct_ratio ≡ kept fraction, fp ≡ hash64(source).
+    wcap = Window.partitionBy("source").orderBy(F.col("n_unique").desc(), "doc_id")
+    cap_arm = (
+        per_doc.select("source", "doc_id", "n_unique")
+        .withColumn("rnk", F.row_number().over(wcap))
+        .withColumn(
+            "n_pop", F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint")
+        )
+        .where(F.col("rnk") <= CAP_N)
+        .select(
+            F.lit("cap").alias("which"),
+            "doc_id",
+            F.col("rnk").cast("int").alias("chunk_id"),
+            F.col("n_unique").alias("n_tokens"),
+            F.col("n_pop").alias("n_bpe_tokens"),
+            F.least(F.col("n_pop"), F.lit(CAP_N).cast("bigint")).alias("n_chars"),
+            F.lit(None).cast("bigint").alias("n_unique"),
+            F.round(
+                F.least(F.col("n_pop"), F.lit(CAP_N).cast("bigint")).cast("double")
+                / F.col("n_pop"),
+                6,
+            ).alias("punct_ratio"),
+            portable_hash64("source").alias("fp"),
+        )
+    )
     # 'merge' arm: BPE-training merge candidates (see the arm comment).
     # Pairs explode row-locally off the bound token column and compress
     # to 60-bit hashes before the ONE count shuffle; Σcounts comes from
@@ -787,7 +845,7 @@ def t01_token_stats(spark, sf_dir):
     return (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
-        .unionAll(merge_arm).unionAll(merge2_arm)
+        .unionAll(cap_arm).unionAll(merge_arm).unionAll(merge2_arm)
     )
 
 
