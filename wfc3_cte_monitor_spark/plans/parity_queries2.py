@@ -951,8 +951,23 @@ def f02_json_extract(spark, sf_dir):
         SELECT o_orderkey, o_totalprice + 3000, 3 FROM orders WHERE o_orderkey % 200 = 0
     )
     UNION ALL
+    SELECT 'diff' AS which, coalesce(v2.k, v1.k) AS k, coalesce(v2.p, v1.p) AS v,
+           CAST(CASE WHEN v1.k IS NULL THEN 2 WHEN v2.k IS NULL THEN 3
+                     WHEN v1.p <> v2.p THEN 1 ELSE 0 END AS INT) AS ver
+    FROM (SELECT o_orderkey AS k, o_totalprice AS p FROM orders) v1
+    FULL OUTER JOIN (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 501 <> 0
+        UNION ALL
+        SELECT -o_orderkey, o_totalprice + 5000 FROM orders WHERE o_orderkey % 250 = 0
+    ) v2 ON v1.k = v2.k
+    WHERE CASE WHEN v1.k IS NULL THEN 2 WHEN v2.k IS NULL THEN 3
+               WHEN v1.p <> v2.p THEN 1 ELSE 0 END <> 0
+    UNION ALL
     """ + ASCII_ARMS_SQL,
-    tags=("S7", "S3", "S4", "S5", "S6", "scd2"),
+    tags=("S7", "S3", "S4", "S5", "S6", "scd2", "diff"),
 )
 def s07_upsert_merge(spark, sf_dir):
     """MERGE-without-Delta (union + row_number latest-wins on the natural
@@ -962,7 +977,15 @@ def s07_upsert_merge(spark, sf_dir):
 
     The 'scd2' arm packs (version, valid_to) into ver = version*100 +
     coalesce(valid_to, 0) so the interval-close logic — the part of SCD2
-    that isn't just an append — is what the value hash gates."""
+    that isn't just an append — is what the value hash gates.
+
+    The 'diff' arm is the SNAPSHOT DIFF between two corpus releases
+    (dataset-versioning: what changed between v1 and v2?): one FULL
+    OUTER JOIN on the natural key — the only place the engine's
+    full-outer path is gated — classifying each key as changed (ver=1,
+    every 100th key's price bumped), added (2, synthetic negative keys),
+    or removed (3, every 501st key dropped); unchanged rows are filtered
+    so the hash pins exactly the disagreement set."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = o.withColumn("version", F.lit(1))
     updates = (
@@ -993,4 +1016,40 @@ def s07_upsert_merge(spark, sf_dir):
         .cast("int")
         .alias("ver"),
     )
-    return merged.unionByName(hist).unionByName(ascii_roundtrip_arms(spark, sf_dir))
+    v1 = o.select(F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1"))
+    v2 = (
+        o.where(F.col("o_orderkey") % 501 != 0)
+        .select(
+            F.col("o_orderkey").alias("k2"),
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 1000
+            ).otherwise(F.col("o_totalprice")).alias("p2"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 250 == 0).select(
+                (-F.col("o_orderkey")).alias("k2"),
+                (F.col("o_totalprice") + 5000).alias("p2"),
+            )
+        )
+    )
+    verdict = (
+        F.when(F.col("k1").isNull(), 2)
+        .when(F.col("k2").isNull(), 3)
+        .when(F.col("p1") != F.col("p2"), 1)
+        .otherwise(0)
+    )
+    diff_arm = (
+        v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+        .select(
+            F.lit("diff").alias("which"),
+            F.coalesce("k2", "k1").cast("bigint").alias("k"),
+            F.coalesce("p2", "p1").cast("double").alias("v"),
+            verdict.cast("int").alias("ver"),
+        )
+        .where(F.col("ver") != 0)
+    )
+    return (
+        merged.unionByName(hist)
+        .unionByName(diff_arm)
+        .unionByName(ascii_roundtrip_arms(spark, sf_dir))
+    )
