@@ -315,3 +315,75 @@ def test_merge_apply_transform_matches_greedy(spark, seq, a, b):
             out.append(seq[i])
             i += 1
     assert list(got) == out, (seq, a, b, list(got), out)
+
+
+@_SETTINGS
+@given(
+    st.lists(  # left: (key, ts-offset-seconds, id)
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 10**6)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right: (key, ts-offset-seconds, id)
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 10**6)),
+        min_size=0, max_size=25,
+    ),
+    st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, direction):
+    """Differential oracle: operators/asof_join vs pandas.merge_asof
+    (by-key, inclusive boundary) on random inputs. Right side deduped to
+    one row per (key, ts) — the operator's documented determinism
+    contract — keeping the max id, matching the gated arm."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from wfc3_cte_monitor_spark.operators.asof_join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        [
+            {"k": k, "ts": t0 + dt.timedelta(seconds=s), "lid": i}
+            for i, (k, s, _x) in enumerate(left_rows)
+        ]
+    )
+    rseen: dict = {}
+    for k, s, rid in right_rows:
+        key = (k, s)
+        rseen[key] = max(rseen.get(key, -1), rid)
+    rpdf = pd.DataFrame(
+        [
+            {"k": k, "ts": t0 + dt.timedelta(seconds=s), "rid": rid}
+            for (k, s), rid in sorted(rseen.items())
+        ],
+        columns=["k", "ts", "rid"],
+    )
+    if rpdf.empty:
+        rpdf = rpdf.astype({"k": "int64", "ts": "datetime64[ns]", "rid": "int64"})
+
+    left = spark.createDataFrame(lpdf[["k", "ts", "lid"]], "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rpdf, "k long, ts timestamp, rid long") if len(rpdf) else (
+        spark.createDataFrame([], "k long, ts timestamp, rid long")
+    )
+
+    got = {
+        r["lid"]: (r["rid"], r["asof_matched_ts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", direction=direction
+        ).collect()
+    }
+
+    want_df = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"]).reset_index(drop=True),
+        rpdf.sort_values("ts").reset_index(drop=True),
+        on="ts", by="k", direction=direction, allow_exact_matches=True,
+    )
+    want = {
+        int(row.lid): (
+            None if pd.isna(row.rid) else int(row.rid),
+        )
+        for row in want_df.itertuples()
+    }
+    assert set(got) == set(want)
+    for lid, (rid, _mts) in got.items():
+        assert (rid,) == want[lid], (lid, rid, want[lid], direction)
