@@ -892,7 +892,17 @@ def o02_percentiles(spark, sf_dir):
 
 
 # F-json — JSON scalar surface (additive; the reference has no JSON, but
-# the events.props column exercises Spark's JSON path expressions).
+# the events.props column exercises Spark's JSON path expressions) + the
+# MALFORMED-INPUT QUARANTINE arm: real pipelines meet broken JSON, and
+# the correct behavior is classify-and-route, not fail-the-job. Every
+# 13th row's props is corrupted deterministically (both engines PREPEND
+# '{' — prepend, not append: Spark's get_json_object tolerates trailing
+# garbage after a complete document while DuckDB's json_valid does not,
+# so only a corruption that breaks the FIRST token classifies
+# identically cross-engine); validity is probed WITHOUT erroring (Spark: get_json_object of
+# the root returns NULL on malformed input; DuckDB: json_valid guards
+# the extraction), bad rows land with NULL payload and a 'q_bad' tag —
+# the quarantine relation a production job writes to a dead-letter sink.
 @register(
     "f02_json_extract",
     oracle="""
@@ -901,16 +911,40 @@ def o02_percentiles(spark, sf_dir):
            event_type,
            CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
     FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id,
+           CASE WHEN json_valid(cp) THEN CAST(cp->>'$.k' AS BIGINT) END,
+           CASE WHEN json_valid(cp) THEN 'q_ok' ELSE 'q_bad' END,
+           CASE WHEN json_valid(cp) THEN CAST(cp->>'$.k' AS BIGINT) % 10 END
+    FROM (
+        SELECT event_id,
+               CASE WHEN event_id % 13 = 0 THEN '{' || props ELSE props END AS cp
+        FROM events WHERE event_type = 'purchase'
+    )
     """,
-    tags=("F-json",),
+    tags=("F-json", "quarantine"),
 )
 def f02_json_extract(spark, sf_dir):
-    """JSON field extraction from the props column (get_json_object)."""
+    """JSON field extraction from the props column (get_json_object) +
+    the malformed-input quarantine arm (see the comment above)."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return ev.select(
+    extract = ev.select(
         "event_id", k.alias("k_value"), "event_type", (k % 10).alias("k_bucket")
     )
+    cp = F.when(
+        F.col("event_id") % 13 == 0, F.concat(F.lit("{"), "props")
+    ).otherwise(F.col("props"))
+    corrupted = ev.select("event_id", cp.alias("cp"))
+    valid = F.get_json_object("cp", "$").isNotNull()
+    kq = F.get_json_object("cp", "$.k").cast("bigint")
+    quarantine = corrupted.select(
+        "event_id",
+        F.when(valid, kq).alias("k_value"),
+        F.when(valid, F.lit("q_ok")).otherwise(F.lit("q_bad")).alias("event_type"),
+        F.when(valid, kq % 10).alias("k_bucket"),
+    )
+    return extract.unionByName(quarantine)
 
 
 # S7 — insert-or-update by natural key (database_update.py:214-255):
