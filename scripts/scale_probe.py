@@ -45,6 +45,7 @@ def build_probe_data() -> None:
     import duckdb
 
     os.makedirs(PROBE_DIR, exist_ok=True)
+    _build_events_probe()
     if all(
         os.path.exists(f"{PROBE_DIR}/{t}.parquet")
         for t in ("orders", "lineitem", "documents", "embeddings")
@@ -80,6 +81,35 @@ def build_probe_data() -> None:
             FROM read_parquet('{SRC}/embeddings.parquet') e,
                  range({REPLICAS}) t(i)
         ) TO '{PROBE_DIR}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+
+
+def _build_events_probe() -> None:
+    """10x events: ids AND user ids offset per replica (key cardinality
+    scales; per-key session/as-of work stays constant), ts shifted one
+    replica-span per copy so the event-time axis extends like the
+    domain's epoch axis. Written separately from the TPC-H tables so
+    older probe dirs upgrade in place."""
+    import duckdb
+
+    # dimension tables ride along unscaled (the growth axis is the fact
+    # tables); symlinked so probe-dir queries that read them resolve
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        dst = f"{PROBE_DIR}/{dim}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{dim}.parquet", dst)
+    if os.path.exists(f"{PROBE_DIR}/events.parquet"):
+        return
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+            SELECT e.* REPLACE (
+                event_id + i * {KEY_OFFSET} AS event_id,
+                user_id + i * {KEY_OFFSET} AS user_id,
+                ts + to_days((i * {DAY_SHIFT})::INT) AS ts)
+            FROM read_parquet('{SRC}/events.parquet') e,
+                 range({REPLICAS}) t(i)
+        ) TO '{PROBE_DIR}/events.parquet' (FORMAT PARQUET)
     """)
 
 
