@@ -411,7 +411,8 @@ def _collect_centroid_matrix(centroids: DataFrame):
 
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
-               emb_col: str = "embedding", corpus: DataFrame | None = None) -> DataFrame:
+               emb_col: str = "embedding", corpus: DataFrame | None = None,
+               with_sim: bool = False) -> DataFrame:
     """Corpus → (vec_id, v, list_id): nearest-centroid assignment in ONE
     Arrow pass — the nlist×dim centroid matrix is closed over the UDF
     (it is broadcast-sized by construction), each batch scores all lists
@@ -419,14 +420,18 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     replaces the earlier nlist-way fan-out + vector-carrying groupBy:
     same result, no shuffle, no 16x row amplification. At scale the
     output is written partitioned/bucketed by list_id so probes read
-    only nprobe lists."""
+    only nprobe lists. ``with_sim`` additionally emits the winning
+    rounded cosine (already computed inside the pass) as ``sim`` —
+    cheaper than re-attaching centroids with a join afterwards."""
     ids, Cn = _collect_centroid_matrix(centroids)
-    return _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col, corpus=corpus)
+    return _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col, corpus=corpus,
+                               with_sim=with_sim)
 
 
 def _assign_with_matrix(embeddings: DataFrame | None, ids, Cn, id_col: str = "vec_id",
                         emb_col: str = "embedding",
-                        corpus: DataFrame | None = None) -> DataFrame:
+                        corpus: DataFrame | None = None,
+                        with_sim: bool = False) -> DataFrame:
     """ivf_assign body against an already-collected centroid matrix, so
     callers that need the matrix for several stages (assignment + probe
     selection) materialize the centroid relation exactly once. A shared
@@ -443,8 +448,25 @@ def _assign_with_matrix(embeddings: DataFrame | None, ids, Cn, id_col: str = "ve
         sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
         return pd.Series(ids[np.argmax(sims, axis=1)]).astype("int32")
 
+    @pandas_udf("struct<list_id:int,sim:double>")
+    def _best_sim(v: pd.Series) -> pd.DataFrame:
+        M = np.stack(v.to_numpy())
+        sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "list_id": pd.Series(ids[best]).astype("int32"),
+            "sim": sims[np.arange(len(best)), best],
+        })
+
     if corpus is None:
         corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
+    if with_sim:
+        return (
+            corpus.select("vec_id", "v")
+            .withColumn("_a", _best_sim(F.col("v")))
+            .select("vec_id", "v", F.col("_a.list_id").alias("list_id"),
+                    F.col("_a.sim").alias("sim"))
+        )
     return corpus.select("vec_id", "v").withColumn("list_id", _best(F.col("v")))
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ..checkpointing import materialize
 from ..functions.similarity import (
+    N_LISTS,
     cosine_pd,
     cosine_sql,
     cosine_topk,
@@ -16,6 +17,7 @@ from ..functions.similarity import (
     int8_quantized_sql,
     ivf_ann,
     ivf_ann_sql,
+    ivf_assign,
     ivf_centroids,
     ivf_refine,
     ivf_semdedup,
@@ -41,6 +43,18 @@ _Q = "vec_id < 10"  # deterministic query set at every scale factor
 #                  lists per query, exact cosine re-rank on candidates
 #                  only. Complements e02's LSH: recall bought with
 #                  probed lists, not tables.
+#   kind='incr'  — INCREMENTAL INDEX MAINTENANCE: the vector-store twin
+#                  of d01's 'incr' and q01's 'incr_maint' — the coarse
+#                  quantizer is trained ONCE on the existing corpus
+#                  (vec_id % 5 != 0 here) and a new delta batch
+#                  (vec_id % 5 == 0) is ASSIGNED against those frozen
+#                  centroids without re-training or touching base
+#                  assignments; work is delta-sized (one Arrow matmul
+#                  pass over the delta + a broadcast-sized centroid
+#                  join). The oracle recomputes the same base-trained
+#                  quantizer and the delta assignment, so incremental ==
+#                  full is value-gated: (query_id, neighbor_id, sim) =
+#                  (delta vec, assigned list, cosine to its centroid).
 #   kind='semdedup' — SemDeDup (Abbas et al. 2023) over the SAME
 #                  Lloyd-refined clusters: within-cluster cosine >= tau
 #                  marks the larger id redundant; rows are
@@ -89,8 +103,29 @@ _SD_TAU = 0.3
         LEFT JOIN ivf i ON i.query_id = b.query_id
                        AND i.neighbor_id = b.neighbor_id
         GROUP BY b.query_id
+    ),
+    incr AS (
+        SELECT vec_id AS query_id, list_id AS neighbor_id, csim AS sim FROM (
+            SELECT e.vec_id, c.list_id,
+                   round({cosine_sql('CAST(e.embedding AS DOUBLE[])', 'c.cv')}, 6) AS csim,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosine_sql('CAST(e.embedding AS DOUBLE[])', 'c.cv')}, 6) DESC,
+                                c.list_id) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 0) e
+            CROSS JOIN (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                       CAST(embedding AS DOUBLE[]) AS cv
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT {N_LISTS})
+            ) c
+        ) WHERE rn = 1
     )
     SELECT * FROM brute
+    UNION ALL
+    SELECT 'incr' AS kind, query_id, CAST(neighbor_id AS BIGINT), sim,
+           CAST(1 AS INT) AS rank
+    FROM incr
     UNION ALL
     SELECT 'ivf' AS kind, query_id, neighbor_id, sim, rank FROM ivf
     UNION ALL
@@ -148,6 +183,20 @@ def e01_cosine_topk(spark, sf_dir):
         "sim",
         F.col("list_id").alias("rank"),
     )
+    # 'incr' — index maintenance: quantizer trained on the base slice
+    # only (frozen — the persisted index artifact), the delta batch
+    # assigned against it in ONE Arrow pass that also emits the winning
+    # rounded cosine (with_sim), so no post-hoc centroid join is needed.
+    base_cents = ivf_centroids(corpus=corpus.where(F.col("vec_id") % 5 != 0))
+    incr = ivf_assign(
+        None, base_cents, corpus=corpus.where(F.col("vec_id") % 5 == 0), with_sim=True
+    ).select(
+        F.lit("incr").alias("kind"),
+        F.col("vec_id").alias("query_id"),
+        F.col("list_id").cast("bigint").alias("neighbor_id"),
+        "sim",
+        F.lit(1).cast("int").alias("rank"),
+    )
     # with the arms materialized, the audit join is over two tiny cached
     # relations
     recall = (
@@ -164,7 +213,7 @@ def e01_cosine_topk(spark, sf_dir):
             F.lit(5).alias("rank"),
         )
     )
-    return brute.unionAll(ivf).unionAll(recall).unionAll(semdedup)
+    return brute.unionAll(ivf).unionAll(recall).unionAll(semdedup).unionAll(incr)
 
 
 # E2 — tagged union of the LSH-bucketed vector workloads:
