@@ -387,3 +387,34 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, direc
     assert set(got) == set(want)
     for lid, (rid, _mts) in got.items():
         assert (rid,) == want[lid], (lid, rid, want[lid], direction)
+
+
+@_SETTINGS
+@given(
+    st.lists(  # (key, version) change events; duplicates dropped below
+        st.tuples(st.integers(0, 5), st.integers(1, 6)),
+        min_size=1, max_size=30,
+    )
+)
+def test_scd2_property(spark, kv):
+    """SCD2 vs a pure-python reference: for each key, versions sorted
+    ascending chain valid_to = next version; exactly the last is
+    current; history is lossless."""
+    from wfc3_cte_monitor_spark.operators.upsert import scd2
+
+    rows = sorted({(k, v) for k, v in kv})
+    df = spark.createDataFrame([(k, v, float(k * 100 + v)) for k, v in rows],
+                               "k int, version int, payload double")
+    got = {
+        (r["k"], r["version"]): (r["valid_to"], r["is_current"])
+        for r in scd2(df, keys=["k"], version_col="version").collect()
+    }
+    assert len(got) == len(rows)
+    by_key: dict = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, versions in by_key.items():
+        versions.sort()
+        for i, v in enumerate(versions):
+            want_to = versions[i + 1] if i + 1 < len(versions) else None
+            assert got[(k, v)] == (want_to, want_to is None), (k, v)
