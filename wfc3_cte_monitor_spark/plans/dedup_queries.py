@@ -579,8 +579,31 @@ _PMAX_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
     SELECT 'dupfrac', doc_id, CAST(n_dup AS BIGINT),
            printf('%.6f', round(CAST(n_dup AS DOUBLE) / n_sh, 6))
     FROM dupfrac
+    UNION ALL
+    SELECT 'fuzzy', id_a, id_b, CAST(dist AS VARCHAR) FROM (
+        WITH fz_corpus AS (
+            SELECT p_partkey AS id, p_name AS name FROM part
+            UNION ALL
+            SELECT p_partkey + (SELECT max(p_partkey) + 1 FROM part),
+                   substr(p_name, 2)
+            FROM part WHERE p_partkey % 20 = 0
+        ),
+        fz_sigs AS (
+            SELECT id, substr(name, 1, i) || substr(name, i + 2) AS sig
+            FROM fz_corpus, UNNEST(range(0, length(name) + 1)) AS u(i)
+        ),
+        fz_cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM fz_sigs a JOIN fz_sigs b ON a.sig = b.sig AND a.id < b.id
+            WHERE b.id >= (SELECT max(p_partkey) + 1 FROM part)
+        )
+        SELECT c.id_a, c.id_b, levenshtein(ca.name, cb.name) AS dist
+        FROM fz_cands c
+        JOIN fz_corpus ca ON ca.id = c.id_a
+        JOIN fz_corpus cb ON cb.id = c.id_b
+    ) WHERE dist <= 1
     """,
-    tags=("dedup", "minhash", "lsh", "simhash", "decontamination", "dupfrac"),
+    tags=("dedup", "minhash", "lsh", "simhash", "decontamination", "dupfrac", "fuzzy"),
 )
 def d03_minhash_lsh(spark, sf_dir):
     """Signature dedup surfaces, one tagged union: MinHash(16) over
@@ -813,10 +836,69 @@ def d03_minhash_lsh(spark, sf_dir):
             ).alias("v"),
         )
     )
+    # 'fuzzy' arm: FUZZY STRING JOIN (entity resolution) — short-string
+    # matching under edit distance via DELETION-NEIGHBORHOOD blocking:
+    # each name emits its single-char-deletion variants plus itself as
+    # signatures (len+1 per row, bounded), any pair within edit
+    # distance 1 shares a signature by construction (substitution:
+    # both-delete-position-i; indel: the shorter string IS one of the
+    # longer's deletions), candidates come from the signature equi-join
+    # and exact levenshtein <= 1 verifies. Planted ground truth: every
+    # 20th part name re-enters with its first character dropped at
+    # id + (max(p_partkey)+1) — both engines construct it identically —
+    # and candidates are restricted to pairs TOUCHING a plant (the
+    # detection task; unrestricted, the corpus's heavily-repeated names
+    # would emit ~42k exact-duplicate pairs, which is d01's job). Same bucketed shape as every other dedup path:
+    # the quadratic work is confined to signature groups.
+    part_nm = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    foff = int(part_nm.agg(F.max("p_partkey")).collect()[0][0]) + 1
+    fz_corpus = (
+        part_nm.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+        .unionByName(
+            part_nm.where(F.col("p_partkey") % 20 == 0).select(
+                (F.col("p_partkey") + F.lit(foff)).alias("id"),
+                F.expr("substring(p_name, 2)").alias("name"),
+            )
+        )
+        .transform(materialize)  # feeds the signature explode AND both verify sides
+    )
+    fz_sigs = fz_corpus.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(name)),"
+                " i -> concat(substring(name, 1, i), substring(name, i + 2)))"
+            )
+        ).alias("sig"),
+    ).transform(materialize)
+    fz_cands = (
+        fz_sigs.select(F.col("id").alias("id_a"), "sig")
+        .join(fz_sigs.select(F.col("id").alias("id_b"), "sig"), "sig")
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") >= F.lit(foff)))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fuzzy_arm = (
+        fz_cands.join(
+            fz_corpus.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a"
+        )
+        .join(
+            fz_corpus.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b"
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 1)
+        .select(
+            F.lit("fuzzy").alias("which"),
+            F.col("id_a").cast("bigint").alias("k1"),
+            F.col("id_b").cast("bigint").alias("k2"),
+            F.col("dist").cast("string").alias("v"),
+        )
+    )
     return (
         band_arm.unionByName(simdup_arm)
         .unionByName(plant_arm).unionByName(ngram_arm)
         .unionByName(contam_arm).unionByName(dupfrac_arm)
+        .unionByName(fuzzy_arm)
     )
 
 
