@@ -403,6 +403,37 @@ def _t01_sql() -> str:
            round(CAST(a.n_samp AS DOUBLE) / a.n_pop, 6), h.hfp
     FROM sampagg a JOIN holdagg h ON a.lang = h.lang
     UNION ALL
+    SELECT 'funnel', CAST(stage AS BIGINT), CAST(-1 AS INT),
+           n_in, n_out, n_in - n_out, sx,
+           round(CAST(n_out AS DOUBLE) / n_in, 6), CAST(NULL AS BIGINT)
+    FROM (
+        WITH fflags AS (
+            SELECT doc_id,
+                   (nt >= 20) AS c1,
+                   (nt >= 20 AND nu >= 15) AS c2,
+                   (nt >= 20 AND nu >= 15 AND nt <= 90) AS c3
+            FROM (
+                SELECT doc_id, {token_count_sql('text')} AS nt,
+                       CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS nu
+                FROM documents
+            )
+        )
+        SELECT 1 AS stage, count(*)::BIGINT AS n_in,
+               sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS n_out,
+               bit_xor(CASE WHEN c1 THEN doc_id END) AS sx
+        FROM fflags
+        UNION ALL
+        SELECT 2, sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN c2 THEN 1 ELSE 0 END)::BIGINT,
+               bit_xor(CASE WHEN c2 THEN doc_id END)
+        FROM fflags
+        UNION ALL
+        SELECT 3, sum(CASE WHEN c2 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN c3 THEN 1 ELSE 0 END)::BIGINT,
+               bit_xor(CASE WHEN c3 THEN doc_id END)
+        FROM fflags
+    )
+    UNION ALL
     SELECT 'cap', doc_id, CAST(rnk AS INT),
            nu, n_pop, least(n_pop, {CAP_N}), CAST(NULL AS BIGINT),
            round(CAST(least(n_pop, {CAP_N}) AS DOUBLE) / n_pop, 6),
@@ -697,6 +728,55 @@ def t01_token_stats(spark, sf_dir):
         ),
         F.col("hfp").alias("fp"),
     )
+    # 'funnel' arm: FILTER-CASCADE SURVIVAL REPORT — the bookkeeping
+    # every corpus-curation pipeline publishes: three cumulative filter
+    # stages (length floor → vocabulary floor → length ceiling, all
+    # integer thresholds so no fp boundary can flip membership) with
+    # per-stage (n_in, n_out, dropped, survivor-set xor, survival rate).
+    # The survivor XOR gates the exact surviving SET, not just counts —
+    # a filter that swaps two docs with equal tallies still fails.
+    # Reads per_doc; one tiny aggregate, three projected rows. Column
+    # mapping: doc_id ≡ stage, n_tokens ≡ n_in, n_bpe_tokens ≡ n_out,
+    # n_chars ≡ dropped, n_unique ≡ xor of survivors, punct_ratio ≡
+    # round(survival, 6).
+    fflags = per_doc.select(
+        "doc_id",
+        (F.col("n_tokens") >= 20).alias("c1"),
+        ((F.col("n_tokens") >= 20) & (F.col("n_unique") >= 15)).alias("c2"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_unique") >= 15)
+            & (F.col("n_tokens") <= 90)
+        ).alias("c3"),
+    )
+    fagg = fflags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("c1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("c2"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("c3"), 1).otherwise(0)).cast("bigint").alias("n3"),
+        F.expr("bit_xor(CASE WHEN c1 THEN doc_id END)").alias("x1"),
+        F.expr("bit_xor(CASE WHEN c2 THEN doc_id END)").alias("x2"),
+        F.expr("bit_xor(CASE WHEN c3 THEN doc_id END)").alias("x3"),
+    ).transform(materialize)  # 1 row; three projections below read it
+
+    def _funnel_row(stage, n_in, n_out, sx):
+        return fagg.select(
+            F.lit("funnel").alias("which"),
+            F.lit(stage).cast("bigint").alias("doc_id"),
+            F.lit(-1).cast("int").alias("chunk_id"),
+            F.col(n_in).alias("n_tokens"),
+            F.col(n_out).alias("n_bpe_tokens"),
+            (F.col(n_in) - F.col(n_out)).alias("n_chars"),
+            F.col(sx).alias("n_unique"),
+            F.round(F.col(n_out).cast("double") / F.col(n_in), 6).alias("punct_ratio"),
+            F.lit(None).cast("bigint").alias("fp"),
+        )
+
+    funnel_arm = (
+        _funnel_row(1, "n0", "n1", "x1")
+        .unionAll(_funnel_row(2, "n1", "n2", "x2"))
+        .unionAll(_funnel_row(3, "n2", "n3", "x3"))
+    )
     # 'cap' arm: PER-SOURCE QUOTA — the per-domain cap of the CCNet/
     # RefinedWeb-style pipelines: rank each source's docs by vocabulary
     # richness (n_unique desc, doc_id tiebreak — deterministic in both
@@ -845,7 +925,8 @@ def t01_token_stats(spark, sf_dir):
     return (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
-        .unionAll(cap_arm).unionAll(merge_arm).unionAll(merge2_arm)
+        .unionAll(funnel_arm).unionAll(cap_arm)
+        .unionAll(merge_arm).unionAll(merge2_arm)
     )
 
 
