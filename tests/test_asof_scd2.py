@@ -140,3 +140,28 @@ def test_asof_single_exchange_plan(spark):
     assert "CartesianProduct" not in plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_asof_null_right_ts_dropped(spark):
+    """A NULL-timestamp right row can never satisfy any as-of inequality
+    (DuckDB ASOF agrees); it must be dropped, not smuggled into a
+    NULL-matched_ts row that looks unmatched but carries payload."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p1")], "uid int, ts timestamp, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 7, 1.5), (1, _ts("2024-01-01T09:00:00"), 8, 2.0)],
+        "uid int, ts timestamp, cid int, score double",
+    )
+    for direction in ("backward", "forward"):
+        rows = asof_join(
+            left, right, on=["uid"], left_ts="ts", right_ts="ts", direction=direction
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        if direction == "backward":
+            assert r["cid"] == 8 and r["asof_matched_ts"] is not None
+        else:
+            assert r["cid"] is None and r["asof_matched_ts"] is None
+            # NULL-ts payload must not leak into the "unmatched" row
+            assert r["score"] is None

@@ -540,3 +540,60 @@ def test_stream_asof_matches_batch(spark, sf_smoke, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_stream_asof_pre_epoch_click(spark, tmp_path):
+    """Pre-1970 event times and Structured Streaming watermarks don't
+    mix: Spark clamps the watermark at epoch 0 and drops stateful-op
+    input rows below it, so a negative-ts click never reaches the
+    operator AT ALL (verified: the identical scenario shifted to
+    1970-01-02 matches). This test pins that documented engine
+    constraint — the purchase emits unmatched — so a behavior change in
+    either Spark or the operator surfaces. The operator's own register
+    uses a -2^62 sentinel rather than -1 regardless, so IF a negative
+    ts ever reaches state (e.g. an engine change), it is not silently
+    swallowed by the sentinel comparison."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from wfc3_cte_monitor_spark.streaming.stateful import stream_asof
+
+    t0 = dt.datetime(1969, 12, 31, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = tmp_path / "src"
+
+    def _pin(batch_dir, seq):
+        base = _time.time() - 1000.0 + seq * 10.0
+        for root, _d, files in _os.walk(batch_dir):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (base, base))
+
+    batches = [
+        [(1, t0, 7, "click")],                                   # pre-epoch click
+        [(2, t0 + dt.timedelta(days=400), 7, "purchase")],
+        [(3, t0 + dt.timedelta(days=1200), -9, "click")],        # seal
+        [(4, t0 + dt.timedelta(days=1201), -9, "click")],        # flush
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+        _pin(str(src / f"b{i}"), i)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "1 day")
+    )
+    q = run_to_memory(stream_asof(stream), "stream_asof_preepoch", "append")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.purchase_id: r.matched_id
+            for r in spark.sql("SELECT * FROM stream_asof_preepoch").collect()
+        }
+    finally:
+        q.stop()
+    # the pre-epoch click is dropped by the ENGINE's late-data filter
+    # (watermark clamped at epoch 0), so the purchase seals unmatched
+    assert got == {2: None}, got

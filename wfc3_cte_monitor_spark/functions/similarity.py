@@ -410,7 +410,7 @@ def _collect_centroid_matrix(centroids: DataFrame):
     return ids, C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+def ivf_assign(embeddings: DataFrame | None, centroids: DataFrame, id_col: str = "vec_id",
                emb_col: str = "embedding", corpus: DataFrame | None = None,
                with_sim: bool = False) -> DataFrame:
     """Corpus → (vec_id, v, list_id): nearest-centroid assignment in ONE
@@ -422,7 +422,9 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_i
     output is written partitioned/bucketed by list_id so probes read
     only nprobe lists. ``with_sim`` additionally emits the winning
     rounded cosine (already computed inside the pass) as ``sim`` —
-    cheaper than re-attaching centroids with a join afterwards."""
+    cheaper than re-attaching centroids with a join afterwards.
+    ``embeddings`` may be None ONLY when ``corpus`` (a
+    :func:`decoded_corpus` relation) is supplied."""
     ids, Cn = _collect_centroid_matrix(centroids)
     return _assign_with_matrix(embeddings, ids, Cn, id_col, emb_col, corpus=corpus,
                                with_sim=with_sim)
@@ -439,34 +441,42 @@ def _assign_with_matrix(embeddings: DataFrame | None, ids, Cn, id_col: str = "ve
     decoded blocks instead of re-scanning parquet."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("int")
-    def _best(v: pd.Series) -> pd.Series:
-        M = np.stack(v.to_numpy())
-        # round to 6 BEFORE ranking (module floating policy, same half-up
-        # rule as the oracle); rows are ordered by list_id, so argmax's
-        # first-max rule reproduces the (sim desc, list_id asc) tiebreak
-        sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
-        return pd.Series(ids[np.argmax(sims, axis=1)]).astype("int32")
-
-    @pandas_udf("struct<list_id:int,sim:double>")
-    def _best_sim(v: pd.Series) -> pd.DataFrame:
+    def _score(v: pd.Series):
+        """ONE scoring body for both UDF shapes — the rounding policy
+        and tiebreak must never fork between the with_sim and plain
+        paths (the e01 'incr' oracle depends on them being identical).
+        Round to 6 BEFORE ranking (module floating policy, same
+        half-away rule as the oracle); rows are ordered by list_id, so
+        argmax's first-max rule reproduces the (sim desc, list_id asc)
+        tiebreak."""
         M = np.stack(v.to_numpy())
         sims = _round6_half_away((M @ Cn.T) / np.linalg.norm(M, axis=1, keepdims=True))
-        best = np.argmax(sims, axis=1)
-        return pd.DataFrame({
-            "list_id": pd.Series(ids[best]).astype("int32"),
-            "sim": sims[np.arange(len(best)), best],
-        })
+        return np.argmax(sims, axis=1), sims
 
     if corpus is None:
         corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
+
     if with_sim:
+        @pandas_udf("struct<list_id:int,sim:double>")
+        def _best_sim(v: pd.Series) -> pd.DataFrame:
+            best, sims = _score(v)
+            return pd.DataFrame({
+                "list_id": pd.Series(ids[best]).astype("int32"),
+                "sim": sims[np.arange(len(best)), best],
+            })
+
         return (
             corpus.select("vec_id", "v")
             .withColumn("_a", _best_sim(F.col("v")))
             .select("vec_id", "v", F.col("_a.list_id").alias("list_id"),
                     F.col("_a.sim").alias("sim"))
         )
+
+    @pandas_udf("int")
+    def _best(v: pd.Series) -> pd.Series:
+        best, _sims = _score(v)
+        return pd.Series(ids[best]).astype("int32")
+
     return corpus.select("vec_id", "v").withColumn("list_id", _best(F.col("v")))
 
 

@@ -59,14 +59,19 @@ def asof_join(
     to ``left_ts - right_ts``) NULLs out matches farther than the bound,
     mirroring pandas ``merge_asof``.
 
-    Determinism: ``right`` must be unique per (key, right_ts) with
-    non-NULL timestamps — ties among right rows at one timestamp make
-    every as-of definition ambiguous (DuckDB included); pre-aggregate to
-    one row per (key, ts) first. Left duplicates are fine.
+    Determinism: ``right`` must be unique per (key, right_ts) — ties
+    among right rows at one timestamp make every as-of definition
+    ambiguous (DuckDB included); pre-aggregate to one row per (key, ts)
+    first. Left duplicates are fine. NULL right timestamps are dropped
+    here (enforced, not just documented): no as-of inequality can ever
+    hold for them — DuckDB's ASOF agrees — and left in, the backward
+    sort (NULLs first) would smuggle their payload into a
+    NULL-``asof_matched_ts`` row that looks unmatched but carries data.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
+    right = right.where(F.col(right_ts).isNotNull())
     r_types = dict(right.dtypes)
     payload = [c for c in right.columns if c not in on and c != right_ts]
     overlap = (set(payload) | {"asof_matched_ts"}) & set(left.columns)

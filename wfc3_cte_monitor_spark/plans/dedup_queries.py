@@ -156,10 +156,18 @@ def d01_dedup_exact(spark, sf_dir):
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
+    # ONE materialized fingerprint relation feeds all four consumers —
+    # the exact-arm window, the incr store/delta groupBys and the incr
+    # probe join — otherwise the tokenize+sort+join fingerprint pass
+    # (this query's dominant compute) is embedded once per subtree
+    # (same diamond hygiene as d02's bands/toks and t01's per_doc).
     fp = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    fps = docs.select(
+        "doc_id", fp.alias("fp"), (F.col("doc_id") % 5 == 0).alias("is_delta")
+    ).transform(materialize)
     w = Window.partitionBy("fp")
     exact_arm = (
-        docs.select("doc_id", fp.alias("fp"))
+        fps.select("doc_id", "fp")
         .withColumn("k1", F.min("doc_id").over(w))
         .withColumn("k2", F.count(F.lit(1)).over(w).cast("bigint"))
         .select(
@@ -180,8 +188,8 @@ def d01_dedup_exact(spark, sf_dir):
     # 'incr' — the store build scans only the base partition (in
     # production it is a persisted table, amortized across batches); the
     # delta path is two fingerprint-keyed groupBys and two equi-joins on
-    # fp, all delta-sized except the one store probe.
-    fps = docs.select("doc_id", fp.alias("fp"), (F.col("doc_id") % 5 == 0).alias("is_delta"))
+    # fp, all delta-sized except the one store probe. Reads the shared
+    # materialized fps relation above.
     store = (
         fps.where(~F.col("is_delta"))
         .groupBy("fp")

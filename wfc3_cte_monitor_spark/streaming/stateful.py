@@ -124,13 +124,20 @@ ASOF_STATE_SCHEMA = (
 )
 
 
+# "no sealed click yet" sentinel for the register: far below any real
+# epoch-microsecond value (|real ts| ~ 1e15), INCLUDING pre-1970
+# negative timestamps — a -1 sentinel would swallow any click before
+# 1970 since every such ts compares below it.
+_NO_TS = -(1 << 62)
+
+
 def _asof_update(key, pdf_iter, state: GroupState):
     (user_id,) = key
     if state.exists:
         lct, lci, cts, cis, pts, pis = state.get
         cts, cis, pts, pis = list(cts), list(cis), list(pts), list(pis)
     else:
-        lct, lci, cts, cis, pts, pis = -1, -1, [], [], [], []
+        lct, lci, cts, cis, pts, pis = _NO_TS, -1, [], [], [], []
 
     if not state.hasTimedOut:
         for pdf in pdf_iter:
@@ -155,18 +162,19 @@ def _asof_update(key, pdf_iter, state: GroupState):
         key=lambda i: (pts[i], pis[i]),
     )
     for i in sealed:
-        best_ts, best_id = (lct, lci) if lct >= 0 else (-1, -1)
+        best_ts, best_id = lct, lci
         for ct, ci in zip(cts, cis):
             if ct <= pts[i] and (ct > best_ts or (ct == best_ts and ci > best_id)):
                 best_ts, best_id = ct, ci
+        hit = best_ts > _NO_TS
         out.append(
             {
                 "user_id": user_id,
                 "purchase_id": pis[i],
                 "purchase_ts": pd.Timestamp(pts[i], unit="us"),
-                "matched_ts": pd.Timestamp(best_ts, unit="us") if best_ts >= 0 else pd.NaT,
-                "matched_id": best_id if best_ts >= 0 else None,
-                "lag_seconds": round((pts[i] - best_ts) / 1e6, 6) if best_ts >= 0 else None,
+                "matched_ts": pd.Timestamp(best_ts, unit="us") if hit else pd.NaT,
+                "matched_id": best_id if hit else None,
+                "lag_seconds": round((pts[i] - best_ts) / 1e6, 6) if hit else None,
             }
         )
     if sealed:
@@ -201,6 +209,12 @@ def stream_asof(events: DataFrame) -> DataFrame:
     click at-or-before it, equal to the batch ev01 'asof' arm
     (tests/test_streaming.py proves it). ``events`` must carry a
     watermark on ``ts`` (LTZ) wide enough for the source's disorder.
+
+    Epoch floor: Spark clamps the watermark at epoch 0 and drops
+    stateful-operator input rows below the watermark, so PRE-1970 event
+    times never reach this operator (pinned in
+    tests/test_streaming.py::test_stream_asof_pre_epoch_click); the
+    batch operator has no such floor.
 
     Watermark-advance gotcha: Catalyst pushes this function's
     ``event_type`` filter BELOW the upstream watermark node, so only
