@@ -33,6 +33,7 @@ QUERIES = [
     "cs03_cte_vs_time",
     "cs04_cte_vs_logflux",
     "cs05_results_wide",
+    "d01_dedup_exact",  # exact/spans/incr — the fp-store path's 10x shape
     "d02_lsh_dedup_pipeline",
     "d03_minhash_lsh",
     "e01_cosine_topk",
@@ -40,6 +41,7 @@ QUERIES = [
     "t01_token_stats",
     "t02_text_profile",
     "d05_minhash_accuracy",  # sketch suite: corpus-pass scaling of HLL/CMS/Bloom
+    "ev01_event_windows",  # windows + interval join + as-of at 10x events
 ]
 
 PASSES = 2  # best-of-2 per (query, sf): one repeat absorbs most bursts

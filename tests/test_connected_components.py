@@ -48,3 +48,35 @@ def test_star_and_cycle(spark):
     labels = _run(spark, 8, [(7, 3), (7, 4), (7, 5), (7, 6), (0, 1), (1, 2), (2, 0)])
     assert labels[3] == labels[4] == labels[5] == labels[6] == labels[7] == 3
     assert labels[0] == labels[1] == labels[2] == 0
+
+
+def test_random_graphs_match_union_find(spark):
+    """Deterministic pseudo-random graphs vs a pure-python union-find
+    reference — the operator must produce the component MINIMUM for
+    every vertex on shapes (chains, cliques, stars, crosses) that no
+    hand-built case enumerates."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        n = rng.randrange(12, 40)
+        m = rng.randrange(0, n * 2)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(n)}
+
+        got = _run(spark, n, edges)
+        assert got == want, (trial, n, edges)
