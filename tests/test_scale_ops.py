@@ -183,3 +183,102 @@ def test_pairs_broadcastable_modes_and_size_parse(spark):
     finally:
         spark.conf.set("spark.wfc3.pipeline.pairBroadcast", prev)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_smoke, tmp_path):
+    """At 100 TB stream state the default (HDFS-backed, fully in-memory)
+    state store OOMs; RocksDB is the production provider. The newest
+    custom-state operator (stream_asof) must produce identical output
+    under both providers — state (de)serialization through RocksDB is
+    where a schema/encoding bug would surface."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from wfc3_cte_monitor_spark.streaming.events import run_to_memory
+    from wfc3_cte_monitor_spark.streaming.stateful import stream_asof
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = tmp_path / "src"
+    batches = [
+        [(1, t0 - dt.timedelta(hours=1), 1, "click"),
+         (2, t0, 1, "purchase"),
+         (5, t0, 2, "purchase")],
+        [(3, t0 + dt.timedelta(days=400), -9, "click")],
+        [(4, t0 + dt.timedelta(days=401), -9, "click")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+        base = _time.time() - 1000.0 + i * 10.0
+        for root, _d, files in _os.walk(str(src / f"b{i}")):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (base, base))
+
+    def run(provider: str | None, name: str):
+        conf = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(conf, None)
+        if provider:
+            spark.conf.set(conf, provider)
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+                .withWatermark("ts", "1 day")
+            )
+            q = run_to_memory(stream_asof(stream), name, "append")
+            try:
+                q.processAllAvailable()
+                return {
+                    (r.user_id, r.purchase_id): (r.matched_id, r.lag_seconds)
+                    for r in spark.sql(f"SELECT * FROM {name}").collect()
+                }
+            finally:
+                q.stop()
+        finally:
+            if provider:
+                if old:
+                    spark.conf.set(conf, old)
+                else:
+                    spark.conf.unset(conf)
+
+    default = run(None, "asof_default_store")
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "asof_rocksdb_store",
+    )
+    assert rocks == default
+    assert rocks[(1, 2)] == (1, 3600.0)
+    assert rocks[(2, 5)] == (None, None)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
+    """Runtime (Bloom) filtering — the mechanism that prunes the
+    fact-side scan of a selective dim join before the shuffle at 100 TB.
+    Local thresholds are far above the gate tables, so lower them and
+    pin that the optimizer actually injects bloom_filter_might_contain
+    on the fact side of a shuffled join with a selective build side."""
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffled join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_smoke, "lineitem")
+        o = load_table(spark, sf_smoke, "orders").where(F.col("o_totalprice") > 200000)
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "o_totalprice")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
