@@ -36,6 +36,10 @@ from .registry import register
 #                     window_end carry (purchase_ts, matched_click_ts),
 #                     key is user:purchase, sum_value the as-of lag in
 #                     seconds (NULL when no prior click exists).
+#   kind='resample' — time-series REGULARIZATION: per-user 6 h grid,
+#                     forward-filled via the same as-of operator (grid ←
+#                     events backward); n_events flags filled vs empty
+#                     grid points, sum_value the carried value.
 #   kind='profile'  — batch twin of the CUSTOM-STATE streaming operator
 #                     (streaming/stateful.running_user_profile,
 #                     applyInPandasWithState): the converged per-user
@@ -118,6 +122,24 @@ from .registry import register
     ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
                     FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    SELECT 'resample', g.gts, c.ts, CAST(g.user_id AS VARCHAR),
+           CAST(CASE WHEN c.ts IS NULL THEN 0 ELSE 1 END AS BIGINT),
+           round(c.v, 6)
+    FROM (
+        SELECT user_id,
+               TIMESTAMP '1970-01-01 00:00:00' + (s * INTERVAL 1 SECOND) AS gts
+        FROM (
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) AS s0,
+                   CAST(floor(epoch(max(ts)) / 21600) * 21600 AS BIGINT) AS s1
+            FROM events WHERE user_id < 5 GROUP BY user_id
+        ), UNNEST(generate_series(s0, s1, 21600)) AS t(s)
+    ) g
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, (max(struct_pack(eid := event_id, v := value))).v AS v
+        FROM events WHERE user_id < 5 GROUP BY user_id, ts
+    ) c ON g.user_id = c.user_id AND g.gts >= c.ts
     UNION ALL
     SELECT 'profile', min(ts), max(ts), CAST(user_id AS VARCHAR),
            count(*)::BIGINT, round(sum(value), 6)
@@ -302,6 +324,41 @@ def ev01_event_windows(spark, sf_dir):
             6,
         ).alias("sum_value"),
     )
+    # 'resample' — TIME-SERIES REGULARIZATION (gap-fill to a regular
+    # grid with forward-fill): per user a 6-hour grid spanning their
+    # activity, each grid point carrying the LAST observed value
+    # at-or-before it — built by REUSING the as-of operator (grid ←
+    # events, backward). The grid is generated distributed (per-user
+    # sequence + explode, no driver loop); values at duplicate (user,
+    # ts) collapse via the deterministic lexicographic max(struct)
+    # argmax. window_start/window_end = (grid point, source event ts),
+    # n_events = 1 if the point is filled else 0, sum_value the filled
+    # value. At 100 TB the grid relation is (users × span/step) rows of
+    # two longs and rides the same single key shuffle as any as-of.
+    u5 = ev.where(F.col("user_id") < 5)
+    bounds = u5.groupBy("user_id").agg(
+        (F.floor(F.min("ts").cast("timestamp").cast("double") / 21600) * 21600)
+        .cast("bigint").alias("s0"),
+        (F.floor(F.max("ts").cast("timestamp").cast("double") / 21600) * 21600)
+        .cast("bigint").alias("s1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(s0, s1, 21600)")).alias("gsec")
+    ).select(
+        "user_id", F.timestamp_seconds("gsec").cast("timestamp_ntz").alias("gts")
+    )
+    vals = u5.groupBy("user_id", "ts").agg(
+        F.max(F.struct(F.col("event_id").alias("eid"), F.col("value").alias("v")))["v"].alias("v")
+    )
+    resample = asof_join(grid, vals, on=["user_id"], left_ts="gts", right_ts="ts").select(
+        F.lit("resample").alias("kind"),
+        F.col("gts").alias("window_start"),
+        F.col("asof_matched_ts").alias("window_end"),
+        F.col("user_id").cast("string").alias("key"),
+        F.when(F.col("asof_matched_ts").isNull(), 0).otherwise(1)
+        .cast("bigint").alias("n_events"),
+        F.round("v", 6).alias("sum_value"),
+    )
     # 'profile' — batch twin of the applyInPandasWithState running
     # profile: the converged per-user (count, sum, first/last ts);
     # test_streaming proves the stream's final emission equals this.
@@ -392,6 +449,6 @@ def ev01_event_windows(spark, sf_dir):
     )
     return (
         tumbling.unionAll(sliding).unionAll(session)
-        .unionAll(attrib).unionAll(asof).unionAll(profile)
-        .unionAll(dedup).unionAll(hllw)
+        .unionAll(attrib).unionAll(asof).unionAll(resample)
+        .unionAll(profile).unionAll(dedup).unionAll(hllw)
     )
