@@ -418,3 +418,46 @@ def test_scd2_property(spark, kv):
         for i, v in enumerate(versions):
             want_to = versions[i + 1] if i + 1 < len(versions) else None
             assert got[(k, v)] == (want_to, want_to is None), (k, v)
+
+
+def _del_sigs(s: str) -> set:
+    """Pure-python mirror of functions/dedup.deletion_signatures."""
+    return {s[:i] + s[i + 1:] for i in range(len(s))} | {s}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@_SETTINGS
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=7), min_size=2, max_size=12))
+def test_deletion_signature_pigeonhole(spark, words):
+    """The blocking COMPLETENESS claim behind d03's fuzzy arm, fuzzed:
+    every pair within Levenshtein distance 1 must share a deletion
+    signature (pure-python invariant), and the Spark fuzzy_candidates
+    pipeline must surface every such pair as a candidate."""
+    from wfc3_cte_monitor_spark.functions.dedup import fuzzy_candidates
+
+    words = sorted(set(words))
+    want = {
+        (i, j)
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if _lev(words[i], words[j]) <= 1
+    }
+    # invariant, checked directly: distance <= 1 => signature sets meet
+    for i, j in want:
+        assert _del_sigs(words[i]) & _del_sigs(words[j]), (words[i], words[j])
+
+    named = spark.createDataFrame(list(enumerate(words)), "id long, name string")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_candidates(named, "id", "name").collect()
+    }
+    assert want <= cands  # blocking may over-generate, never under

@@ -229,3 +229,46 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum("span_len").cast("bigint").alias("covered"),
     )
+
+
+def deletion_signatures(name: Column | str) -> Column:
+    """All single-character-deletion variants of a string PLUS the string
+    itself — the deletion-neighborhood blocking key set for fuzzy joins
+    under edit distance 1 (d03 'fuzzy' arm; FastSS-style spell-check
+    indexing). Pigeonhole guarantee (tested by
+    tests/test_properties.py::test_deletion_signature_pigeonhole): two
+    strings within Levenshtein distance 1 share at least one signature —
+    substitution at position i ⇒ both-delete-i collide; insert/delete ⇒
+    the shorter string equals one of the longer one's deletions and is
+    its own signature. len+1 signatures per row, so the index is
+    linear-size and candidates come from a signature equi-join, never
+    all-pairs."""
+    c = F.col(name) if isinstance(name, str) else name
+    return F.transform(
+        F.sequence(F.lit(0), F.length(c)),
+        lambda i: F.concat(c.substr(F.lit(1), i), c.substr(i + 2, F.length(c))),
+    )
+
+
+def fuzzy_candidates(named: DataFrame, id_col: str, name_col: str,
+                     pair_filter: Column | None = None) -> DataFrame:
+    """(id, name) → distinct candidate pairs (id_a < id_b) whose names are
+    POSSIBLY within edit distance 1 (deletion-signature collision);
+    verify with ``F.levenshtein(...) <= 1`` on the pair join-back. The
+    signature explode is row-local; the only shuffle is the signature
+    equi-join. ``pair_filter`` (on id_a/id_b) is applied INSIDE the join,
+    before the pair dedup, so a restriction (e.g. pairs touching a
+    planted id) prunes the quadratic-in-block work, not just the
+    output."""
+    sigs = named.select(
+        F.col(id_col).alias("_fz_id"),
+        F.explode(deletion_signatures(name_col)).alias("_fz_sig"),
+    )
+    pairs = (
+        sigs.select(F.col("_fz_id").alias("id_a"), "_fz_sig")
+        .join(sigs.select(F.col("_fz_id").alias("id_b"), "_fz_sig"), "_fz_sig")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
+    return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])

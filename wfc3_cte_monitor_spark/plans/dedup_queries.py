@@ -870,21 +870,10 @@ def d03_minhash_lsh(spark, sf_dir):
         )
         .transform(materialize)  # feeds the signature explode AND both verify sides
     )
-    fz_sigs = fz_corpus.select(
-        "id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(name)),"
-                " i -> concat(substring(name, 1, i), substring(name, i + 2)))"
-            )
-        ).alias("sig"),
-    ).transform(materialize)
-    fz_cands = (
-        fz_sigs.select(F.col("id").alias("id_a"), "sig")
-        .join(fz_sigs.select(F.col("id").alias("id_b"), "sig"), "sig")
-        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") >= F.lit(foff)))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    from ..functions.dedup import fuzzy_candidates
+
+    fz_cands = fuzzy_candidates(
+        fz_corpus, "id", "name", pair_filter=F.col("id_b") >= F.lit(foff)
     )
     fuzzy_arm = (
         fz_cands.join(
