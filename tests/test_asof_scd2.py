@@ -165,3 +165,38 @@ def test_asof_null_right_ts_dropped(spark):
             assert r["cid"] is None and r["asof_matched_ts"] is None
             # NULL-ts payload must not leak into the "unmatched" row
             assert r["score"] is None
+
+
+def test_asof_nearest(spark):
+    left, right = _frames(spark)
+    out = {
+        r["pid"]: r
+        for r in asof_join(
+            left, right, on=["uid"], left_ts="ts", right_ts="ts", direction="nearest"
+        ).collect()
+    }
+    assert out["p1"]["cid"] == 8    # 09:30 (30 min back) vs nothing forward
+    assert out["p2"]["cid"] == 7    # exact hit, gap 0 both ways -> backward
+    assert out["p3"]["cid"] == 7    # 09:00 forward (60 min) vs nothing back
+    assert out["p4"]["cid"] is None
+
+    # still ONE exchange: both direction fills share the key shuffle
+    plan = (
+        asof_join(left, right, on=["uid"], left_ts="ts", right_ts="ts",
+                  direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_nearest_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r["pid"]: r["cid"]
+        for r in asof_join(
+            left, right, on=["uid"], left_ts="ts", right_ts="ts",
+            direction="nearest", tolerance=F.expr("INTERVAL 45 MINUTES"),
+        ).collect()
+    }
+    assert out["p1"] == 8      # 30 min gap within tolerance
+    assert out["p3"] is None   # 60 min forward gap beyond tolerance

@@ -461,3 +461,53 @@ def test_deletion_signature_pigeonhole(spark, words):
         for r in fuzzy_candidates(named, "id", "name").collect()
     }
     assert want <= cands  # blocking may over-generate, never under
+
+
+@_SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 10**6)),
+             min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 10**6)),
+             min_size=0, max_size=20),
+)
+def test_asof_nearest_matches_reference(spark, left_rows, right_rows):
+    """direction='nearest' vs a pure-python reference implementing the
+    documented rule: smaller absolute gap wins, ties to backward."""
+    import datetime as dt
+
+    from wfc3_cte_monitor_spark.operators.asof_join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rseen: dict = {}
+    for k, s, rid in right_rows:
+        rseen[(k, s)] = max(rseen.get((k, s), -1), rid)
+
+    def ref(k, s):
+        back = [(ts, rid) for (rk, ts), rid in rseen.items() if rk == k and ts <= s]
+        fwd = [(ts, rid) for (rk, ts), rid in rseen.items() if rk == k and ts >= s]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is None:
+            return f[1] if f else None
+        if f is None:
+            return b[1]
+        return f[1] if (f[0] - s) < (s - b[0]) else b[1]
+
+    left = spark.createDataFrame(
+        [(i, k, t0 + dt.timedelta(seconds=s)) for i, (k, s, _x) in enumerate(left_rows)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), rid) for (k, s), rid in sorted(rseen.items())]
+        or [(None, None, None)],
+        "k long, ts timestamp, rid long",
+    ).where(F.col("k").isNotNull())
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", direction="nearest"
+        ).collect()
+    }
+    want = {i: ref(k, s) for i, (k, s, _x) in enumerate(left_rows)}
+    assert got == want

@@ -51,7 +51,9 @@ def asof_join(
 ) -> DataFrame:
     """For each ``left`` row, attach the single nearest ``right`` row per
     ``on`` key: latest ``right_ts`` <= ``left_ts`` (``backward``,
-    inclusive) or earliest ``right_ts`` >= ``left_ts`` (``forward``).
+    inclusive), earliest ``right_ts`` >= ``left_ts`` (``forward``), or
+    whichever of the two is closer (``nearest``, ties to backward —
+    still ONE shuffle: both fills share the key exchange).
 
     Unmatched left rows keep NULL right columns (left-outer semantics,
     matching DuckDB ``ASOF LEFT JOIN``). The matched right timestamp is
@@ -68,8 +70,10 @@ def asof_join(
     sort (NULLs first) would smuggle their payload into a
     NULL-``asof_matched_ts`` row that looks unmatched but carries data.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     right = right.where(F.col(right_ts).isNotNull())
     r_types = dict(right.dtypes)
@@ -106,22 +110,46 @@ def asof_join(
     # Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1)
     # in both directions, so the boundary is inclusive — ts == left_ts
     # matches, like DuckDB's >= / <= ASOF inequality.
-    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn(_M, F.last(_M, ignorenulls=True).over(w))
+    def _fill(asc: bool) -> Column:
+        order = F.col(_TS).asc() if asc else F.col(_TS).desc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(_M, ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both fills ride the SAME key exchange (two sorts, one shuffle);
+        # per row the smaller absolute gap wins, ties to backward
+        # (pandas merge_asof ties are version-dependent; callers needing
+        # the other tie rule pick a direction explicitly)
+        filled = unioned.withColumn("_mb", _fill(True)).withColumn("_mf", _fill(False))
+        gap_b = F.col(_TS) - F.col("_mb")["ts"]
+        gap_f = F.col("_mf")["ts"] - F.col(_TS)
+        pick = (
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(gap_f < gap_b, F.col("_mf"))
+            .otherwise(F.col("_mb"))
+        )
+        filled = filled.withColumn(_M, pick).drop("_mb", "_mf")
+    else:
+        filled = unioned.withColumn(_M, _fill(direction == "backward"))
 
     out = filled.where(F.col(_SIDE) == 1)
     match = F.col(_M)
     if tolerance is not None:
-        gap = (
-            F.col(_TS) - match["ts"]
-            if direction == "backward"
-            else match["ts"] - F.col(_TS)
-        )
+        if direction == "nearest":
+            gap = F.greatest(
+                F.col(_TS) - match["ts"], match["ts"] - F.col(_TS)
+            )  # |gap| for either side
+        else:
+            gap = (
+                F.col(_TS) - match["ts"]
+                if direction == "backward"
+                else match["ts"] - F.col(_TS)
+            )
         match = F.when(match.isNotNull() & (gap <= tolerance), F.col(_M))
     return out.select(
         *on,
