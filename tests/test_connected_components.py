@@ -80,3 +80,51 @@ def test_random_graphs_match_union_find(spark):
 
         got = _run(spark, n, edges)
         assert got == want, (trial, n, edges)
+
+
+def test_incremental_components_equals_full(spark):
+    """Incremental maintenance == full recompute, fuzzed over random
+    base/delta edge splits INCLUDING delta-only vertices and
+    cross-component merge cascades (a delta edge chain merging three
+    existing components through a new vertex)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wfc3_cte_monitor_spark.operators.connected_components import (
+        incremental_components,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n_base = rng.randrange(8, 20)
+        n_new = rng.randrange(1, 5)
+        n = n_base + n_new
+        base_edges = [
+            (rng.randrange(n_base), rng.randrange(n_base))
+            for _ in range(rng.randrange(0, n_base))
+        ]
+        base_edges = [(a, b) for a, b in base_edges if a != b]
+        # delta edges may touch new vertices and bridge old components
+        delta_edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(1, n))
+        ]
+        delta_edges = [(a, b) for a, b in delta_edges if a != b]
+
+        full = _run(spark, n, base_edges + delta_edges)
+
+        store = _run(spark, n_base, base_edges)  # persisted labeling
+        labels = spark.createDataFrame(
+            [(v, l) for v, l in store.items()]
+            + [(v, v) for v in range(n_base, n)],  # new vertices self-labeled
+            "doc_id long, label long",
+        )
+        both = [(a, b) for a, b in delta_edges] + [(b, a) for a, b in delta_edges]
+        ne = spark.createDataFrame(both or [(None, None)], "src long, dst long")
+        if not both:
+            ne = ne.where(F.col("src").isNotNull())
+        got = {
+            r["doc_id"]: r["label"]
+            for r in incremental_components(labels, ne).collect()
+        }
+        assert got == full, (trial, base_edges, delta_edges)

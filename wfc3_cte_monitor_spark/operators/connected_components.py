@@ -91,3 +91,57 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds "
         "(component deeper than 2^max_iter — almost certainly a bug)"
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Maintain a connected-components labeling under NEW edges without
+    re-running CC on the corpus — the graph-state member of the repo's
+    incremental family (Results/trend stores, the d01 fingerprint store,
+    the e01 frozen quantizer).
+
+    ``labels`` is the persisted store ((id, label) with label = the
+    component MIN — exactly :func:`connected_components` output; a delta
+    batch's NEW vertices enter as self-labeled rows first).
+    ``new_edges`` is the bidirectional delta edge list over ids.
+
+    Key identity: because every stored label IS its component's minimum
+    vertex id, merging components is CC over the CONTRACTED graph —
+    vertices = the labels of touched components, edges = the new edges
+    mapped through the store. That graph is DELTA-sized (touched
+    components × new edges), so the maintenance cost is independent of
+    corpus size: two store lookups (equi-joins on id), a tiny CC, and
+    one label-remap join. Correctness: the merged component's new label
+    = min over the merged old labels = the global component min, the
+    same fixpoint a full recompute reaches (tested against one in
+    tests/test_connected_components.py).
+    """
+    lmap = labels.select(F.col(id_col).alias("_v"), F.col("label").alias("_l"))
+    contracted = (
+        new_edges.join(lmap.withColumnRenamed("_v", "src").withColumnRenamed("_l", "lsrc"), "src")
+        .join(lmap.withColumnRenamed("_v", "dst").withColumnRenamed("_l", "ldst"), "dst")
+        .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    touched = (
+        contracted.select(F.col("src").alias(id_col))
+        .union(contracted.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
+    # contracted is bidirectional iff new_edges was (the join preserves
+    # both directions); connected_components requires it, same contract
+    merged = connected_components(touched, contracted, id_col=id_col, max_iter=max_iter)
+    remap = merged.select(
+        F.col(id_col).alias("_old_label"), F.col("label").alias("_new_label")
+    )
+    return labels.join(
+        remap, labels["label"] == remap["_old_label"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("_new_label", "label").alias("label"),
+    )

@@ -744,35 +744,51 @@ def n02_model_eval(spark, sf_dir):
     )
 
 
-# A14 — rollup aggregation (free-from-Spark surface noted in SURVEY §2.4:
-# the reference has no grouping sets; Catalyst provides them).
+# A14 — grouping-sets aggregation (free-from-Spark surface noted in
+# SURVEY §2.4: the reference has no grouping sets; Catalyst provides
+# them). Both shapes in one tagged union: ROLLUP (the hierarchy) and
+# CUBE (all subset combinations — adds the (ALL, status) slices rollup
+# lacks).
 @register(
     "a14_rollup",
     oracle=f"""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+    SELECT 'rollup' AS gset,
+           coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            {dsum_sql('l_quantity')} AS sum_qty,
            count(*)::BIGINT AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube',
+           coalesce(l_returnflag, 'ALL'),
+           coalesce(l_linestatus, 'ALL'),
+           {dsum_sql('l_quantity')},
+           count(*)::BIGINT
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    tags=("A14", "rollup"),
+    tags=("A14", "rollup", "cube"),
 )
 def a14_rollup(spark, sf_dir):
-    """Hierarchical totals via rollup (flag → flag+status → grand total)."""
+    """Hierarchical totals via rollup (flag → flag+status → grand total)
+    plus the full cube (every grouping-set combination)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
+
+    def _agg(grouped, gset):
+        return grouped.agg(
             dsum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        )
-        .select(
+        ).select(
+            F.lit(gset).alias("gset"),
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "sum_qty",
             "n_rows",
         )
+
+    return _agg(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionAll(
+        _agg(li.cube("l_returnflag", "l_linestatus"), "cube")
     )
 
 
