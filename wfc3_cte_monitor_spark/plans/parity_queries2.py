@@ -855,14 +855,31 @@ _QSK_S = 1 << QSK_LOG2S
                         THEN bin END) AS b90
         FROM cum GROUP BY event_type
     )
+    , dec AS (
+        SELECT event_type,
+               sum(CASE WHEN nt = 1 THEN 1 ELSE 0 END)::BIGINT AS d1_n,
+               sum(CASE WHEN nt = 10 THEN 1 ELSE 0 END)::BIGINT AS d10_n,
+               round(max(CASE WHEN nt = 1 THEN value END), 6) AS d1_max,
+               round(min(CASE WHEN nt = 10 THEN value END), 6) AS d10_min
+        FROM (
+            SELECT event_type, value,
+                   ntile(10) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS nt
+            FROM events
+        ) GROUP BY event_type
+    )
     SELECT e.event_type,
            round(quantile_cont(e.value, 0.5), 6) AS p50,
            round(quantile_cont(e.value, 0.9), 6) AS p90,
            round(min(e.value), 6) AS v_min,
            round(max(e.value), 6) AS v_max,
            round((min(sk.b50) + 0.5) / {_QSK_S}, 6) AS sk_p50,
-           round((min(sk.b90) + 0.5) / {_QSK_S}, 6) AS sk_p90
-    FROM events e JOIN sk ON sk.event_type = e.event_type
+           round((min(sk.b90) + 0.5) / {_QSK_S}, 6) AS sk_p90,
+           min(d.d1_n) AS d1_n, min(d.d10_n) AS d10_n,
+           min(d.d1_max) AS d1_max, min(d.d10_min) AS d10_min
+    FROM events e
+    JOIN sk ON sk.event_type = e.event_type
+    JOIN dec d ON d.event_type = e.event_type
     GROUP BY e.event_type
     """,
     tags=("O2", "percentile", "sketch"),
@@ -900,10 +917,31 @@ def o02_percentiles(spark, sf_dir):
         F.round(F.min("value"), 6).alias("v_min"),
         F.round(F.max("value"), 6).alias("v_max"),
     )
-    return base.join(F.broadcast(sk), "event_type").select(
-        "event_type", "p50", "p90", "v_min", "v_max",
-        F.round((F.col("b50") + 0.5) / _QSK_S, 6).alias("sk_p50"),
-        F.round((F.col("b90") + 0.5) / _QSK_S, 6).alias("sk_p90"),
+    # decile (ntile) discretization — the rank-based bucketing an ML
+    # featurizer applies; both engines implement the SQL-standard ntile
+    # (first n mod k buckets one larger) and the ORDER BY carries a
+    # total tiebreak so bucket membership is deterministic. Gated via
+    # the edge-bucket counts and the d1/d10 boundary values.
+    wnt = Window.partitionBy("event_type").orderBy("value", "event_id")
+    dec = (
+        ev.select("event_type", "value", F.ntile(10).over(wnt).alias("nt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("nt") == 1, 1).otherwise(0)).cast("bigint").alias("d1_n"),
+            F.sum(F.when(F.col("nt") == 10, 1).otherwise(0)).cast("bigint").alias("d10_n"),
+            F.round(F.max(F.when(F.col("nt") == 1, F.col("value"))), 6).alias("d1_max"),
+            F.round(F.min(F.when(F.col("nt") == 10, F.col("value"))), 6).alias("d10_min"),
+        )
+    )
+    return (
+        base.join(F.broadcast(sk), "event_type")
+        .join(F.broadcast(dec), "event_type")
+        .select(
+            "event_type", "p50", "p90", "v_min", "v_max",
+            F.round((F.col("b50") + 0.5) / _QSK_S, 6).alias("sk_p50"),
+            F.round((F.col("b90") + 0.5) / _QSK_S, 6).alias("sk_p90"),
+            "d1_n", "d10_n", "d1_max", "d10_min",
+        )
     )
 
 
