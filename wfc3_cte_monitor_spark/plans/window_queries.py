@@ -12,6 +12,7 @@ must not depend on the harness's session timezone).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash64, portable_hash64_sql
@@ -40,6 +41,10 @@ from .registry import register
 #                     forward-filled via the same as-of operator (grid ←
 #                     events backward); n_events flags filled vs empty
 #                     grid points, sum_value the carried value.
+#   kind='funnel3'  — ORDERED-SEQUENCE FUNNEL (view → click → purchase
+#                     per user) via stacked running windows on ONE
+#                     shuffle; n_events = stage reached, sum_value the
+#                     completion lag.
 #   kind='profile'  — batch twin of the CUSTOM-STATE streaming operator
 #                     (streaming/stateful.running_user_profile,
 #                     applyInPandasWithState): the converged per-user
@@ -140,6 +145,33 @@ from .registry import register
         SELECT user_id, ts, (max(struct_pack(eid := event_id, v := value))).v AS v
         FROM events WHERE user_id < 5 GROUP BY user_id, ts
     ) c ON g.user_id = c.user_id AND g.gts >= c.ts
+    UNION ALL
+    SELECT 'funnel3', s1, s3, CAST(user_id AS VARCHAR),
+           CAST(1 + CAST(s2 IS NOT NULL AS INT) + CAST(s3 IS NOT NULL AS INT) AS BIGINT),
+           round(epoch(s3) - epoch(s1), 6)
+    FROM (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS s1,
+               min(cok) AS s2,
+               min(CASE WHEN event_type = 'purchase' AND rc IS NOT NULL THEN ts END) AS s3
+        FROM (
+            SELECT *, min(cok) OVER w2 AS rc
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN event_type = 'click' AND rv IS NOT NULL THEN ts END AS cok
+                FROM (
+                    SELECT user_id, ts, event_id, event_type,
+                           min(CASE WHEN event_type = 'view' THEN ts END) OVER w1 AS rv
+                    FROM events
+                    WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                )
+            )
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        GROUP BY user_id
+    ) WHERE s1 IS NOT NULL
     UNION ALL
     SELECT 'profile', min(ts), max(ts), CAST(user_id AS VARCHAR),
            count(*)::BIGINT, round(sum(value), 6)
@@ -359,6 +391,61 @@ def ev01_event_windows(spark, sf_dir):
         .cast("bigint").alias("n_events"),
         F.round("v", 6).alias("sum_value"),
     )
+    # 'funnel3' — ORDERED-SEQUENCE FUNNEL (MATCH_RECOGNIZE-lite): per
+    # user, the earliest view → click-after-view → purchase-after-that
+    # chain, detected with STACKED RUNNING WINDOWS over one (user)
+    # partition — each stage's running min feeds the next stage's
+    # eligibility, so arbitrary-length ordered patterns cost one shuffle
+    # + one sort (consecutive Window nodes share the exchange AND the
+    # sort), never a per-stage self-join. n_events = stage reached
+    # (1-3), window_start/window_end = (first view, completing
+    # purchase), sum_value = completion lag seconds (NULL if the funnel
+    # never completes). Ties resolved by the total (ts, event_id) order,
+    # identical in both engines.
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f3 = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "rv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wrun)
+    )
+    f3 = f3.withColumn(
+        "cok",
+        F.when(
+            (F.col("event_type") == "click") & F.col("rv").isNotNull(), F.col("ts")
+        ),
+    ).withColumn("rc", F.min("cok").over(wrun))
+    f3agg = (
+        f3.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("s1"),
+            F.min("cok").alias("s2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & F.col("rc").isNotNull(),
+                    F.col("ts"),
+                )
+            ).alias("s3"),
+        )
+        .where(F.col("s1").isNotNull())
+    )
+    funnel3 = f3agg.select(
+        F.lit("funnel3").alias("kind"),
+        F.col("s1").alias("window_start"),
+        F.col("s3").alias("window_end"),
+        F.col("user_id").cast("string").alias("key"),
+        (
+            F.lit(1)
+            + F.col("s2").isNotNull().cast("int")
+            + F.col("s3").isNotNull().cast("int")
+        ).cast("bigint").alias("n_events"),
+        F.round(
+            F.col("s3").cast("timestamp").cast("double")
+            - F.col("s1").cast("timestamp").cast("double"),
+            6,
+        ).alias("sum_value"),
+    )
     # 'profile' — batch twin of the applyInPandasWithState running
     # profile: the converged per-user (count, sum, first/last ts);
     # test_streaming proves the stream's final emission equals this.
@@ -450,5 +537,5 @@ def ev01_event_windows(spark, sf_dir):
     return (
         tumbling.unionAll(sliding).unionAll(session)
         .unionAll(attrib).unionAll(asof).unionAll(resample)
-        .unionAll(profile).unionAll(dedup).unionAll(hllw)
+        .unionAll(funnel3).unionAll(profile).unionAll(dedup).unionAll(hllw)
     )
