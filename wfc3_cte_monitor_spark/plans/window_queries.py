@@ -45,6 +45,9 @@ from .registry import register
 #                     per user) via stacked running windows on ONE
 #                     shuffle; n_events = stage reached, sum_value the
 #                     completion lag.
+#   kind='cohort'   — COHORT RETENTION triangle: per (first-seen week,
+#                     activity week) the distinct active users and the
+#                     retention rate vs cohort size; key = week offset.
 #   kind='profile'  — batch twin of the CUSTOM-STATE streaming operator
 #                     (streaming/stateful.running_user_profile,
 #                     applyInPandasWithState): the converged per-user
@@ -172,6 +175,34 @@ from .registry import register
         )
         GROUP BY user_id
     ) WHERE s1 IS NOT NULL
+    UNION ALL
+    SELECT 'cohort',
+           TIMESTAMP '1970-01-01 00:00:00' + (cw * 604800) * INTERVAL 1 SECOND,
+           TIMESTAMP '1970-01-01 00:00:00' + (aw * 604800) * INTERVAL 1 SECOND,
+           CAST(aw - cw AS VARCHAR),
+           n_active,
+           round(CAST(n_active AS DOUBLE) / cohort_size, 6)
+    FROM (
+        SELECT f.cw, a.aw,
+               count(DISTINCT a.user_id)::BIGINT AS n_active,
+               min(cs.n)::BIGINT AS cohort_size
+        FROM (
+            SELECT user_id, CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cw
+            FROM events GROUP BY user_id
+        ) f
+        JOIN (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 604800) AS BIGINT) AS aw
+            FROM events
+        ) a ON a.user_id = f.user_id
+        JOIN (
+            SELECT cw, count(*)::BIGINT AS n FROM (
+                SELECT user_id, CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cw
+                FROM events GROUP BY user_id
+            ) GROUP BY cw
+        ) cs ON cs.cw = f.cw
+        GROUP BY f.cw, a.aw
+    )
     UNION ALL
     SELECT 'profile', min(ts), max(ts), CAST(user_id AS VARCHAR),
            count(*)::BIGINT, round(sum(value), 6)
@@ -446,6 +477,41 @@ def ev01_event_windows(spark, sf_dir):
             6,
         ).alias("sum_value"),
     )
+    # 'cohort' — COHORT RETENTION: users grouped by first-seen week
+    # (epoch-aligned 604800 s floor, identical arithmetic both engines),
+    # per (cohort week, activity week) the distinct active users and the
+    # retention rate against the cohort's size — the classic retention
+    # triangle. Two user-keyed aggregations + one tiny cohort-size join;
+    # at 100 TB the matrix is (weeks²) rows regardless of corpus size.
+    # Column mapping: window_start/window_end = (cohort week, activity
+    # week), key = week offset, n_events = distinct active users,
+    # sum_value = round(retention rate, 6).
+    firstw = ev.groupBy("user_id").agg(
+        F.floor(F.min("ts").cast("timestamp").cast("double") / 604800)
+        .cast("bigint").alias("cw")
+    )
+    activew = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 604800)
+        .cast("bigint").alias("aw"),
+    ).distinct()
+    csize = firstw.groupBy("cw").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cohort = (
+        firstw.join(activew, "user_id")
+        .groupBy("cw", "aw")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+        .join(F.broadcast(csize), "cw")
+        .select(
+            F.lit("cohort").alias("kind"),
+            F.timestamp_seconds(F.col("cw") * 604800)
+            .cast("timestamp_ntz").alias("window_start"),
+            F.timestamp_seconds(F.col("aw") * 604800)
+            .cast("timestamp_ntz").alias("window_end"),
+            (F.col("aw") - F.col("cw")).cast("string").alias("key"),
+            F.col("n_active").alias("n_events"),
+            F.round(F.col("n_active").cast("double") / F.col("n"), 6).alias("sum_value"),
+        )
+    )
     # 'profile' — batch twin of the applyInPandasWithState running
     # profile: the converged per-user (count, sum, first/last ts);
     # test_streaming proves the stream's final emission equals this.
@@ -537,5 +603,6 @@ def ev01_event_windows(spark, sf_dir):
     return (
         tumbling.unionAll(sliding).unionAll(session)
         .unionAll(attrib).unionAll(asof).unionAll(resample)
-        .unionAll(funnel3).unionAll(profile).unionAll(dedup).unionAll(hllw)
+        .unionAll(funnel3).unionAll(cohort).unionAll(profile)
+        .unionAll(dedup).unionAll(hllw)
     )
