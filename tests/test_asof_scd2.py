@@ -167,6 +167,61 @@ def test_asof_null_right_ts_dropped(spark):
             assert r["score"] is None
 
 
+def test_asof_null_left_ts_unmatched_all_directions(spark):
+    """A NULL *left* timestamp satisfies no as-of inequality either —
+    DuckDB ASOF leaves the row unmatched. Without an explicit guard the
+    forward/nearest desc NULLS-LAST sort would hand it the earliest
+    right payload."""
+    left = spark.createDataFrame(
+        [(1, None, "pnull"), (1, _ts("2024-01-01T10:00:00"), "p1")],
+        "uid int, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 7, 1.5)],
+        "uid int, ts timestamp, cid int, score double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        out = {
+            r["pid"]: r
+            for r in asof_join(
+                left, right, on=["uid"], left_ts="ts", right_ts="ts",
+                direction=direction,
+            ).collect()
+        }
+        assert len(out) == 2  # the NULL-ts left row survives (left-outer)
+        r = out["pnull"]
+        assert r["cid"] is None and r["score"] is None
+        assert r["asof_matched_ts"] is None, direction
+
+
+def test_asof_working_name_collision_raises(spark):
+    left, right = _frames(spark)
+    for bad in ("_asof_ts", "_asof_side", "_asof_match"):
+        try:
+            asof_join(
+                left.withColumn(bad, F.lit(1)), right,
+                on=["uid"], left_ts="ts", right_ts="ts",
+            )
+        except ValueError as e:
+            assert "working names" in str(e)
+        else:
+            raise AssertionError(f"expected ValueError for left column {bad}")
+    # _mb/_mf only clash under direction='nearest'
+    asof_join(
+        left, right.withColumn("_mb", F.lit(1)).drop("_mb"),
+        on=["uid"], left_ts="ts", right_ts="ts",
+    )  # sanity: clean frames still fine
+    try:
+        asof_join(
+            left, right.withColumn("_mf", F.lit(1)),
+            on=["uid"], left_ts="ts", right_ts="ts", direction="nearest",
+        )
+    except ValueError as e:
+        assert "_mf" in str(e)
+    else:
+        raise AssertionError("expected ValueError for right column _mf")
+
+
 def test_asof_nearest(spark):
     left, right = _frames(spark)
     out = {

@@ -128,3 +128,22 @@ def test_incremental_components_equals_full(spark):
             for r in incremental_components(labels, ne).collect()
         }
         assert got == full, (trial, base_edges, delta_edges)
+
+
+def test_incremental_components_orphan_endpoint_raises(spark):
+    """The self-label caller contract is ENFORCED: a delta edge whose
+    endpoint has no store row raises instead of silently dropping the
+    edge (which would yield a wrong labeling)."""
+    from wfc3_cte_monitor_spark.operators.connected_components import (
+        incremental_components,
+    )
+
+    labels = spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, label long")
+    # vertex 99 never self-labeled
+    ne = spark.createDataFrame([(1, 99), (99, 1)], "src long, dst long")
+    try:
+        incremental_components(labels, ne)
+    except ValueError as e:
+        assert "99" in str(e) and "self-label" in str(e)
+    else:
+        raise AssertionError("expected ValueError for orphan endpoint")

@@ -69,6 +69,8 @@ def asof_join(
     hold for them — DuckDB's ASOF agrees — and left in, the backward
     sort (NULLs first) would smuggle their payload into a
     NULL-``asof_matched_ts`` row that looks unmatched but carries data.
+    NULL *left* timestamps come back unmatched (NULL right columns) in
+    every direction, for the same reason.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -81,6 +83,12 @@ def asof_join(
     overlap = (set(payload) | {"asof_matched_ts"}) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    internal = {_TS, _SIDE, _M} | ({"_mb", "_mf"} if direction == "nearest" else set())
+    taken = internal & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"input columns collide with asof_join working names: {sorted(taken)}"
+        )
 
     match_schema = "struct<" + ",".join(
         [f"ts:{r_types[right_ts]}"] + [f"{c}:{r_types[c]}" for c in payload]
@@ -151,6 +159,12 @@ def asof_join(
                 else match["ts"] - F.col(_TS)
             )
         match = F.when(match.isNotNull() & (gap <= tolerance), F.col(_M))
+    # A NULL left timestamp satisfies no as-of inequality in ANY direction
+    # (DuckDB ASOF leaves such rows unmatched). backward's asc NULLS-FIRST
+    # sort already yields NULL, but forward/nearest sort desc NULLS-LAST,
+    # where the running fill would hand the row the earliest right payload
+    # — guard explicitly so all three directions agree.
+    match = F.when(F.col(_TS).isNotNull(), match)
     return out.select(
         *on,
         F.col(_TS).alias(left_ts),

@@ -106,7 +106,8 @@ def incremental_components(
 
     ``labels`` is the persisted store ((id, label) with label = the
     component MIN — exactly :func:`connected_components` output; a delta
-    batch's NEW vertices enter as self-labeled rows first).
+    batch's NEW vertices enter as self-labeled rows first — enforced:
+    an edge endpoint with no store row raises).
     ``new_edges`` is the bidirectional delta edge list over ids.
 
     Key identity: because every stored label IS its component's minimum
@@ -121,6 +122,24 @@ def incremental_components(
     tests/test_connected_components.py).
     """
     lmap = labels.select(F.col(id_col).alias("_v"), F.col("label").alias("_l"))
+    # Enforce (not just document) the self-label contract: an edge
+    # endpoint absent from the store would be silently dropped by the
+    # inner joins below, yielding a wrong labeling. One delta-sized
+    # anti-join existence probe turns that into an error.
+    orphans = [
+        r["_v"]
+        for r in new_edges.select(F.col("src").alias("_v"))
+        .union(new_edges.select(F.col("dst").alias("_v")))
+        .distinct()
+        .join(lmap.select("_v"), "_v", "left_anti")
+        .limit(5)
+        .collect()
+    ]
+    if orphans:
+        raise ValueError(
+            "new_edges endpoints missing from the label store (self-label "
+            f"new vertices before applying their edges): e.g. {orphans}"
+        )
     contracted = (
         new_edges.join(lmap.withColumnRenamed("_v", "src").withColumnRenamed("_l", "lsrc"), "src")
         .join(lmap.withColumnRenamed("_v", "dst").withColumnRenamed("_l", "ldst"), "dst")
