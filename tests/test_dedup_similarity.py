@@ -260,8 +260,13 @@ def test_d02_representative_selection(spark, sf_smoke):
     ).collect()
     nu = {r.doc_id: r.nu for r in docs}
 
-    rows = d02_lsh_dedup_pipeline(spark, sf_smoke).collect()
+    all_rows = d02_lsh_dedup_pipeline(spark, sf_smoke).collect()
+    rows = [r for r in all_rows if r.which == "full"]
     assert len(rows) == len(nu)
+    # the incr_cc arm's maintained store must carry the same labeling
+    full_labels = {r.doc_id: r.cluster_id for r in rows}
+    incr_labels = {r.doc_id: r.cluster_id for r in all_rows if r.which == "incr_cc"}
+    assert incr_labels == full_labels
     clusters = defaultdict(list)
     for r in rows:
         clusters[r.cluster_id].append(r)

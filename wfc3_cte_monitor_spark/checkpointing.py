@@ -42,7 +42,7 @@ def reliable_enabled(spark) -> bool:
     return spark.conf.get(RELIABLE_CONF, "false").lower() == "true"
 
 
-def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+def materialize(df: DataFrame, eager: bool = False, force: bool = False) -> DataFrame:
     """Truncate lineage at ``df``: ``localCheckpoint`` by default,
     reliable ``checkpoint`` when ``spark.wfc3.checkpoint.reliable=true``.
 
@@ -50,9 +50,22 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     path until first use (the measured winner on the timed queries —
     domain_queries._materialize_fi's A/B); ``eager=True`` is for
     read-then-overwrite hygiene (streaming stores) where the blocking
-    barrier is the point."""
+    barrier is the point.
+
+    ``force=True`` truncates even in introspection mode: ITERATIVE
+    operators that execute convergence probes while the plan is being
+    CONSTRUCTED (connected_components' per-round Σlabel collect) must
+    keep per-round truncation or round k's probe re-executes rounds
+    1..k-1's untruncated lineage — the plan doubles per pointer-jumping
+    round, so a DISABLE_CONF build goes exponential (observed: bench's
+    Python-node inspector hung on d02 once the incr_cc arm tripled the
+    CC invocations). The introspection loss is nil in practice: by the
+    time the inspector sees the query, the fixpoint's rounds have
+    already EXECUTED during construction, so any Python eval upstream of
+    the loop ran (and was timed) regardless of what the final plan
+    string shows."""
     spark = df.sparkSession
-    if spark.conf.get(DISABLE_CONF, "false").lower() == "true":
+    if not force and spark.conf.get(DISABLE_CONF, "false").lower() == "true":
         return df  # introspection mode: keep the full plan visible
     if not reliable_enabled(spark):
         return df.localCheckpoint(eager=eager)

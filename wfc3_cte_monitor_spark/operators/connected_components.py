@@ -75,11 +75,16 @@ def connected_components(
         jump = hashmin.select(
             F.col(id_col).alias("pj_id"), F.col("label").alias("pj_label")
         )
+        # force=True: per-round truncation is the ALGORITHM here, not
+        # optional hygiene — introspection mode (checkpoint.disable)
+        # would otherwise make each convergence probe re-execute all
+        # prior rounds' lineage (exponential; see checkpointing.py).
         labels = materialize(
             hashmin.join(jump, hashmin["label"] == jump["pj_id"], "left").select(
                 F.col(id_col),
                 F.coalesce("pj_label", "label").alias("label"),
-            )
+            ),
+            force=True,
         )
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

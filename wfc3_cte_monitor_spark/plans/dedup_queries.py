@@ -276,11 +276,20 @@ def _d02_sql() -> str:
           ON q.doc_id = l.doc_id
         GROUP BY label
     )
-    SELECT l.doc_id, l.label AS cluster_id,
+    SELECT 'full' AS which, l.doc_id, l.label AS cluster_id,
            (count(*) OVER (PARTITION BY l.label))::BIGINT AS cluster_size,
            r.rep_id,
            CAST(CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM {prev} l JOIN reps r ON r.label = l.label
+    UNION ALL
+    -- 'incr_cc' oracle: the TRUE component fixpoint over ALL edges (the
+    -- same recursive CTE), i.e. a full recompute — the Spark side reaches
+    -- the identical labeling via base-CC + delta-batch maintenance, so
+    -- the hash proves increment == recompute for graph state.
+    SELECT 'incr_cc' AS which, doc_id, label AS cluster_id,
+           (count(*) OVER (PARTITION BY label))::BIGINT AS cluster_size,
+           CAST(NULL AS BIGINT) AS rep_id, CAST(NULL AS BIGINT) AS keep
+    FROM {prev}
     """
     return body
 
@@ -291,17 +300,43 @@ def _d02_sql() -> str:
     tags=("dedup", "lsh", "jaccard", "pipeline"),
 )
 def d02_lsh_dedup_pipeline(spark, sf_dir):
-    """End-to-end near-dup dedup: LSH candidates → exact-Jaccard verify →
-    cluster assignment by CONNECTED COMPONENTS to convergence
-    (operators/connected_components.py). Every join is an equi-join on
-    band key or doc_id — no all-pairs stage, so the plan survives a
-    100 TB corpus (bucket sizes, not corpus size, bound the pair
-    work)."""
+    """End-to-end near-dup dedup, two arms in one tagged union:
+
+    which='full'    — LSH candidates → exact-Jaccard verify → cluster
+                      assignment by CONNECTED COMPONENTS to convergence
+                      (operators/connected_components.py) → richest-doc
+                      representative selection. Every join is an
+                      equi-join on band key or doc_id — no all-pairs
+                      stage, so the plan survives a 100 TB corpus
+                      (bucket sizes, not corpus size, bound the pair
+                      work).
+    which='incr_cc' — INCREMENTAL maintenance of the dedup-cluster
+                      store (operators/connected_components.py::
+                      incremental_components): the verified edge set is
+                      split into a base partition (neither endpoint a
+                      delta doc, doc_id % 7 == 0 marks deltas) and a
+                      delta batch; base CC seeds the label store, the
+                      delta batch is applied via the CONTRACTED graph
+                      (work ∝ delta, never a corpus re-cluster), and
+                      the maintained store is gated against the
+                      oracle's full-recompute fixpoint — the
+                      graph-state member of the repo's
+                      increment-equals-recompute family (d01 'incr',
+                      q01 'incr_maint'). Mirrors the reference's
+                      ``--pr 'last'`` incremental model
+                      (wfc3_cte_monitor/database_update.py:214-255)
+                      applied to cluster state."""
     from pyspark.sql import Window
 
     from ..functions.dedup import candidate_pairs, minhash_signature_pairs
     from ..functions.text import exploded_shingles
-    from ..operators.connected_components import connected_components
+    from ..operators.connected_components import (
+        connected_components,
+        incremental_components,
+    )
+    from .registry import active_arms
+
+    arms = active_arms("d02_lsh_dedup_pipeline")
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = exploded_shingles(docs, "doc_id", "text", 3)
@@ -341,7 +376,11 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     # every propagation round's edges⋈labels join reuses the cached
     # partitioning and only the (tiny) labels side shuffles per round.
     # Deterministic, so the oracle comparison is unaffected.
-    edges = edges.repartition("dst").transform(materialize)
+    # force=True: this relation feeds the ITERATIVE CC consumers (full,
+    # base and contracted CC all probe convergence during construction);
+    # introspection mode must not re-expand the shingle pipeline into
+    # every round's probe (see checkpointing.materialize).
+    edges = edges.repartition("dst").transform(lambda d: materialize(d, force=True))
     labels = connected_components(docs.select("doc_id"), edges)
     # REPRESENTATIVE SELECTION — the dedup DECISION a pipeline
     # materializes: keep the richest-vocabulary doc per cluster (distinct
@@ -357,13 +396,41 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
         .groupBy("label")
         .agg((-F.max(F.struct(F.col("nu"), (-F.col("doc_id")).alias("nid")))["nid"]).alias("rep_id"))
     )
-    return labels.join(reps, "label").select(
+    full_arm = labels.join(reps, "label").select(
+        F.lit("full").alias("which"),
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint").alias("cluster_size"),
         "rep_id",
         F.when(F.col("doc_id") == F.col("rep_id"), 1).otherwise(0).cast("bigint").alias("keep"),
     )
+    if arms is not None and "incr_cc" not in arms:
+        # frozen-arm bench pass: the incremental arm's construction is
+        # EAGER (driver-side convergence probes), so a post-hoc Catalyst
+        # union-branch prune can't skip its cost — skip building it.
+        return full_arm
+
+    # 'incr_cc' — incremental cluster-store maintenance. The edge split
+    # reuses the SAME materialized bidirectional edge relation (no
+    # re-shingle): delta edges touch a delta doc (doc_id % 7 == 0), base
+    # edges touch none. The base CC seeds the store over ALL vertices
+    # (delta docs enter self-labeled, exactly the enforced
+    # incremental_components contract); the delta batch then merges
+    # components through the contracted graph — delta-sized work.
+    is_delta_edge = (F.col("src") % 7 == 0) | (F.col("dst") % 7 == 0)
+    base_labels = connected_components(
+        docs.select("doc_id"), edges.where(~is_delta_edge)
+    )
+    maintained = incremental_components(base_labels, edges.where(is_delta_edge))
+    incr_arm = maintained.select(
+        F.lit("incr_cc").alias("which"),
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint").alias("cluster_size"),
+        F.lit(None).cast("bigint").alias("rep_id"),
+        F.lit(None).cast("bigint").alias("keep"),
+    )
+    return full_arm.unionByName(incr_arm)
 
 
 # D3 — tagged union of the three SIGNATURE-dedup surfaces:

@@ -40,6 +40,25 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Optional per-query arm restriction, set by bench.py's frozen-arm pass
+# (BENCH continuity: time round N's engine on round N-1's arm set).
+# Lazy tagged-union arms are pruned by a Catalyst filter on the literal
+# `which` column; arms with EAGER construction cost (iterative operators
+# that collect() driver-side while the plan is being BUILT, e.g. d02's
+# incremental-CC arm) additionally consult :func:`active_arms` and skip
+# construction entirely. None → no restriction (the normal gate path).
+_ARM_FILTER: dict[str, frozenset[str]] | None = None
+
+
+def set_arm_filter(filt: dict[str, frozenset[str]] | None) -> None:
+    global _ARM_FILTER
+    _ARM_FILTER = None if filt is None else {k: frozenset(v) for k, v in filt.items()}
+
+
+def active_arms(name: str) -> frozenset[str] | None:
+    """The arm set query ``name`` should build, or None for all arms."""
+    return None if _ARM_FILTER is None else _ARM_FILTER.get(name)
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # decorator
     def deco(fn: QueryFn) -> QueryFn:
