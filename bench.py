@@ -67,7 +67,13 @@ HEADLINE = [
 FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
     # r7 additions ON TOP of the frozen set:
     #   d02: 'incr_cc' (incremental connected-components maintenance)
+    #   t01: 'mergeK' (k-iteration BPE trainer)
     "d02_lsh_dedup_pipeline": ("which", ("full",)),
+    "t01_token_stats": (
+        "which",
+        ("doc", "chunk", "pack", "mix", "score", "sample", "funnel",
+         "cap", "merge", "merge2"),
+    ),
 }
 
 

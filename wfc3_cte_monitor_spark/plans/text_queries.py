@@ -161,24 +161,29 @@ LANG_PROFILES = {
 #                   into members at full 60-bit width), punct_ratio ≡
 #                   round(count/Σcounts, 6) relative frequency,
 #                   n_unique/fp ≡ NULL.
-#   which='merge2'— the ITERATIVE step that makes 'merge' a real BPE
-#                   trainer (the Lloyd-iteration analogue for vocab
-#                   induction): APPLY the iteration-1 winner — every
-#                   occurrence of the top pair collapses to one new
-#                   token id (pair key + 2^60, outside the 60-bit hash
-#                   range) — then recount bigrams over the merged
-#                   arrays and gate iteration 2's top-MERGE_K. The
-#                   winner is the top pair whose member RESIDUES
-#                   differ (ar ≠ br in the 30-bit key space — the
-#                   space matching compares in): distinct residues
-#                   make occurrences non-overlapping, so the apply
-#                   step is a pure
-#                   positional transform (absorb position i when
-#                   (i-1, i) matched; rewrite when (i, i+1) matches) —
-#                   row-local, no sequential state, identical lambda
-#                   on both engines. Matching compares the 30-bit
-#                   residues the pair key carries (consistent with
-#                   iteration 1's keying). Columns as 'merge'.
+#   which='merge2'— iteration 2 of the BPE TRAINER LOOP (below): apply
+#                   the iteration-1 winner, recount, gate the new
+#                   top-MERGE_K. Columns as 'merge'.
+#   which='mergeK'— the PARAMETERIZED k-iteration BPE trainer (k=K_BPE):
+#                   per iteration, the winner — the top pair whose
+#                   member RESIDUES differ (ar ≠ br in the 30-bit key
+#                   space the matching compares in; distinct residues
+#                   make occurrences non-overlapping, so the apply step
+#                   is a pure positional transform: absorb position i
+#                   when (i-1, i) matched, rewrite when (i, i+1)
+#                   matches — row-local, no sequential state, identical
+#                   lambda on both engines) — collapses every
+#                   occurrence to a new token id h + i·2^60 (outside
+#                   the 60-bit pair-key space, iteration-indexed), then
+#                   bigrams are recounted over the merged arrays.
+#                   Gated: iteration k's top-MERGE_K (columns as
+#                   'merge') PLUS the accumulated vocab — one row per
+#                   applied winner with chunk_id = -iteration and fp =
+#                   the assigned new-token id. Both engines run the
+#                   same generated loop (Spark: materialized-per-
+#                   iteration DataFrame loop; DuckDB: generated CTE
+#                   chain), and a pytest cross-checks iteration k
+#                   against a pure-Python greedy reference.
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -190,8 +195,83 @@ SCORE_SHIFT = 500      # weights = (b*MULT % MOD) - SHIFT ∈ [-500, 500]
 SAMPLE_MOD = 10        # Bernoulli rate = 1/10 by hash residue
 HOLD_K = 25            # fixed-size per-stratum holdout
 MERGE_K = 10           # BPE merge candidates gated
+K_BPE = 3              # BPE trainer iterations gated (the 'mergeK' arm)
 CAP_N = 2              # per-source quota ('cap' arm) — binds at every sf
 _PAIR_PACK = 1 << 30   # pair key = (ha % 2^30)·2^30 + hb % 2^30, < 2^60
+
+
+def _bpe_bgagg_sql(src: str) -> str:
+    """One bigram-count pass over a token-hash-array relation ``src``."""
+    return f"""
+        SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+        FROM (
+            SELECT doc_id,
+                   (ha % {_PAIR_PACK}) * {_PAIR_PACK} + hb % {_PAIR_PACK} AS h,
+                   xor(ha, hb) AS mx
+            FROM (
+                SELECT doc_id, th[i] AS ha, th[i+1] AS hb
+                FROM {src}, UNNEST(range(1, len(th))) AS u(i)
+            )
+        ) GROUP BY h, mx"""
+
+
+def _bpe_ctes_sql(k: int = K_BPE) -> str:
+    """The k-iteration BPE trainer as GENERATED CTE blocks (the SQL twin
+    of the Spark loop in t01): per iteration, pick the winner (top pair
+    with distinct member residues), apply it positionally, recount.
+    Winner i's new token id = h + i·2^60 (iteration-indexed, outside the
+    60-bit pair-key space)."""
+    parts = [f"bgagg1 AS ({_bpe_bgagg_sql('ths')})"]
+    src = "ths"
+    for i in range(2, k + 1):
+        w = i - 1
+        parts.append(f"""bgw{w} AS (
+        SELECT h // {_PAIR_PACK} AS ar, h % {_PAIR_PACK} AS br,
+               h + {w} * (1::BIGINT << 60) AS nid,
+               h AS wh, mx AS wmx, cnt AS wcnt, ndocs AS wndocs
+        FROM bgagg{w} WHERE h // {_PAIR_PACK} <> h % {_PAIR_PACK}
+        ORDER BY cnt DESC, h LIMIT 1
+    )""")
+        parts.append(f"""ths{i} AS (
+        SELECT doc_id,
+               list_filter(list_transform(range(1, len(th) + 1), i -> CASE
+                   WHEN i > 1 AND th[greatest(i - 1, 1)] % {_PAIR_PACK} = ar
+                        AND th[i] % {_PAIR_PACK} = br THEN NULL
+                   WHEN th[i + 1] % {_PAIR_PACK} = br
+                        AND th[i] % {_PAIR_PACK} = ar THEN nid
+                   ELSE th[i] END), x -> x IS NOT NULL) AS th
+        FROM (SELECT * FROM {src} WHERE len(th) >= 2), bgw{w}
+    )""")
+        parts.append(f"bgagg{i} AS ({_bpe_bgagg_sql(f'ths{i}')})")
+        src = f"ths{i}"
+    for i in (1, 2, k):
+        parts.append(f"bgtot{i} AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bgagg{i})")
+        parts.append(f"""bgtop{i} AS (
+        SELECT h, mx, cnt, ndocs,
+               CAST(row_number() OVER (ORDER BY cnt DESC, h) AS INT) AS rnk
+        FROM bgagg{i} ORDER BY cnt DESC, h LIMIT {MERGE_K}
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_arms_sql(k: int = K_BPE) -> str:
+    """The merge-family arm SELECTs: iteration-1 candidates ('merge'),
+    iteration-2 candidates ('merge2'), iteration-k candidates plus the
+    ACCUMULATED VOCAB — one row per applied winner, chunk_id = -i, fp =
+    the assigned new-token id — under 'mergeK'."""
+    out = []
+    for tag, i in (("merge", 1), ("merge2", 2), ("mergeK", k)):
+        out.append(f"""
+    SELECT '{tag}', h, rnk, cnt, ndocs, mx, CAST(NULL AS BIGINT),
+           round(CAST(cnt AS DOUBLE) / tot, 6), CAST(NULL AS BIGINT)
+    FROM bgtop{i}, bgtot{i}""")
+    for w in range(1, k):
+        out.append(f"""
+    SELECT 'mergeK', wh, CAST(-{w} AS INT), wcnt, wndocs, wmx,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), nid
+    FROM bgw{w}""")
+    return "\n    UNION ALL".join(out)
 
 
 def _t01_sql() -> str:
@@ -288,59 +368,7 @@ def _t01_sql() -> str:
                               x -> {portable_hash64_sql('x')}) AS th
         FROM toks
     ),
-    bgagg AS (
-        SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
-        FROM (
-            SELECT doc_id,
-                   (ha % {_PAIR_PACK}) * {_PAIR_PACK} + hb % {_PAIR_PACK} AS h,
-                   xor(ha, hb) AS mx
-            FROM (
-                SELECT doc_id, th[i] AS ha, th[i+1] AS hb
-                FROM ths, UNNEST(range(1, len(th))) AS u(i)
-            )
-        ) GROUP BY h, mx
-    ),
-    bgtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bgagg),
-    bgtop AS (
-        SELECT h, mx, cnt, ndocs,
-               CAST(row_number() OVER (ORDER BY cnt DESC, h) AS INT) AS rnk
-        FROM bgagg ORDER BY cnt DESC, h LIMIT {MERGE_K}
-    ),
-    bgtop1 AS (
-        SELECT h // {_PAIR_PACK} AS ar, h % {_PAIR_PACK} AS br,
-               h + (1::BIGINT << 60) AS nid
-        FROM bgagg WHERE h // {_PAIR_PACK} <> h % {_PAIR_PACK} ORDER BY cnt DESC, h LIMIT 1
-    ),
-    bgmerged AS (
-        SELECT doc_id,
-               list_filter(list_transform(range(1, len(th) + 1), i -> CASE
-                   WHEN i > 1 AND th[greatest(i - 1, 1)] % {_PAIR_PACK} = ar
-                        AND th[i] % {_PAIR_PACK} = br THEN NULL
-                   WHEN th[i + 1] % {_PAIR_PACK} = br
-                        AND th[i] % {_PAIR_PACK} = ar THEN nid
-                   ELSE th[i] END), x -> x IS NOT NULL) AS th
-        FROM (SELECT * FROM ths WHERE len(th) >= 2), bgtop1
-    ),
-    bgagg2 AS (
-        SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
-        FROM (
-            SELECT doc_id,
-                   (ha % {_PAIR_PACK}) * {_PAIR_PACK} + hb % {_PAIR_PACK} AS h,
-                   xor(ha, hb) AS mx
-            FROM (
-                SELECT doc_id, th[i] AS ha, th[i+1] AS hb
-                FROM bgmerged, UNNEST(range(1, len(th))) AS u(i)
-            )
-        ) GROUP BY h, mx
-    ),
-    bgtot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bgagg2),
-    bgtop2 AS (
-        SELECT h, mx, cnt, ndocs,
-               CAST(row_number() OVER (ORDER BY cnt DESC, h) AS INT) AS rnk
-        FROM bgagg2 ORDER BY cnt DESC, h LIMIT {MERGE_K}
-    )
+    {_bpe_ctes_sql()}
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
            {bpe_token_count_sql('text')} AS n_bpe_tokens,
@@ -449,14 +477,7 @@ def _t01_sql() -> str:
             FROM documents
         )
     ) WHERE rnk <= {CAP_N}
-    UNION ALL
-    SELECT 'merge', h, rnk, cnt, ndocs, mx, CAST(NULL AS BIGINT),
-           round(CAST(cnt AS DOUBLE) / tot, 6), CAST(NULL AS BIGINT)
-    FROM bgtop, bgtot
-    UNION ALL
-    SELECT 'merge2', h, rnk, cnt, ndocs, mx, CAST(NULL AS BIGINT),
-           round(CAST(cnt AS DOUBLE) / tot, 6), CAST(NULL AS BIGINT)
-    FROM bgtop2, bgtot2
+    UNION ALL{_bpe_arms_sql()}
     """
 
 
@@ -893,40 +914,79 @@ def t01_token_stats(spark, sf_dir):
             F.lit(None).cast("bigint").alias("fp"),
         )
 
-    bgagg = _bigram_agg(thd)
-    merge_arm = _merge_rows(bgagg, "merge")
-
-    # 'merge2': apply the iteration-1 winner, recount (see arm comment).
+    # The k-ITERATION BPE TRAINER (r6 verdict ask #6 — the iterative
+    # shape, not unrolled copies). Per iteration: pick the winner (top
+    # pair whose member residues differ — non-overlapping occurrences,
+    # so the apply step is a pure positional transform), APPLY it (every
+    # occurrence collapses to new token id h + i·2^60), recount bigrams.
     # All hard indexes stay in [1, size]; only the i+1 lookahead uses
     # try_element_at (NULL past the end, matching DuckDB's NULL-safe
     # list indexing) — ANSI mode throws on true out-of-range element_at.
-    top1 = (
-        bgagg.where(F.expr(f"h DIV {_PAIR_PACK} <> h % {_PAIR_PACK}"))
-        .orderBy(F.desc("cnt"), F.asc("h"))
-        .limit(1)
-        .select(
-            F.expr(f"h DIV {_PAIR_PACK}").alias("ar"),
-            (F.col("h") % _PAIR_PACK).alias("br"),
-            (F.col("h") + F.lit(1 << 60)).alias("nid"),
-        )
-    )
+    # Iteration hygiene: the merged array relation AND the winner row
+    # are materialized each iteration (lineage truncated), so iteration
+    # k's plan never re-embeds iterations 1..k-1 — and the per-iteration
+    # cost stays ONE explode + one map-side-combined count shuffle over
+    # bigint keys, the shape that holds at a 100 TB corpus. Winner
+    # selection is a LIMIT 1 on the aggregated pair vocab (no collect —
+    # the loop stays fully lazy; k is a static trainer parameter).
     apply_expr = f"""filter(transform(sequence(1, size(th)), i -> CASE
         WHEN i > 1 AND element_at(th, greatest(i - 1, 1)) % {_PAIR_PACK} = ar
              AND element_at(th, i) % {_PAIR_PACK} = br THEN CAST(NULL AS BIGINT)
         WHEN try_element_at(th, i + 1) % {_PAIR_PACK} = br
              AND element_at(th, i) % {_PAIR_PACK} = ar THEN nid
         ELSE element_at(th, i) END), x -> x IS NOT NULL)"""
-    merged = (
-        thd.where(F.size("th") >= 2)
-        .crossJoin(F.broadcast(top1))
-        .select("doc_id", F.expr(apply_expr).alias("th"))
-    )
-    merge2_arm = _merge_rows(_bigram_agg(merged), "merge2")
+    aggs: dict[int, object] = {1: _bigram_agg(thd)}
+    winners = []  # the accumulated vocab relation, one row per iteration
+    ths_cur = thd
+    for i in range(2, K_BPE + 1):
+        w = i - 1
+        winner = materialize(
+            aggs[w]
+            .where(F.expr(f"h DIV {_PAIR_PACK} <> h % {_PAIR_PACK}"))
+            .orderBy(F.desc("cnt"), F.asc("h"))
+            .limit(1)
+            .select(
+                F.expr(f"h DIV {_PAIR_PACK}").alias("ar"),
+                (F.col("h") % _PAIR_PACK).alias("br"),
+                (F.col("h") + F.lit(w * (1 << 60))).alias("nid"),
+                F.col("h").alias("wh"),
+                F.col("mx").alias("wmx"),
+                F.col("cnt").alias("wcnt"),
+                F.col("ndocs").alias("wndocs"),
+            )
+        )
+        winners.append(winner)
+        ths_cur = materialize(
+            ths_cur.where(F.size("th") >= 2)
+            .crossJoin(F.broadcast(winner.select("ar", "br", "nid")))
+            .select("doc_id", F.expr(apply_expr).alias("th"))
+        )
+        aggs[i] = _bigram_agg(ths_cur)
+
+    merge_arm = _merge_rows(aggs[1], "merge")
+    merge2_arm = _merge_rows(aggs[2], "merge2")
+    # 'mergeK': iteration-K candidates + the accumulated vocab (one row
+    # per applied winner: chunk_id = -iteration, fp = assigned token id)
+    mergek_arm = _merge_rows(aggs[K_BPE], "mergeK")
+    for w, winner in enumerate(winners, start=1):
+        mergek_arm = mergek_arm.unionAll(
+            winner.select(
+                F.lit("mergeK").alias("which"),
+                F.col("wh").alias("doc_id"),
+                F.lit(-w).cast("int").alias("chunk_id"),
+                F.col("wcnt").alias("n_tokens"),
+                F.col("wndocs").alias("n_bpe_tokens"),
+                F.col("wmx").alias("n_chars"),
+                F.lit(None).cast("bigint").alias("n_unique"),
+                F.lit(None).cast("double").alias("punct_ratio"),
+                F.col("nid").alias("fp"),
+            )
+        )
     return (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
         .unionAll(funnel_arm).unionAll(cap_arm)
-        .unionAll(merge_arm).unionAll(merge2_arm)
+        .unionAll(merge_arm).unionAll(merge2_arm).unionAll(mergek_arm)
     )
 
 
