@@ -163,11 +163,53 @@ def main() -> None:
     gc_log: dict[str, list[int]] = {}
     cpu_log: dict[str, list[int]] = {}
 
+    # --- per-pass STAGE metrics from the AppStatusStore (r6 ask #3) ----------
+    # Task-time is the wall clock's missing witness: a slow pass whose
+    # summed executorRunTime matches the fast pass's did the SAME work —
+    # the extra wall is host interference (starved threads), not plan
+    # cost. Stages completed during a pass are identified by stage id
+    # above the last high-water mark, so status-store eviction of old
+    # stages can't corrupt the deltas.
+    _store = spark.sparkContext._jsc.sc().statusStore()
+    _jvm2 = spark.sparkContext._jvm
+    _qarr = spark.sparkContext._gateway.new_array(_jvm2.double, 0)
+    _hiwater = [-1]
+
+    def _new_stage_totals() -> dict[str, int]:
+        stages = _store.stageList(
+            _jvm2.java.util.ArrayList(), False, False, _qarr,
+            _jvm2.java.util.ArrayList(),
+        )
+        out = {"stages": 0, "tasks": 0, "run_ms": 0, "cpu_ms": 0,
+               "gc_ms": 0, "deser_ms": 0}
+        max_id = _hiwater[0]
+        it = stages.iterator()
+        while it.hasNext():
+            st = it.next()
+            sid = st.stageId()
+            if sid <= _hiwater[0]:
+                continue
+            max_id = max(max_id, sid)
+            if st.status().toString() != "COMPLETE":
+                continue
+            out["stages"] += 1
+            out["tasks"] += st.numCompleteTasks()
+            out["run_ms"] += st.executorRunTime()
+            out["cpu_ms"] += int(st.executorCpuTime()) // 1_000_000
+            out["gc_ms"] += st.jvmGcTime()
+            out["deser_ms"] += st.executorDeserializeTime()
+        _hiwater[0] = max_id
+        return out
+
+    stage_log: dict[str, list[dict[str, int]]] = {}
+
     def run_once(name: str) -> float:
+        _new_stage_totals()  # flush probe/warmup stages past the high-water
         g0, c0 = _gc_ms(), _cpu_ms()
         t0 = time.perf_counter()
         builders[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         elapsed = time.perf_counter() - t0
+        stage_log.setdefault(name, []).append(_new_stage_totals())
         gc_log.setdefault(name, []).append(_gc_ms() - g0)
         cpu_log.setdefault(name, []).append(_cpu_ms() - c0)
         # release dropped shuffle files/broadcasts: the ContextCleaner only
@@ -369,6 +411,33 @@ def main() -> None:
     }
     all_suspect = sorted(n for n, flags in clean_flags.items() if not any(flags))
 
+    # Slow-pass attribution KEYED ON TASK TIME, not wall (r6 ask #3): for
+    # every pass with wall > 1.5x the query's best, compare its summed
+    # executorRunTime to the best pass's. Within 1.25x -> the work was
+    # identical, the wall gap is host INTERFERENCE; above -> the pass
+    # genuinely did more task work (GC pressure, spill, recompilation —
+    # see its gc_ms). This is the n03-outlier decomposition the wall
+    # clock alone could never make.
+    slow_pass_attribution: dict[str, list[dict]] = {}
+    for n, ps in all_passes.items():
+        walls = [p[0] for p in ps]
+        runs = [m["run_ms"] for m in stage_log.get(n, [])]
+        if len(runs) != len(walls) or not runs:
+            continue
+        i_best = walls.index(min(walls))
+        for i, (wall, run) in enumerate(zip(walls, runs)):
+            if wall > 1.5 * walls[i_best] and wall - walls[i_best] > 0.5:
+                ref = max(runs[i_best], 1)
+                slow_pass_attribution.setdefault(n, []).append({
+                    "pass": i,
+                    "wall": round(wall, 3),
+                    "wall_best": round(walls[i_best], 3),
+                    "run_ms": run,
+                    "run_ms_best": runs[i_best],
+                    "gc_ms": stage_log[n][i]["gc_ms"],
+                    "cause": "interference" if run <= 1.25 * ref else "extra_work",
+                })
+
     total = round(sum(timings_best[n] for n in names), 3)
     # Frozen subtotal: r6 arm set per query — the round-over-round
     # comparable number (changed queries use their #frozen twin's best).
@@ -395,6 +464,8 @@ def main() -> None:
         "passes": passes,
         "gc_ms": gc_log,
         "cpu_ms": cpu_log,
+        "stage_metrics": stage_log,
+        "slow_pass_attribution": slow_pass_attribution,
         "clean": clean_flags,
         "py_clean": py_clean_flags,
         "uses_python": {n: _uses_python(n) for n in names},
