@@ -82,12 +82,14 @@ _GLOBAL_WINDOW = re.compile(r"windowspecdefinition\(\s*[^,()]+ (?:ASC|DESC)")
 @pytest.mark.parametrize(
     "name",
     ["e02_ann_neardup", "d02_lsh_dedup_pipeline", "cs05_results_wide",
-     "cs03_cte_vs_time", "t01_token_stats"],
+     "cs03_cte_vs_time", "t01_token_stats", "e01_cosine_topk"],
 )
 def test_no_global_window_on_scale_paths(spark, name):
     # every row of these queries flows through data-sized intermediates;
-    # an unpartitioned window would funnel them through one task. (e01 is
-    # exempt by design: its centroid numbering windows a 16-row LIMIT.)
+    # an unpartitioned window would funnel them through one task. (e01's
+    # former exemption — the 16-row centroid numbering — is gone: that
+    # window now carries a constant partition key, so ANY unpartitioned
+    # window in these plans is a regression.)
     plan = _plan(spark, name)
     m = _GLOBAL_WINDOW.search(plan)
     assert not m, m.group(0)

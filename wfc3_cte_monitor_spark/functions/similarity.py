@@ -385,19 +385,31 @@ def ivf_centroids(embeddings: DataFrame | None = None, id_col: str = "vec_id",
     by id serve as centroids (sampled-init IVF — production would k-means
     refine these, which only changes the centroid VALUES, not the plan
     shape). Tiny (nlist rows) → always broadcast."""
-    from pyspark.sql import Window
-
     if corpus is None:
         corpus = decoded_corpus(embeddings, id_col, emb_col, checkpoint=False)
     # distributed TakeOrdered first (orderBy + limit), THEN number the
-    # nlist-row result — an unpartitioned row_number window over the full
-    # corpus would funnel everything through one global sort task
-    head = corpus.select("vec_id", "v").orderBy("vec_id").limit(n_lists)
-    w = Window.orderBy("vec_id")
-    return head.select(
-        (F.row_number().over(w) - 1).alias("list_id"),
-        F.col("v").alias("cv"),
+    # nlist-row result. Numbering uses a PREDECESSOR-COUNT broadcast
+    # self-join (nlist² = 256 comparisons) instead of a row_number
+    # window: the window form — even with a constant partition key,
+    # which Catalyst constant-folds away — plans as an unpartitioned
+    # WindowExec and spams "No Partition Defined" into the bench log.
+    # With no global window anywhere, that warning is always a real
+    # finding (r6 verdict ask #7); the plan guard in
+    # tests/test_plan_shape.py now covers e01 too.
+    from ..checkpointing import materialize
+
+    head = materialize(corpus.select("vec_id", "v").orderBy("vec_id").limit(n_lists))
+    pred = (
+        head.alias("x")
+        .join(
+            F.broadcast(head.select(F.col("vec_id").alias("y_id"))),
+            F.col("y_id") < F.col("vec_id"),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.count("y_id").cast("int").alias("list_id"))
     )
+    return pred.join(head, "vec_id").select("list_id", F.col("v").alias("cv"))
 
 
 def _collect_centroid_matrix(centroids: DataFrame):
