@@ -282,3 +282,89 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_split_vs_manual_salt_boundary(spark):
+    """Pins the DEPLOYMENT DECISION BOUNDARY between AQE's skew-join
+    split and operators/salting.py (r6 verdict ask #5), empirically on a
+    forced-skew pair-join fixture:
+
+    1. AQE splits the hot partition ONLY when it crosses BOTH gates —
+       factor x median AND the ABSOLUTE byte threshold
+       (skewedPartitionThresholdInBytes, default 256 MB). With the
+       thresholds lowered the final adaptive SMJ is marked skew=true.
+    2. The SAME fixture under default thresholds: relative skew is
+       ~400x but the hot partition is < 256 MB, so AQE does NOT engage
+       — a straggler AQE is blind to. (At 100 TB absolute sizes cross
+       the threshold, which is why AQE is the default remedy there.)
+    3. salted_join scatters the hot key REGARDLESS of AQE state or
+       partition size: the exchange is on (k, _salt) by construction.
+
+    Rule recorded in SCALING.md §skew: prefer AQE (on by default) for
+    size-class skew on batch sort-merge joins; reach for salted_join
+    when (a) the hot key's bytes sit UNDER the AQE threshold but its
+    row fan-out still dominates task time, (b) AQE is unavailable
+    (structured-streaming stateful paths pin partitioning; skew split
+    never fires there), or (c) the join output must keep a stable
+    key partitioning for a downstream stateful consumer (AQE's split
+    breaks co-partitioning by design)."""
+    import pyspark.sql.functions as F
+
+    hot = spark.range(20_000).select(
+        F.lit(0).alias("k"),
+        F.col("id").alias("v"),
+        F.concat(F.lit("x" * 96), F.col("id").cast("string")).alias("pay"),
+    )
+    tail = spark.range(2_000).select(
+        (F.col("id") % 50 + 1).cast("long").alias("k"),
+        F.col("id").alias("v"),
+        F.concat(F.lit("y"), F.col("id").cast("string")).alias("pay"),
+    )
+    big = hot.unionAll(tail)
+    small = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(51)], "k long, name string"
+    )
+
+    CONFS = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in CONFS}
+
+    def _final_plan(df):
+        # an action on the df ITSELF finalizes its AdaptiveSparkPlan
+        # (a writer or count() would execute a separate query execution)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        # (1) thresholds crossed -> AQE splits (skew=true in final SMJ)
+        for k, v in CONFS.items():
+            spark.conf.set(k, v)
+        plan = _final_plan(big.join(small, "k"))
+        assert "skew=true" in plan, plan
+
+        # (2) default byte threshold -> same relative skew, NO split
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        plan = _final_plan(big.join(small, "k"))
+        assert "skew=true" not in plan, plan
+
+        # (3) manual salt scatters independent of AQE entirely
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        salted = salted_join(big, small, ["k"], n_salts=8)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan and "hashpartitioning(k" in plan, plan
+        n = salted.count()
+        assert n == 22_000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
