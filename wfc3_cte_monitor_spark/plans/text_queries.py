@@ -956,6 +956,10 @@ def t01_token_stats(spark, sf_dir):
             )
         )
         winners.append(winner)
+        # materializing the merged-array relation wins over recomputing
+        # the positional transform into each consumer (A/B at sf0.1:
+        # 7.9-8.5 s materialized vs 8.7-9.3 s recomputed, frozen and
+        # full both) — the array rewrite is the trainer's hot loop
         ths_cur = materialize(
             ths_cur.where(F.size("th") >= 2)
             .crossJoin(F.broadcast(winner.select("ar", "br", "nid")))
