@@ -147,3 +147,26 @@ def test_incremental_components_orphan_endpoint_raises(spark):
         assert "99" in str(e) and "self-label" in str(e)
     else:
         raise AssertionError("expected ValueError for orphan endpoint")
+
+
+def test_incremental_components_never_shuffles_the_store(spark):
+    """The maintenance contract at scale: the corpus-sized label store
+    STREAMS through broadcast joins (delta side broadcast) and never
+    rides an exchange — an un-hinted plan was observed to SortMergeJoin,
+    exchanging the store for the two lookups and the final remap."""
+    from pyspark.sql import functions as F
+
+    from wfc3_cte_monitor_spark.operators.connected_components import (
+        incremental_components,
+    )
+
+    labels = spark.createDataFrame([(i, i) for i in range(1000)], "doc_id long, label long")
+    ne = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = incremental_components(labels, ne)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the final remap must broadcast the (delta-sized) remap relation:
+    # no exchange may partition the store by its label column
+    assert "Exchange hashpartitioning(label#" not in plan, plan
+    # and the result is still the merged labeling
+    rows = {r["doc_id"]: r["label"] for r in out.collect()}
+    assert rows[1] == rows[2] == min(1, 2) and rows[3] == 3

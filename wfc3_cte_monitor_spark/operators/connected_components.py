@@ -141,28 +141,38 @@ def incremental_components(
     same fixpoint a full recompute reaches (tested against one in
     tests/test_connected_components.py).
     """
+    # EVERY store-touching join below broadcasts the DELTA side so the
+    # corpus-sized label store STREAMS (scans) and never shuffles — the
+    # whole point of the operator is maintenance cost ∝ delta, and an
+    # un-hinted plan was observed to SortMergeJoin, exchanging the store
+    # three times (store lookups ×2 + the final remap).
     lmap = labels.select(F.col(id_col).alias("_v"), F.col("label").alias("_l"))
-    # Enforce (not just document) the self-label contract: an edge
-    # endpoint absent from the store would be silently dropped by the
-    # inner joins below, yielding a wrong labeling. One delta-sized
-    # anti-join existence probe turns that into an error.
-    orphans = [
-        r["_v"]
-        for r in new_edges.select(F.col("src").alias("_v"))
+    endpoints = (
+        new_edges.select(F.col("src").alias("_v"))
         .union(new_edges.select(F.col("dst").alias("_v")))
         .distinct()
-        .join(lmap.select("_v"), "_v", "left_anti")
-        .limit(5)
-        .collect()
+    )
+    # Enforce (not just document) the self-label contract: an edge
+    # endpoint absent from the store would be silently dropped by the
+    # inner joins below, yielding a wrong labeling. LeftAnti cannot
+    # broadcast its left side, so probe as (store ⋈ broadcast(delta)) →
+    # found, then delta ∖ found — every shuffled relation delta-sized.
+    found = lmap.join(F.broadcast(endpoints), "_v").select("_v")
+    orphans = [
+        r["_v"]
+        for r in endpoints.join(found, "_v", "left_anti").limit(5).collect()
     ]
     if orphans:
         raise ValueError(
             "new_edges endpoints missing from the label store (self-label "
             f"new vertices before applying their edges): e.g. {orphans}"
         )
+    src_labeled = lmap.withColumnRenamed("_v", "src").withColumnRenamed("_l", "lsrc").join(
+        F.broadcast(new_edges), "src"
+    )
     contracted = (
-        new_edges.join(lmap.withColumnRenamed("_v", "src").withColumnRenamed("_l", "lsrc"), "src")
-        .join(lmap.withColumnRenamed("_v", "dst").withColumnRenamed("_l", "ldst"), "dst")
+        lmap.withColumnRenamed("_v", "dst").withColumnRenamed("_l", "ldst")
+        .join(F.broadcast(src_labeled), "dst")
         .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
@@ -179,7 +189,7 @@ def incremental_components(
         F.col(id_col).alias("_old_label"), F.col("label").alias("_new_label")
     )
     return labels.join(
-        remap, labels["label"] == remap["_old_label"], "left"
+        F.broadcast(remap), labels["label"] == remap["_old_label"], "left"
     ).select(
         F.col(id_col),
         F.coalesce("_new_label", "label").alias("label"),
