@@ -68,12 +68,16 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
     # r7 additions ON TOP of the frozen set:
     #   d02: 'incr_cc' (incremental connected-components maintenance)
     #   t01: 'mergeK' (k-iteration BPE trainer)
+    #   t02: 'tri' (char-trigram language-ID columns; t02 has no `which`
+    #        column — 'base'/'tri' are pseudo-arms consumed only via
+    #        registry.set_arm_filter inside the query function)
     "d02_lsh_dedup_pipeline": ("which", ("full",)),
     "t01_token_stats": (
         "which",
         ("doc", "chunk", "pack", "mix", "score", "sample", "funnel",
          "cap", "merge", "merge2"),
     ),
+    "t02_text_profile": ("which", ("base",)),
 }
 
 

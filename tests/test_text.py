@@ -496,3 +496,50 @@ def test_bpe_trainer_matches_pure_python_greedy(spark, sf_smoke):
         # rounding policy differs between engines' round() and Python's
         # banker's round — compare the raw ratio within the quantum
         assert abs(got_top[k] - rel) <= 1e-6, (k, got_top[k], rel)
+
+
+def test_trigram_langid_on_natural_language(spark):
+    """The t02 trigram language-ID columns, driven on real natural-
+    language sentences (the synthetic corpus is word-salad with no
+    character-level language signal — see the t02 docstring): each
+    language's text must classify correctly, and an off-vocabulary text
+    must come back 'und' with zero hits."""
+    from pyspark.sql import functions as F
+
+    from wfc3_cte_monitor_spark.functions.text import norm_text
+    from wfc3_cte_monitor_spark.plans.text_queries import LANG_TRIGRAMS
+
+    sents = [
+        (1, "en", "the cat sat on the mat and the dog ran to the tree of life"),
+        (2, "es", "el perro y el gato estan en el jardin y el sol brilla"),
+        (3, "fr", "le chien et le chat sont dans le jardin et le ciel est bleu"),
+        (4, "de", "der hund und die katze sind in der stadt und das haus ist zu klein"),
+        (5, "und", "xxxx yyyy zzzz qqqq"),
+    ]
+    docs = spark.createDataFrame(sents, "doc_id long, want string, text string")
+    nt = F.concat(F.lit(" "), norm_text("text"), F.lit(" "))
+    trid = docs.select("doc_id", nt.alias("_nt")).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(_nt) - 2), i -> substring(_nt, i, 3))")
+        ).alias("tri"),
+    )
+    prof = spark.createDataFrame(
+        [(lang, t) for lang, ts in LANG_TRIGRAMS.items() for t in ts],
+        "tlg string, tri string",
+    )
+    best = {
+        r["doc_id"]: (r["lg"], r["hits"])
+        for r in trid.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "tlg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("c")).alias("ns"), F.col("tlg").alias("lg"))).alias("m"))
+        .select("doc_id", F.col("m.lg").alias("lg"), (-F.col("m.ns")).alias("hits"))
+        .collect()
+    }
+    for doc_id, want, _ in sents:
+        if want == "und":
+            assert doc_id not in best  # zero profile hits anywhere
+        else:
+            assert best[doc_id][0] == want, (doc_id, want, best.get(doc_id))
+            assert best[doc_id][1] > 0

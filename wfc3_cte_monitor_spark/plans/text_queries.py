@@ -33,6 +33,30 @@ LANG_PROFILES = {
     "de": ["der", "die", "das", "und", "zu"],
 }
 
+# Character-n-gram language-ID profiles (Cavnar-Trenkle style): the
+# space-padded trigrams of each language's stopwords, so word boundaries
+# participate (" th", "he "). Only trigrams EXCLUSIVE to one language
+# survive — shared grams are anti-discriminative (German "und" and
+# English "and" both yield "nd "; "er "/"as " from der/das are among the
+# most frequent English grams, and keeping them made the classifier
+# label English corpora German). Derived deterministically from
+# LANG_PROFILES at import — both engines consume the same literal list.
+_TRI_RAW: dict[str, set[str]] = {
+    lang: {
+        f" {w} "[i:i + 3]
+        for w in words
+        for i in range(len(w))  # len(" w ") - 2 == len(w)
+    }
+    for lang, words in LANG_PROFILES.items()
+}
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    lang: sorted(
+        g for g in gs
+        if not any(g in _TRI_RAW[o] for o in _TRI_RAW if o != lang)
+    )
+    for lang, gs in _TRI_RAW.items()
+}
+
 
 # T1 — token stats + fixed-token-budget CHUNKING, one tagged union:
 #   which='doc'   — per-document stats (whitespace + BPE-ish token
@@ -994,9 +1018,10 @@ def t01_token_stats(spark, sf_dir):
     )
 
 
-# T2 — language-ID heuristic: stopword-profile hit counts, argmax with a
-# deterministic tiebreak (profile order). A real corpus would use n-gram
-# profiles; the operator/oracle shape is identical.
+# T2 — language-ID heuristics, both forms: stopword-profile hit counts
+# (argmax with deterministic tiebreak, below) AND the character-n-gram
+# profile method proper (t02's tri_lang/tri_hits columns — space-padded
+# trigram profiles, broadcast-joined against the exploded doc trigrams).
 def _langid_columns():
     """Language-ID as pure column expressions (argmax over stopword-profile
     hit counts, later profiles win only strictly) — composable into any
@@ -1088,8 +1113,35 @@ def _profile_sql() -> str:
     from ..functions.dedup import simhash16_sql
     from ..functions.text import winnow_fp_sql_list
 
+    langs = sorted(LANG_TRIGRAMS)
+    th_cols = ", ".join(
+        "CAST(len(list_filter(tri, x -> x IN ("
+        + ", ".join(f"'{t}'" for t in LANG_TRIGRAMS[lang])
+        + f"))) AS BIGINT) AS th_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"th_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN th_{lang} = _mx THEN '{lang}'" for lang in langs)
     return f"""
     WITH langid AS ({_langid_sql()}),
+    tribest AS (
+        SELECT doc_id,
+               CASE WHEN _mx <= 0 THEN 'und' {pick} END AS tri_lang,
+               CASE WHEN _mx <= 0 THEN CAST(0 AS BIGINT) ELSE _mx END AS tri_hits
+        FROM (
+            SELECT *, {mx} AS _mx FROM (
+                SELECT doc_id, {th_cols} FROM (
+                    SELECT doc_id,
+                           list_transform(range(1, greatest(length(nt) - 1, 2)),
+                                          i -> substr(nt, i, 3)) AS tri
+                    FROM (
+                        SELECT doc_id, ' ' || {norm_text_sql('text')} || ' ' AS nt
+                        FROM documents
+                    )
+                )
+            )
+        )
+    ),
     quality AS ({_quality_sql()}),
     fp AS (
         SELECT doc_id, fingerprint, shard,
@@ -1185,6 +1237,8 @@ def _profile_sql() -> str:
     )
     SELECT l.doc_id, l.labeled_lang,
            l.hits_en, l.hits_es, l.hits_fr, l.hits_de, l.predicted_lang,
+           coalesce(t3.tri_lang, 'und') AS tri_lang,
+           coalesce(t3.tri_hits, 0) AS tri_hits,
            q.quality, f.fingerprint, f.shard,
            p.rep_ratio, p.n_emails, p.n_phones, p.redacted_fp,
            b.boiler, b.boiler_fp,
@@ -1198,6 +1252,7 @@ def _profile_sql() -> str:
     JOIN piirep p ON l.doc_id = p.doc_id
     JOIN boil b ON l.doc_id = b.doc_id
     LEFT JOIN tfidf tf2 ON l.doc_id = tf2.doc_id
+    LEFT JOIN tribest t3 ON l.doc_id = t3.doc_id
     """
 
 
@@ -1218,9 +1273,27 @@ def t02_text_profile(spark, sf_dir):
     fingerprint), rolling-hash winnowing fingerprints (Rabin-Karp token
     3-gram polynomial → min-per-window-of-4 selection, emitted as
     count + sum reductions), 16-bit SimHash. All built-in expressions;
-    one narrow join chain on doc_id."""
+    one narrow join chain on doc_id.
+
+    NEW (r7): character-TRIGRAM language-ID (`tri_lang`/`tri_hits`) —
+    the n-gram-profile heuristic proper (Cavnar-Trenkle): space-padded,
+    language-EXCLUSIVE trigram profiles derived from the stopword
+    lists; the sliding trigram array, per-language counts and the
+    deterministic argmax (score desc, lang asc) are all row-local
+    projection expressions — zero shuffles, zero joins, pure
+    whole-stage codegen at any corpus size. On natural
+    language the classifier is accurate
+    (tests/test_text.py::test_trigram_langid_on_natural_language); on
+    THIS synthetic word-salad corpus the labels carry no character-
+    level signal (content tokens like "customer"/"fast" end in
+    German-profile grams), so the gate checks cross-engine identity —
+    the stopword arm (`predicted_lang`) is the accurate one here
+    because it matches whole tokens."""
     from ..functions.dedup import simhash16
     from ..functions.text import winnow_fingerprints
+    from .registry import active_arms
+
+    arms = active_arms("t02_text_profile")
 
     # the documents parquet is a single file → spread the CPU-heavy text
     # expressions across the executor threads (the shuffle is a few MB).
@@ -1297,12 +1370,62 @@ def t02_text_profile(spark, sf_dir):
     # rescan for boilerplate; only SimHash (explode + groupBy vote)
     # genuinely needs its own aggregation branch
     langid_cols = _langid_columns()
+    # trigram language-ID columns (see docstring): the sliding trigram
+    # array, per-language exclusive-gram counts and the argmax are ALL
+    # row-local projection expressions riding the SAME profile scan —
+    # no extra scan, no join, no shuffle. The padded text and the
+    # trigram array are BOUND as columns before any lambda touches
+    # them: a lambda closing over the raw expression re-evaluates the
+    # whole lower+regexp chain per element — the O(len²) trap the
+    # shingles() docstring documents (measured catastrophically here:
+    # 234 s at sf0.1 unbound vs sub-second bound; CollapseProject keeps
+    # multi-referenced aliases un-inlined, which is what makes the
+    # binding stick). Skipped under the frozen-arm pass ('tri' arm).
+    if arms is None or "tri" in arms:
+        langs = sorted(LANG_TRIGRAMS)
+        docs_tri = (
+            docs.withColumn(
+                "_nt", F.concat(F.lit(" "), norm_text("text"), F.lit(" "))
+            )
+            .withColumn(
+                "_tri",
+                F.expr(
+                    "transform(sequence(1, greatest(length(_nt) - 2, 1)),"
+                    " i -> substring(_nt, i, 3))"
+                ),
+            )
+            .withColumns({
+                f"_th_{lang}": F.size(
+                    F.expr(
+                        "filter(_tri, x -> x IN ("
+                        + ", ".join(f"'{t}'" for t in LANG_TRIGRAMS[lang])
+                        + "))"
+                    )
+                ).cast("bigint")
+                for lang in langs
+            })
+        )
+        mx = F.greatest(*[F.col(f"_th_{lang}") for lang in langs])
+        pick = F.lit("und")
+        for lang in reversed(langs):  # earliest (smallest) lang wins ties
+            pick = F.when(F.col(f"_th_{lang}") == mx, F.lit(lang)).otherwise(pick)
+        tri_cols = [
+            F.when(mx <= 0, F.lit("und")).otherwise(pick).alias("tri_lang"),
+            F.when(mx <= 0, F.lit(0)).otherwise(mx).cast("bigint").alias("tri_hits"),
+        ]
+    else:
+        docs_tri = docs
+        tri_cols = [
+            F.lit("und").alias("tri_lang"),
+            F.lit(0).cast("bigint").alias("tri_hits"),
+        ]
     profile = (
-        docs.select(
+        docs_tri.select(
             "doc_id",
             "source",
             F.col("lang").alias("labeled_lang"),
             *langid_cols,
+            *tri_cols,
             F.round(quality, 6).alias("quality"),
             fp.alias("fingerprint"),
             (fp % 1024).alias("shard"),
