@@ -170,3 +170,82 @@ def test_incremental_components_never_shuffles_the_store(spark):
     # and the result is still the merged labeling
     rows = {r["doc_id"]: r["label"] for r in out.collect()}
     assert rows[1] == rows[2] == min(1, 2) and rows[3] == 3
+
+
+def test_incremental_components_with_reps_equals_full_election(spark):
+    """Decision-store maintenance == full recompute + full re-election,
+    fuzzed: merged components must re-elect their representative as the
+    argmax of (nu, -id) over the WHOLE merged membership — which the
+    operator reaches from the merged old winners only."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wfc3_cte_monitor_spark.operators.connected_components import (
+        incremental_components_with_reps,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        n_base = rng.randrange(8, 20)
+        n_new = rng.randrange(1, 5)
+        n = n_base + n_new
+        nu = {v: rng.randrange(1, 6) for v in range(n)}  # ties are common
+        base_edges = [
+            (rng.randrange(n_base), rng.randrange(n_base))
+            for _ in range(rng.randrange(0, n_base))
+        ]
+        base_edges = [(a, b) for a, b in base_edges if a != b]
+        delta_edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(1, n))
+        ]
+        delta_edges = [(a, b) for a, b in delta_edges if a != b]
+
+        # pure-python reference: full CC then argmax(nu, -id) per component
+        full = _run(spark, n, base_edges + delta_edges)
+        comp_members: dict[int, list[int]] = {}
+        for v, l in full.items():
+            comp_members.setdefault(l, []).append(v)
+        want_rep = {
+            l: max(ms, key=lambda v: (nu[v], -v)) for l, ms in comp_members.items()
+        }
+
+        # persisted base store: base CC labels + per-component election
+        base = _run(spark, n_base, base_edges)
+        base_members: dict[int, list[int]] = {}
+        for v, l in base.items():
+            base_members.setdefault(l, []).append(v)
+        base_rep = {
+            l: max(ms, key=lambda v: (nu[v], -v)) for l, ms in base_members.items()
+        }
+        rows = [(v, base[v], nu[v], base_rep[base[v]]) for v in range(n_base)]
+        # new vertices enter self-labeled as their own rep
+        rows += [(v, v, nu[v], v) for v in range(n_base, n)]
+        store = spark.createDataFrame(
+            rows, "doc_id long, label long, nu long, rep_id long"
+        )
+        both = [(a, b) for a, b in delta_edges] + [(b, a) for a, b in delta_edges]
+        ne = spark.createDataFrame(both, "src long, dst long")
+
+        got = {
+            r["doc_id"]: (r["label"], r["rep_id"], r["keep"])
+            for r in incremental_components_with_reps(store, ne).collect()
+        }
+        for v in range(n):
+            l, rep, keep = got[v]
+            assert l == full[v], (trial, v, got[v], full[v])
+            assert rep == want_rep[full[v]], (trial, v, got[v], want_rep[full[v]])
+            assert keep == (1 if v == rep else 0), (trial, v, got[v])
+
+
+def test_cc_foreign_edge_endpoints_are_ignored(spark):
+    """An edge endpoint absent from `vertices` must neither receive a
+    label nor propagate one — the pre-incident-optimization semantics,
+    now enforced by the incident ∩ vertices intersection."""
+    vertices = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    # 0 is NOT a vertex; edges 0-5 and 0-6 must not merge 5 and 6
+    # through the foreign vertex, nor relabel them to 0
+    both = [(0, 5), (5, 0), (0, 6), (6, 0)]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    out = {r["doc_id"]: r["label"] for r in connected_components(vertices, edges).collect()}
+    assert out == {5: 5, 6: 6, 7: 7}

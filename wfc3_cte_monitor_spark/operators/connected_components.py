@@ -60,11 +60,20 @@ def connected_components(
     round is pure cost — at a 100 TB corpus the label relation would be
     corpus-sized per round instead of near-dup-doc-sized (typically a
     few percent). Untouched vertices re-join as self-labels once, after
-    the fixpoint.
+    the fixpoint. Incident ids are INTERSECTED with ``vertices`` first,
+    so an edge endpoint absent from ``vertices`` is ignored (it neither
+    propagates a foreign label nor appears in the output) — the same
+    semantics as the pre-incident-optimization seeding, enforced rather
+    than assumed. One one-time semi-join; the per-round cost is
+    unchanged.
     """
     # edges are bidirectional, so the src column alone carries every
     # incident vertex
-    incident = edges.select(F.col("src").alias(id_col)).distinct()
+    incident = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .join(vertices.select(id_col), id_col, "left_semi")
+    )
     labels = incident.select(F.col(id_col), F.col(id_col).alias("label"))
     prev_sum = None
     for _ in range(max_iter):
@@ -141,6 +150,27 @@ def incremental_components(
     same fixpoint a full recompute reaches (tested against one in
     tests/test_connected_components.py).
     """
+    remap = _component_remap(labels, new_edges, id_col=id_col, max_iter=max_iter)
+    return labels.join(
+        F.broadcast(remap), labels["label"] == remap["_old_label"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("_new_label", "label").alias("label"),
+    )
+
+
+def _component_remap(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(_old_label → _new_label) for the components TOUCHED by
+    ``new_edges`` — the delta-sized merge kernel shared by
+    :func:`incremental_components` (label maintenance) and
+    :func:`incremental_components_with_reps` (label + representative
+    maintenance). Enforces the self-label contract (an edge endpoint
+    with no store row raises)."""
     # EVERY store-touching join below broadcasts the DELTA side so the
     # corpus-sized label store STREAMS (scans) and never shuffles — the
     # whole point of the operator is maintenance cost ∝ delta, and an
@@ -177,6 +207,19 @@ def incremental_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # Materialize the DELTA-sized contracted relation before the inner CC
+    # loop: contracted's lineage embeds two streaming scans of the
+    # corpus-sized label store, and connected_components re-executes its
+    # edge input every convergence round (plus the round-1 incident
+    # distinct) — unmaterialized, maintenance cost becomes
+    # O(rounds × store-scan), breaking the "two store lookups, cost ∝
+    # delta" contract. force=True because the CC loop probes convergence
+    # during CONSTRUCTION (see checkpointing.materialize); repartition by
+    # dst first so every round's edges⋈labels join reuses the cached
+    # partitioning (same hygiene as d02's edge list).
+    contracted = contracted.repartition("dst").transform(
+        lambda d: materialize(d, force=True)
+    )
     touched = (
         contracted.select(F.col("src").alias(id_col))
         .union(contracted.select(F.col("dst").alias(id_col)))
@@ -185,12 +228,69 @@ def incremental_components(
     # contracted is bidirectional iff new_edges was (the join preserves
     # both directions); connected_components requires it, same contract
     merged = connected_components(touched, contracted, id_col=id_col, max_iter=max_iter)
-    remap = merged.select(
+    return merged.select(
         F.col(id_col).alias("_old_label"), F.col("label").alias("_new_label")
     )
-    return labels.join(
-        F.broadcast(remap), labels["label"] == remap["_old_label"], "left"
-    ).select(
-        F.col(id_col),
-        F.coalesce("_new_label", "label").alias("label"),
+
+
+def incremental_components_with_reps(
+    store: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Maintain the full dedup DECISION store — ``(id, label, nu,
+    rep_id, keep)`` — under new edges, not just the labels.
+
+    The store a real pipeline persists is the decision (which doc
+    represents each cluster, which docs to keep), so a delta merge must
+    also re-elect representatives: merging components can change which
+    doc is richest across the merged membership. ``store`` carries one
+    row per doc with ``nu`` (the richness measure, e.g. distinct-token
+    count) and ``rep_id`` (the component's current winner, argmax of
+    ``(nu, -id)`` — :mod:`plans.dedup_queries`'s d02 semantics).
+
+    Key identity, same spirit as the label maintenance: each old
+    component's winner already dominates every member, so the merged
+    component's new winner = argmax over the merged OLD winners'
+    ``(nu, -id)`` — never a rescan of member docs. All maintenance
+    relations (remap, old winners of touched components, new reps) are
+    delta-sized; the store streams through broadcast joins and is never
+    exchanged. Equivalence to a full recompute's representative election
+    is tested in tests/test_connected_components.py and gated in the d02
+    'incr_cc' arm.
+    """
+    labels = store.select(id_col, "label")
+    remap = materialize(
+        _component_remap(labels, new_edges, id_col=id_col, max_iter=max_iter),
+        force=True,
+    )
+    # one winner row per old component: the store row where the doc IS
+    # its component's rep (exactly one per component by construction)
+    old_winners = store.where(F.col(id_col) == F.col("rep_id")).select(
+        F.col("label").alias("_wl"), F.col("nu").alias("_wnu"), "rep_id"
+    )
+    new_reps = (
+        old_winners.join(F.broadcast(remap), old_winners["_wl"] == remap["_old_label"])
+        .groupBy("_new_label")
+        .agg(
+            (-F.max(F.struct(F.col("_wnu"), (-F.col("rep_id")).alias("nid")))["nid"]).alias(
+                "_new_rep"
+            )
+        )
+        .withColumnRenamed("_new_label", "_rep_label")
+    )
+    return (
+        store.join(F.broadcast(remap), store["label"] == remap["_old_label"], "left")
+        .withColumn("_ml", F.coalesce("_new_label", "label"))
+        .join(F.broadcast(new_reps), F.col("_ml") == new_reps["_rep_label"], "left")
+        .select(
+            F.col(id_col),
+            F.col("_ml").alias("label"),
+            F.col("nu"),
+            F.coalesce("_new_rep", "rep_id").alias("rep_id"),
+            (F.col(id_col) == F.coalesce("_new_rep", "rep_id"))
+            .cast("bigint")
+            .alias("keep"),
+        )
     )

@@ -283,13 +283,17 @@ def _d02_sql() -> str:
     FROM {prev} l JOIN reps r ON r.label = l.label
     UNION ALL
     -- 'incr_cc' oracle: the TRUE component fixpoint over ALL edges (the
-    -- same recursive CTE), i.e. a full recompute — the Spark side reaches
-    -- the identical labeling via base-CC + delta-batch maintenance, so
-    -- the hash proves increment == recompute for graph state.
-    SELECT 'incr_cc' AS which, doc_id, label AS cluster_id,
-           (count(*) OVER (PARTITION BY label))::BIGINT AS cluster_size,
-           CAST(NULL AS BIGINT) AS rep_id, CAST(NULL AS BIGINT) AS keep
-    FROM {prev}
+    -- same recursive CTE) WITH the full-recompute representative
+    -- election — the Spark side reaches the identical labeling AND the
+    -- identical (rep_id, keep) decision via base-CC + delta-batch
+    -- maintenance (incremental_components_with_reps), so the hash
+    -- proves increment == recompute for the whole persisted DECISION
+    -- store, not just the labels.
+    SELECT 'incr_cc' AS which, l.doc_id, l.label AS cluster_id,
+           (count(*) OVER (PARTITION BY l.label))::BIGINT AS cluster_size,
+           r.rep_id,
+           CAST(CASE WHEN l.doc_id = r.rep_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM {prev} l JOIN reps r ON r.label = l.label
     """
     return body
 
@@ -311,15 +315,18 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
                       (bucket sizes, not corpus size, bound the pair
                       work).
     which='incr_cc' — INCREMENTAL maintenance of the dedup-cluster
-                      store (operators/connected_components.py::
-                      incremental_components): the verified edge set is
-                      split into a base partition (neither endpoint a
-                      delta doc, doc_id % 7 == 0 marks deltas) and a
-                      delta batch; base CC seeds the label store, the
-                      delta batch is applied via the CONTRACTED graph
-                      (work ∝ delta, never a corpus re-cluster), and
-                      the maintained store is gated against the
-                      oracle's full-recompute fixpoint — the
+                      DECISION store (operators/connected_components.py::
+                      incremental_components_with_reps): the verified
+                      edge set is split into a base partition (neither
+                      endpoint a delta doc, doc_id % 7 == 0 marks
+                      deltas) and a delta batch; base CC seeds the
+                      (label, nu, rep_id) store, the delta batch merges
+                      components via the CONTRACTED graph and re-elects
+                      representatives from the merged OLD winners only
+                      (work ∝ delta, never a corpus re-cluster or
+                      member rescan), and the maintained (label,
+                      rep_id, keep) rows are gated against the oracle's
+                      full-recompute fixpoint + full re-election — the
                       graph-state member of the repo's
                       increment-equals-recompute family (d01 'incr',
                       q01 'incr_maint'). Mirrors the reference's
@@ -332,7 +339,7 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     from ..functions.text import exploded_shingles
     from ..operators.connected_components import (
         connected_components,
-        incremental_components,
+        incremental_components_with_reps,
     )
     from .registry import active_arms
 
@@ -410,25 +417,44 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
         # union-branch prune can't skip its cost — skip building it.
         return full_arm
 
-    # 'incr_cc' — incremental cluster-store maintenance. The edge split
-    # reuses the SAME materialized bidirectional edge relation (no
-    # re-shingle): delta edges touch a delta doc (doc_id % 7 == 0), base
-    # edges touch none. The base CC seeds the store over ALL vertices
-    # (delta docs enter self-labeled, exactly the enforced
-    # incremental_components contract); the delta batch then merges
-    # components through the contracted graph — delta-sized work.
+    # 'incr_cc' — incremental cluster-store maintenance OF THE DECISION,
+    # not just the labels. The edge split reuses the SAME materialized
+    # bidirectional edge relation (no re-shingle): delta edges touch a
+    # delta doc (doc_id % 7 == 0), base edges touch none. The base CC
+    # seeds the store over ALL vertices (delta docs enter self-labeled
+    # with their own nu/rep — exactly the enforced
+    # incremental_components_with_reps contract) and elects each base
+    # component's representative ONCE (store-build cost, amortized
+    # across batches in production, same posture as d01's fingerprint
+    # store); the delta batch then merges components through the
+    # contracted graph and re-elects winners from the merged OLD winners
+    # only — delta-sized work, the store never exchanged. The gate below
+    # hash-matches (label, rep_id, keep) against the oracle's full
+    # recompute + full re-election.
     is_delta_edge = (F.col("src") % 7 == 0) | (F.col("dst") % 7 == 0)
     base_labels = connected_components(
         docs.select("doc_id"), edges.where(~is_delta_edge)
     )
-    maintained = incremental_components(base_labels, edges.where(is_delta_edge))
+    nu_rel = toks.select("doc_id", F.size("t").cast("bigint").alias("nu"))
+    base_reps = (
+        base_labels.join(nu_rel, "doc_id")
+        .groupBy("label")
+        .agg((-F.max(F.struct(F.col("nu"), (-F.col("doc_id")).alias("nid")))["nid"]).alias("rep_id"))
+    )
+    base_store = (
+        base_labels.join(nu_rel, "doc_id").join(base_reps, "label")
+        .select("doc_id", "label", "nu", "rep_id")
+    )
+    maintained = incremental_components_with_reps(
+        base_store, edges.where(is_delta_edge)
+    )
     incr_arm = maintained.select(
         F.lit("incr_cc").alias("which"),
         "doc_id",
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(Window.partitionBy("label")).cast("bigint").alias("cluster_size"),
-        F.lit(None).cast("bigint").alias("rep_id"),
-        F.lit(None).cast("bigint").alias("keep"),
+        "rep_id",
+        "keep",
     )
     return full_arm.unionByName(incr_arm)
 
