@@ -449,7 +449,7 @@ def test_bpe_trainer_matches_pure_python_greedy(spark, sf_smoke):
     for w in range(1, K_BPE):
         h, mx = min(
             (k for k in cnt if k[0] // P != k[0] % P),
-            key=lambda k: (-cnt[k], k[0]),
+            key=lambda k: (-cnt[k], k[0], k[1]),  # (cnt desc, h, mx) — engine tiebreak
         )
         ar, br, nid = h // P, h % P, h + w * (1 << 60)
         vocab.append((h, -w, cnt[(h, mx)], len(nd[(h, mx)]), mx, nid))
@@ -470,7 +470,7 @@ def test_bpe_trainer_matches_pure_python_greedy(spark, sf_smoke):
         cnt, nd = bigram_counts(cur)
 
     tot = sum(cnt.values())
-    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0]))[:MERGE_K]
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:MERGE_K]
     want_top = {
         (h, rnk, c, len(nd[(h, mx)]), mx): c / tot
         for rnk, ((h, mx), c) in enumerate(top, start=1)
@@ -543,3 +543,39 @@ def test_trigram_langid_on_natural_language(spark):
         else:
             assert best[doc_id][0] == want, (doc_id, want, best.get(doc_id))
             assert best[doc_id][1] > 0
+
+
+def test_bpe_ctes_sql_k_parameterization():
+    """The generated trainer SQL must be valid for ANY k >= 2 (k == 2
+    previously emitted duplicate bgtot2/bgtop2 CTEs — DuckDB binder
+    error) and reject k < 2 (iteration 2's counts feed 'merge2')."""
+    import re
+
+    import duckdb
+    import pytest
+
+    from wfc3_cte_monitor_spark.plans.text_queries import (
+        _bpe_arms_sql,
+        _bpe_ctes_sql,
+    )
+
+    with pytest.raises(ValueError):
+        _bpe_ctes_sql(1)
+
+    for k in (2, 3, 4):
+        ctes = _bpe_ctes_sql(k)
+        names = re.findall(r"\b((?:bgagg|bgw|ths|bgtot|bgtop)\d+) AS \(", ctes)
+        assert len(names) == len(set(names)), (k, sorted(names))
+        sql = f"""
+        WITH ths AS (
+            SELECT * FROM (VALUES
+                (1, [1,2,1,2,3]::BIGINT[]),
+                (2, [2,3,1,2]::BIGINT[]),
+                (3, [1,2]::BIGINT[])
+            ) AS t(doc_id, th)
+        ),
+        {ctes}
+        {_bpe_arms_sql(k)}
+        """
+        rows = duckdb.connect().execute(sql).fetchall()
+        assert rows, k

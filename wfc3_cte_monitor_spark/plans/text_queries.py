@@ -245,7 +245,17 @@ def _bpe_ctes_sql(k: int = K_BPE) -> str:
     of the Spark loop in t01): per iteration, pick the winner (top pair
     with distinct member residues), apply it positionally, recount.
     Winner i's new token id = h + i·2^60 (iteration-indexed, outside the
-    60-bit pair-key space)."""
+    60-bit pair-key space).
+
+    ``k`` must be >= 2 (the 'merge2' arm reads iteration 2's counts);
+    the trailing top/total blocks are emitted over the DEDUPED iteration
+    set so k == 2 doesn't define bgtot2/bgtop2 twice (DuckDB binder
+    error). Winner ORDER BY includes mx: two (h, mx) groups can share a
+    packed-residue h (30-bit collision) with equal cnt, and wmx/wndocs
+    flow into gated output, so a (cnt, h) tie must not be engine-
+    dependent."""
+    if k < 2:
+        raise ValueError(f"BPE trainer needs k >= 2 iterations, got {k}")
     parts = [f"bgagg1 AS ({_bpe_bgagg_sql('ths')})"]
     src = "ths"
     for i in range(2, k + 1):
@@ -255,7 +265,7 @@ def _bpe_ctes_sql(k: int = K_BPE) -> str:
                h + {w} * (1::BIGINT << 60) AS nid,
                h AS wh, mx AS wmx, cnt AS wcnt, ndocs AS wndocs
         FROM bgagg{w} WHERE h // {_PAIR_PACK} <> h % {_PAIR_PACK}
-        ORDER BY cnt DESC, h LIMIT 1
+        ORDER BY cnt DESC, h, mx LIMIT 1
     )""")
         parts.append(f"""ths{i} AS (
         SELECT doc_id,
@@ -269,12 +279,12 @@ def _bpe_ctes_sql(k: int = K_BPE) -> str:
     )""")
         parts.append(f"bgagg{i} AS ({_bpe_bgagg_sql(f'ths{i}')})")
         src = f"ths{i}"
-    for i in (1, 2, k):
+    for i in sorted({1, 2, k}):
         parts.append(f"bgtot{i} AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bgagg{i})")
         parts.append(f"""bgtop{i} AS (
         SELECT h, mx, cnt, ndocs,
-               CAST(row_number() OVER (ORDER BY cnt DESC, h) AS INT) AS rnk
-        FROM bgagg{i} ORDER BY cnt DESC, h LIMIT {MERGE_K}
+               CAST(row_number() OVER (ORDER BY cnt DESC, h, mx) AS INT) AS rnk
+        FROM bgagg{i} ORDER BY cnt DESC, h, mx LIMIT {MERGE_K}
     )""")
     return ",\n    ".join(parts)
 
@@ -910,7 +920,7 @@ def t01_token_stats(spark, sf_dir):
         # guard can't see that the input is post-limit): a MERGE_K²
         # broadcast inequality self-join counts strict predecessors.
         top = (
-            agg.orderBy(F.desc("cnt"), F.asc("h"))
+            agg.orderBy(F.desc("cnt"), F.asc("h"), F.asc("mx"))
             .limit(MERGE_K)
             .transform(lambda df: materialize(df, eager=False))
         )
@@ -918,7 +928,10 @@ def t01_token_stats(spark, sf_dir):
             top.alias("x")
             .join(
                 F.broadcast(top.alias("y")),
-                F.expr("y.cnt > x.cnt OR (y.cnt = x.cnt AND y.h < x.h)"),
+                F.expr(
+                    "y.cnt > x.cnt OR (y.cnt = x.cnt AND y.h < x.h) "
+                    "OR (y.cnt = x.cnt AND y.h = x.h AND y.mx < x.mx)"
+                ),
                 "left",
             )
             .groupBy("x.h", "x.mx", "x.cnt", "x.ndocs")
@@ -959,15 +972,19 @@ def t01_token_stats(spark, sf_dir):
         WHEN try_element_at(th, i + 1) % {_PAIR_PACK} = br
              AND element_at(th, i) % {_PAIR_PACK} = ar THEN nid
         ELSE element_at(th, i) END), x -> x IS NOT NULL)"""
+    assert K_BPE >= 2, "the 'merge2' arm reads iteration 2's counts"
     aggs: dict[int, object] = {1: _bigram_agg(thd)}
     winners = []  # the accumulated vocab relation, one row per iteration
     ths_cur = thd
     for i in range(2, K_BPE + 1):
         w = i - 1
+        # mx in the tiebreak mirrors the SQL twin: a (cnt, h) tie between
+        # two (h, mx) groups (packed-residue collision) must pick the same
+        # winner on both engines now that wmx/wndocs are gated output
         winner = materialize(
             aggs[w]
             .where(F.expr(f"h DIV {_PAIR_PACK} <> h % {_PAIR_PACK}"))
-            .orderBy(F.desc("cnt"), F.asc("h"))
+            .orderBy(F.desc("cnt"), F.asc("h"), F.asc("mx"))
             .limit(1)
             .select(
                 F.expr(f"h DIV {_PAIR_PACK}").alias("ar"),
