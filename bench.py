@@ -57,28 +57,44 @@ HEADLINE = [
 # ROUND-OVER-ROUND CONTINUITY (r6 verdict ask #2): the headline total
 # moves every round because new oracle-gated arms join existing queries,
 # which makes "did the engine get faster" an attribution exercise. The
-# FROZEN subtotal times each query restricted to its ROUND-6 arm set, so
-# r7-vs-r6 is one subtraction. Arms added after the r6 boundary are
-# listed here per query as (arm_column, frozen_arm_values); queries not
-# listed are unchanged and reuse their full-run best. New arms join the
-# frozen set only at the NEXT round boundary (update this dict then).
-# r6 backfill: the r6 arm set IS this frozen set, so BENCH_r06.json's
-# total (68.7 definitive quiet close) doubles as its frozen subtotal.
+# FROZEN subtotal times each query restricted to its PREVIOUS-round arm
+# set, so round N's frozen_total vs round N-1's TOTAL is one
+# subtraction. Arms added after the previous round's boundary are listed
+# here per query as (arm_column, frozen_arm_values); queries not listed
+# are unchanged and reuse their full-run best. New arms join the frozen
+# set only at the NEXT round boundary (update this dict then).
 FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
-    # r7 additions ON TOP of the frozen set:
-    #   d02: 'incr_cc' (incremental connected-components maintenance)
-    #   t01: 'mergeK' (k-iteration BPE trainer)
-    #   t02: 'tri' (char-trigram language-ID columns; t02 has no `which`
-    #        column — 'base'/'tri' are pseudo-arms consumed only via
-    #        registry.set_arm_filter inside the query function)
-    "d02_lsh_dedup_pipeline": ("which", ("full",)),
+    # r8 boundary: the r7 arm set is the frozen set (r7's additions —
+    # d02 'incr_cc', t01 'mergeK', t02 'tri' — are IN it now; compare
+    # r8's frozen_total to BENCH_r07.json's total, 74.2s). r8 additions
+    # excluded below:
+    #   t01: 'encode' (corpus-scale vocab application), 'lm' (bigram-LM
+    #        perplexity scoring)
+    #   t02: 'url' pseudo-arm (URL canonicalization + registered-domain
+    #        columns; t02 has no `which` column — pseudo-arms are
+    #        consumed only via registry.set_arm_filter inside the query)
     "t01_token_stats": (
         "which",
         ("doc", "chunk", "pack", "mix", "score", "sample", "funnel",
-         "cap", "merge", "merge2"),
+         "cap", "merge", "merge2", "mergeK"),
     ),
-    "t02_text_profile": ("which", ("base",)),
+    "t02_text_profile": ("which", ("base", "tri")),
 }
+
+# HOST-DRIFT SENTINEL (r7 verdict ask #2): a PINNED workload — fixed
+# literal data, JVM-only (codegen range scan + hash agg, no I/O, no
+# Python), never to be touched across rounds — timed in the same
+# interleave as the query passes. Its best-of-session against the pinned
+# reference below turns "is this host window slower than last round's"
+# from a forensic multi-run session into one recorded ratio:
+#   host_ratio = sentinel_s / SENTINEL_REF_S
+#   frozen_total_norm = frozen_total / host_ratio
+# SENTINEL_REF_S was pinned from quiet-window r8 measurements on the
+# round-8 host; it is an ANCHOR, not a prediction — only the ratio's
+# round-over-round movement carries meaning. Do not re-pin it unless the
+# sentinel workload itself changes (then re-pin and note it in
+# SCALING.md).
+SENTINEL_REF_S = 0.97
 
 
 def _frozen_builder(specs, name: str, col: str, vals: tuple[str, ...]):
@@ -178,8 +194,19 @@ def main() -> None:
     _jvm2 = spark.sparkContext._jvm
     _qarr = spark.sparkContext._gateway.new_array(_jvm2.double, 0)
     _hiwater = [-1]
+    _bus = spark.sparkContext._jsc.sc().listenerBus()
 
     def _new_stage_totals() -> dict[str, int]:
+        # The AppStatusStore is fed by the ASYNC listener bus: a stage
+        # whose completion event hasn't been processed yet would be
+        # excluded from this pass's run_ms AND permanently skipped via
+        # the raised high-water mark — undercounting a pass's task time
+        # and mislabeling a genuinely-slow pass as 'interference'. Drain
+        # the bus first so stage deltas are complete.
+        try:
+            _bus.waitUntilEmpty(10_000)
+        except Exception:
+            pass  # timed out mid-burst: proceed with what's visible
         stages = _store.stageList(
             _jvm2.java.util.ArrayList(), False, False, _qarr,
             _jvm2.java.util.ArrayList(),
@@ -259,6 +286,25 @@ def main() -> None:
     pyprobe_df = spark.range(par).repartition(par).mapInPandas(_py_work, "id long")
     pyprobe_log: list[float] = []
 
+    # The pinned host-drift sentinel (see SENTINEL_REF_S above): big
+    # enough (~1-1.5s quiet) that scheduler jitter is a small fraction,
+    # JVM-only so the Python worker pool can't color it, one hash-agg
+    # exchange so it exercises the shuffle machinery queries live on.
+    sentinel_df = (
+        spark.range(0, 1_000_000_000, 1, par)
+        .selectExpr("id % 4096 AS k", "id * 3 + 1 AS v")
+        .groupBy("k")
+        .sum("v")
+    )
+    sentinel_log: list[float] = []
+
+    def sentinel() -> float:
+        t0 = time.perf_counter()
+        sentinel_df.write.mode("overwrite").format("noop").save()
+        s = time.perf_counter() - t0
+        sentinel_log.append(s)
+        return s
+
     def probe() -> tuple[float, float]:
         t0 = time.perf_counter()
         probe_df.write.mode("overwrite").format("noop").save()
@@ -333,6 +379,7 @@ def main() -> None:
     probe()  # settle + first sample
     last_probe = probe()
     for _ in range(n_passes):
+        sentinel()  # one pinned-workload sample per interleaved sweep
         for name in run_list:
             elapsed = run_once(name)
             p_after = probe()
@@ -383,6 +430,7 @@ def main() -> None:
     # the driver's timeout is never approached.
     EXTRA_PASS_BUDGET_S = 420.0
     if n_passes >= 3 and time.perf_counter() - bench_t0 < EXTRA_PASS_BUDGET_S:
+        sentinel()
         for name in run_list:
             elapsed = run_once(name)
             p_after = probe()
@@ -443,11 +491,20 @@ def main() -> None:
                 })
 
     total = round(sum(timings_best[n] for n in names), 3)
-    # Frozen subtotal: r6 arm set per query — the round-over-round
-    # comparable number (changed queries use their #frozen twin's best).
+    # Frozen subtotal: previous round's arm set per query — the round-
+    # over-round comparable number (changed queries use their #frozen
+    # twin's best).
     frozen_total = round(
         sum(timings_best[frozen_keys.get(n, n)] for n in names), 3
     )
+    # Host-drift normalization: best-of-session sentinel vs the pinned
+    # anchor. Host noise only INFLATES the sentinel, so min is the right
+    # statistic (same argument as best_of). ratio > 1 → this window is
+    # slower than the anchor window; dividing the frozen subtotal by it
+    # expresses the round in anchor-window seconds.
+    sentinel_s = round(min(sentinel_log), 3)
+    host_ratio = round(sentinel_s / SENTINEL_REF_S, 4)
+    frozen_total_norm = round(frozen_total / host_ratio, 3)
 
     # Full per-pass detail (cold/warm split + min/median/max spread, so a
     # noisy-neighbor stall is distinguishable from a plan regression) goes
@@ -459,6 +516,11 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "frozen_total": frozen_total,
+        "sentinel_s": sentinel_s,
+        "sentinel_ref_s": SENTINEL_REF_S,
+        "host_ratio": host_ratio,
+        "frozen_total_norm": frozen_total_norm,
+        "sentinel_passes": [round(s, 3) for s in sentinel_log],
         "frozen_arms": {n: list(v[1]) for n, v in FROZEN_ARMS.items()},
         "queries_best": timings_best,
         "queries_cold": timings,
@@ -512,6 +574,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "frozen_total": frozen_total,
+                "sentinel_s": sentinel_s,
+                "host_ratio": host_ratio,
+                "frozen_total_norm": frozen_total_norm,
                 "queries": {n: timings_best[n] for n in names},
                 "frozen_queries": {
                     k: timings_best[k] for k in sorted(frozen_keys.values())
