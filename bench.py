@@ -376,6 +376,11 @@ def main() -> None:
     # knob for validating the harness itself without the full budget.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
+    # warm the sentinel plan once, untimed: its first execution pays
+    # whole-stage codegen (~3.5s vs ~1s steady) which would otherwise
+    # make pass-1's sample pure compile noise
+    sentinel_df.write.mode("overwrite").format("noop").save()
+
     probe()  # settle + first sample
     last_probe = probe()
     for _ in range(n_passes):
