@@ -579,3 +579,197 @@ def test_bpe_ctes_sql_k_parameterization():
         """
         rows = duckdb.connect().execute(sql).fetchall()
         assert rows, k
+
+
+def _py_planted_url(doc_id: int, source: str) -> str:
+    """Pure-python twin of functions/urls.planted_url."""
+    scheme = "HTTPS" if doc_id % 2 == 0 else "http"
+    www = "WWW." if doc_id % 3 == 0 else ""
+    suffix = ".CO.UK" if doc_id % 5 == 0 else ".com"
+    if doc_id % 4 == 0:
+        port = ":443" if doc_id % 2 == 0 else ":80"
+    elif doc_id % 4 == 1:
+        port = ":8080"
+    else:
+        port = ""
+    path = "" if doc_id % 13 == 0 else f"/D/{doc_id}"
+    if doc_id % 11 == 0:
+        query = "gclid=zzz"
+    elif doc_id % 2 == 0:
+        query = f"utm_source=feed&id={doc_id}&utm_campaign=x"
+    else:
+        query = f"id={doc_id}&ref=abc"
+    frag = "#sec-2" if doc_id % 7 == 0 else ""
+    return f"{scheme}://{www}{source}{suffix}{port}{path}?{query}{frag}"
+
+
+def test_url_arm_matches_python_reference(spark, sf_smoke):
+    """t01 'url' arm: canonical-URL fingerprints, registered-domain
+    grouping, per-domain rank and cap decision must all match a pure-
+    python rederivation (urls.canonicalize_py + manual rank/cap)."""
+    import hashlib
+
+    from wfc3_cte_monitor_spark.functions.urls import canonicalize_py
+    from wfc3_cte_monitor_spark.plans.text_queries import URL_CAP_N, t01_token_stats
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_smoke, "documents").select("doc_id", "source").collect()
+    }
+    canon = {d: canonicalize_py(_py_planted_url(d, s)) for d, s in docs.items()}
+    by_dom: dict[str, list[int]] = {}
+    for d, (_, dom) in sorted(canon.items()):
+        by_dom.setdefault(dom, []).append(d)
+
+    rows = {
+        r.doc_id: r
+        for r in t01_token_stats(spark, sf_smoke).where("which = 'url'").collect()
+    }
+    assert set(rows) == set(docs)
+    for dom, members in by_dom.items():
+        for rnk, d in enumerate(members, start=1):
+            r = rows[d]
+            cu, _ = canon[d]
+            assert r.chunk_id == rnk, (d, dom)
+            assert r.n_tokens == len(members)
+            assert r.n_bpe_tokens == (1 if rnk <= URL_CAP_N else 0)
+            assert r.n_chars == h64(dom)
+            assert r.n_unique == len(cu)
+            assert r.fp == h64(cu), (d, cu)
+            assert abs(r.punct_ratio - min(len(members), URL_CAP_N) / len(members)) <= 1e-6
+
+
+def test_encode_arm_matches_python_reference(spark, sf_smoke):
+    """t01 'encode' arm: applying the trained k-merge vocab to EVERY doc
+    (including short docs, which pass through) must reproduce the pure-
+    python greedy encoder's per-doc lengths and exact sequences
+    (fingerprint of the comma-joined decimal render)."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from wfc3_cte_monitor_spark.plans.text_queries import (
+        K_BPE,
+        _PAIR_PACK as P,
+        t01_token_stats,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    corpus = {}
+    for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect():
+        t = re.sub(r"[^a-z0-9 ]", "", r.text.lower()).strip()
+        corpus[r.doc_id] = [h64(x) for x in re.split(r"\s+", t) if x]
+
+    def bigram_counts(cur):
+        cnt: dict = defaultdict(int)
+        for th in cur.values():
+            for i in range(len(th) - 1):
+                cnt[((th[i] % P) * P + th[i + 1] % P, th[i] ^ th[i + 1])] += 1
+        return cnt
+
+    cur = dict(corpus)
+    for w in range(1, K_BPE):
+        cnt = bigram_counts(cur)
+        h, mx = min(
+            (k for k in cnt if k[0] // P != k[0] % P),
+            key=lambda k: (-cnt[k], k[0], k[1]),
+        )
+        ar, br, nid = h // P, h % P, h + w * (1 << 60)
+        nxt = {}
+        for d, th in cur.items():
+            if len(th) < 2:
+                nxt[d] = th  # short docs pass through (complete corpus)
+                continue
+            out = []
+            for i in range(len(th)):
+                if i > 0 and th[i - 1] % P == ar and th[i] % P == br:
+                    continue
+                if i + 1 < len(th) and th[i] % P == ar and th[i + 1] % P == br:
+                    out.append(nid)
+                else:
+                    out.append(th[i])
+            nxt[d] = out
+        cur = nxt
+
+    rows = {
+        r.doc_id: r
+        for r in t01_token_stats(spark, sf_smoke).where("which = 'encode'").collect()
+    }
+    assert set(rows) == set(corpus)  # EVERY doc is encoded
+    for d, th0 in corpus.items():
+        r = rows[d]
+        assert r.n_tokens == len(th0), d
+        assert r.n_bpe_tokens == len(cur[d]), d
+        assert r.fp == h64(",".join(str(x) for x in cur[d])), d
+
+
+def test_lm_arm_matches_python_reference(spark, sf_smoke):
+    """t01 'lm' arm: add-one-smoothed bigram-LM scores in integer
+    micro-units, OOV counts, avg-log-prob ratio and fixed-threshold
+    bucket must match a pure-python LM trained on the same slice."""
+    import hashlib
+    import math
+    import re
+
+    from wfc3_cte_monitor_spark.plans.text_queries import (
+        LM_BUCKETS,
+        LM_TRAIN_MOD,
+        t01_token_stats,
+    )
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def r0(x: float) -> int:  # round half away from zero (both engines)
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    corpus = {}
+    for r in load_table(spark, sf_smoke, "documents").select("doc_id", "text").collect():
+        t = re.sub(r"[^a-z0-9 ]", "", r.text.lower()).strip()
+        corpus[r.doc_id] = [h64(x) for x in re.split(r"\s+", t) if x]
+
+    ctx: dict = {}
+    pc: dict = {}
+    vocab = set()
+    for d, th in corpus.items():
+        if d % LM_TRAIN_MOD == 0:
+            vocab.update(th)
+            for i in range(len(th) - 1):
+                ctx[th[i]] = ctx.get(th[i], 0) + 1
+                pc[(th[i], th[i + 1])] = pc.get((th[i], th[i + 1]), 0) + 1
+    V = len(vocab)
+
+    rows = {
+        r.doc_id: r
+        for r in t01_token_stats(spark, sf_smoke).where("which = 'lm'").collect()
+    }
+    assert set(rows) == set(corpus)
+    assert any(r.n_bpe_tokens > 0 for r in rows.values())  # OOV exists
+    for d, th in corpus.items():
+        nb = max(len(th) - 1, 0)
+        score = 0
+        n_oov = 0
+        for i in range(nb):
+            c_ab = pc.get((th[i], th[i + 1]), 0)
+            c_ctx = ctx.get(th[i], 0)
+            if c_ab == 0:
+                n_oov += 1
+            score += r0(1e6 * math.log((c_ab + 1) / (c_ctx + V)))
+        r = rows[d]
+        assert r.n_tokens == nb and r.fp == score, (d, r.fp, score)
+        assert r.n_bpe_tokens == n_oov, d
+        if nb == 0:
+            assert r.chunk_id == -1 and r.punct_ratio == 0.0
+        else:
+            avg = score / nb
+            want_b = min(LM_BUCKETS - 1, max(0, math.floor((avg + 15e6) / 1e6)))
+            assert r.chunk_id == want_b, (d, r.chunk_id, want_b)
+            assert abs(r.punct_ratio - avg / 1e6) <= 1e-6, d

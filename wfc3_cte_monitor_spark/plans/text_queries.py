@@ -221,6 +221,9 @@ HOLD_K = 25            # fixed-size per-stratum holdout
 MERGE_K = 10           # BPE merge candidates gated
 K_BPE = 3              # BPE trainer iterations gated (the 'mergeK' arm)
 CAP_N = 2              # per-source quota ('cap' arm) — binds at every sf
+URL_CAP_N = 3          # per-REGISTERED-DOMAIN quota ('url' arm)
+LM_TRAIN_MOD = 9       # bigram-LM train slice: doc_id % 9 == 0 ('lm' arm)
+LM_BUCKETS = 20        # fixed-threshold perplexity buckets ('lm' arm)
 _PAIR_PACK = 1 << 30   # pair key = (ha % 2^30)·2^30 + hb % 2^30, < 2^60
 
 
@@ -267,15 +270,21 @@ def _bpe_ctes_sql(k: int = K_BPE) -> str:
         FROM bgagg{w} WHERE h // {_PAIR_PACK} <> h % {_PAIR_PACK}
         ORDER BY cnt DESC, h, mx LIMIT 1
     )""")
+        # short docs (len < 2) pass through unchanged instead of being
+        # dropped, so ths{k} is the COMPLETE encoded corpus (the 'encode'
+        # arm gates it per doc); they contribute no bigrams either way,
+        # so every trained count is unchanged
         parts.append(f"""ths{i} AS (
         SELECT doc_id,
+               CASE WHEN len(th) >= 2 THEN
                list_filter(list_transform(range(1, len(th) + 1), i -> CASE
                    WHEN i > 1 AND th[greatest(i - 1, 1)] % {_PAIR_PACK} = ar
                         AND th[i] % {_PAIR_PACK} = br THEN NULL
                    WHEN th[i + 1] % {_PAIR_PACK} = br
                         AND th[i] % {_PAIR_PACK} = ar THEN nid
-                   ELSE th[i] END), x -> x IS NOT NULL) AS th
-        FROM (SELECT * FROM {src} WHERE len(th) >= 2), bgw{w}
+                   ELSE th[i] END), x -> x IS NOT NULL)
+               ELSE th END AS th
+        FROM {src}, bgw{w}
     )""")
         parts.append(f"bgagg{i} AS ({_bpe_bgagg_sql(f'ths{i}')})")
         src = f"ths{i}"
@@ -308,7 +317,51 @@ def _bpe_arms_sql(k: int = K_BPE) -> str:
     return "\n    UNION ALL".join(out)
 
 
+def _lm_ctes_sql() -> str:
+    """Bigram-LM CTEs for the t01 'lm' arm: counts trained on the
+    doc_id % LM_TRAIN_MOD == 0 slice of the token-hash relation, add-one
+    smoothed log-probs in INTEGER micro-units (round(1e6·ln((c_ab+1)/
+    (c_ctx+V)))) — ln's argument is a ratio of exact integers, so both
+    engines take ln of the identical double and the 1e-6 quantum sits
+    ~9 orders above the last-ulp libm divergence; scores then SUM
+    exactly as bigints (the CCNet-style LM-perplexity quality signal,
+    made cross-engine deterministic)."""
+    return f"""lmbig AS (
+        SELECT doc_id, th[i] AS ha, th[i+1] AS hb
+        FROM ths, UNNEST(range(1, len(th))) AS u(i)
+    ),
+    lmctx AS (
+        SELECT ha, CAST(count(*) AS BIGINT) AS c_ctx
+        FROM lmbig WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY ha
+    ),
+    lmpc AS (
+        SELECT ha, hb, CAST(count(*) AS BIGINT) AS c_ab
+        FROM lmbig WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY ha, hb
+    ),
+    lmv AS (
+        SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+        FROM (SELECT unnest(th) AS u FROM ths
+              WHERE doc_id % {LM_TRAIN_MOD} = 0)
+    ),
+    lmsc AS (
+        SELECT b.doc_id,
+               CAST(sum(CAST(round(1000000.0 * ln(
+                   (coalesce(p.c_ab, 0) + 1)
+                   / CAST(coalesce(c.c_ctx, 0) + v.v AS DOUBLE)
+               )) AS BIGINT)) AS BIGINT) AS score,
+               CAST(sum(CASE WHEN p.c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM lmbig b
+        LEFT JOIN lmpc p ON b.ha = p.ha AND b.hb = p.hb
+        LEFT JOIN lmctx c ON b.ha = c.ha
+        CROSS JOIN lmv v
+        GROUP BY b.doc_id
+    )"""
+
+
 def _t01_sql() -> str:
+    from ..functions.urls import planted_url_sql, url_table_sql
+
+    url_tbl = url_table_sql("documents", "doc_id", planted_url_sql())
     ct_text = "array_to_string(ct, ' ')"
     return f"""
     WITH toks AS (
@@ -402,7 +455,8 @@ def _t01_sql() -> str:
                               x -> {portable_hash64_sql('x')}) AS th
         FROM toks
     ),
-    {_bpe_ctes_sql()}
+    {_bpe_ctes_sql()},
+    {_lm_ctes_sql()}
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
            {bpe_token_count_sql('text')} AS n_bpe_tokens,
@@ -511,6 +565,44 @@ def _t01_sql() -> str:
             FROM documents
         )
     ) WHERE rnk <= {CAP_N}
+    UNION ALL
+    SELECT 'url', doc_id, CAST(rnk AS INT),
+           n_pop,
+           CAST(CASE WHEN rnk <= {URL_CAP_N} THEN 1 ELSE 0 END AS BIGINT),
+           {portable_hash64_sql('reg_domain')},
+           CAST(length(canon_url) AS BIGINT),
+           round(CAST(least(n_pop, {URL_CAP_N}) AS DOUBLE) / n_pop, 6),
+           {portable_hash64_sql('canon_url')}
+    FROM (
+        SELECT doc_id, canon_url, reg_domain,
+               row_number() OVER (PARTITION BY reg_domain ORDER BY doc_id) AS rnk,
+               count(*) OVER (PARTITION BY reg_domain)::BIGINT AS n_pop
+        FROM ({url_tbl})
+    )
+    UNION ALL
+    SELECT 'encode', t0.doc_id, CAST(NULL AS INT),
+           CAST(len(t0.th) AS BIGINT),
+           CAST(len(tk.th) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           {portable_hash64_sql("coalesce(array_to_string(tk.th, ','), '')")}
+    FROM ths t0 JOIN ths{K_BPE} tk USING (doc_id)
+    UNION ALL
+    SELECT 'lm', doc_id,
+           CAST(CASE WHEN nb = 0 THEN -1
+                ELSE least({LM_BUCKETS - 1}, greatest(0,
+                     CAST(floor((CAST(score AS DOUBLE) / nb + 15000000)
+                                / 1000000.0) AS INT)))
+                END AS INT),
+           nb, n_oov,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CASE WHEN nb = 0 THEN 0.0
+                ELSE round(CAST(score AS DOUBLE) / nb / 1000000.0, 6) END,
+           score
+    FROM (
+        SELECT t.doc_id, greatest(len(t.th) - 1, 0)::BIGINT AS nb,
+               coalesce(s.score, 0) AS score, coalesce(s.n_oov, 0) AS n_oov
+        FROM ths t LEFT JOIN lmsc s ON t.doc_id = s.doc_id
+    )
     UNION ALL{_bpe_arms_sql()}
     """
 
@@ -539,7 +631,20 @@ def t01_token_stats(spark, sf_dir):
     keys are all value-gated) + model-based quality scoring ('score'
     arm: fastText-style linear classifier over hashed token features —
     exact bigint sparse dot product per doc, one map-side-combined
-    groupBy)."""
+    groupBy).
+
+    NEW (r8): 'url' — URL canonicalization + registered-domain
+    extraction feeding a per-domain cap (functions/urls.py; planted
+    deterministic URLs exercise every rule; the canonical-string
+    fingerprint is the gate); 'encode' — the corpus-scale application
+    of the trained BPE vocab (per-doc before/after counts + the exact
+    encoded sequence fingerprint; the trainer relation now carries
+    short docs through so the final merged relation IS the complete
+    encoded corpus); 'lm' — bigram-LM perplexity quality scoring
+    (CCNet-style), counts trained on the doc_id % 9 slice, add-one
+    smoothed log-probs in integer micro-units for cross-engine
+    determinism, per-doc score + OOV count + fixed-threshold bucket.
+    Each has a pure-python reference test in tests/test_text.py."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # per-doc stats materialize ONCE (numeric columns only — the text is
     # projected away, so this is a few MB at any corpus size): the 'doc'
@@ -864,6 +969,49 @@ def t01_token_stats(spark, sf_dir):
             portable_hash64("source").alias("fp"),
         )
     )
+    # 'url' arm: URL CANONICALIZATION + REGISTERED-DOMAIN CAP — the
+    # first grouping key of a web-corpus pipeline (the CCNet/RefinedWeb
+    # per-domain quota), on planted deterministic URLs (the corpus has
+    # no URL column; same plant pattern as t02's PII/boilerplate — the
+    # plant exercises every canonicalization rule: mixed case, www,
+    # default/non-default ports, multi-part public suffixes, tracking
+    # params incl. all-tracking queries, fragments, empty paths).
+    # Canonicalize + domain-extract are pure row-local expressions
+    # (functions/urls.py); the ONLY exchange is the per-domain window —
+    # the shape a per-domain cap has at any scale (a skewed mega-domain
+    # is AQE skew-split territory, SCALING.md). Column meanings:
+    # chunk_id ≡ rank within domain, n_tokens ≡ domain population,
+    # n_bpe_tokens ≡ kept-under-cap flag, n_chars ≡ hash64(reg_domain),
+    # n_unique ≡ length(canon_url), punct_ratio ≡ kept fraction, fp ≡
+    # hash64(canon_url) — the fingerprint IS the canonicalization gate.
+    from ..functions.urls import planted_url, with_url_columns
+
+    urls_df = with_url_columns(
+        docs.select("doc_id", planted_url("doc_id", "source").alias("_url")), "_url"
+    )
+    wdom = Window.partitionBy("reg_domain").orderBy("doc_id")
+    url_arm = (
+        urls_df.withColumn("rnk", F.row_number().over(wdom))
+        .withColumn(
+            "n_pop",
+            F.count(F.lit(1)).over(Window.partitionBy("reg_domain")).cast("bigint"),
+        )
+        .select(
+            F.lit("url").alias("which"),
+            "doc_id",
+            F.col("rnk").cast("int").alias("chunk_id"),
+            F.col("n_pop").alias("n_tokens"),
+            (F.col("rnk") <= URL_CAP_N).cast("bigint").alias("n_bpe_tokens"),
+            portable_hash64("reg_domain").alias("n_chars"),
+            F.length("canon_url").cast("bigint").alias("n_unique"),
+            F.round(
+                F.least(F.col("n_pop"), F.lit(URL_CAP_N).cast("bigint")).cast("double")
+                / F.col("n_pop"),
+                6,
+            ).alias("punct_ratio"),
+            portable_hash64("canon_url").alias("fp"),
+        )
+    )
     # 'merge' arm: BPE-training merge candidates (see the arm comment).
     # Pairs explode row-locally off the bound token column and compress
     # to 60-bit hashes before the ONE count shuffle; Σcounts comes from
@@ -1000,11 +1148,17 @@ def t01_token_stats(spark, sf_dir):
         # materializing the merged-array relation wins over recomputing
         # the positional transform into each consumer (A/B at sf0.1:
         # 7.9-8.5 s materialized vs 8.7-9.3 s recomputed, frozen and
-        # full both) — the array rewrite is the trainer's hot loop
+        # full both) — the array rewrite is the trainer's hot loop.
+        # Short docs pass through unmerged (CASE, matching the SQL twin)
+        # so the final relation is the COMPLETE encoded corpus.
         ths_cur = materialize(
-            ths_cur.where(F.size("th") >= 2)
-            .crossJoin(F.broadcast(winner.select("ar", "br", "nid")))
-            .select("doc_id", F.expr(apply_expr).alias("th"))
+            ths_cur.crossJoin(F.broadcast(winner.select("ar", "br", "nid")))
+            .select(
+                "doc_id",
+                F.when(F.size("th") >= 2, F.expr(apply_expr))
+                .otherwise(F.col("th"))
+                .alias("th"),
+            )
         )
         aggs[i] = _bigram_agg(ths_cur)
 
@@ -1027,11 +1181,129 @@ def t01_token_stats(spark, sf_dir):
                 F.col("nid").alias("fp"),
             )
         )
+    # 'encode' arm: the corpus-scale APPLICATION of the trained vocab —
+    # the pass a pipeline runs nightly over new data. BPE encoding IS
+    # the merge list applied in training order, which is exactly what
+    # the trainer's per-iteration positional transform computed, and
+    # since round 8 the relation carries short docs through unchanged —
+    # so ths_cur after the k-1 winner applications is the COMPLETE
+    # encoded corpus. Gate per-doc before/after token counts and the
+    # full encoded-sequence fingerprint (comma-joined decimal render,
+    # identical on both engines) against the oracle's ths{k}. One
+    # doc-keyed join of two already-materialized doc-sized relations.
+    encode_arm = (
+        thd.select("doc_id", F.size("th").cast("bigint").alias("_n0"))
+        .join(ths_cur, "doc_id")
+        .select(
+            F.lit("encode").alias("which"),
+            "doc_id",
+            F.lit(None).cast("int").alias("chunk_id"),
+            F.col("_n0").alias("n_tokens"),
+            F.size("th").cast("bigint").alias("n_bpe_tokens"),
+            F.lit(None).cast("bigint").alias("n_chars"),
+            F.lit(None).cast("bigint").alias("n_unique"),
+            F.lit(None).cast("double").alias("punct_ratio"),
+            portable_hash64(
+                F.array_join(F.transform("th", lambda x: x.cast("string")), ",")
+            ).alias("fp"),
+        )
+    )
+    # 'lm' arm: BIGRAM-LM PERPLEXITY quality score (the CCNet-style
+    # signal; the 'score' arm is its linear-classifier counterpart).
+    # Counts train on the doc_id % LM_TRAIN_MOD slice; every doc is
+    # scored by add-one-smoothed log-probs in integer micro-units (see
+    # _lm_ctes_sql for the cross-engine determinism argument). Shuffle
+    # shape: the bigram relation moves as 3 bigints and is materialized
+    # once for its three consumers; count relations are vocab-sized and
+    # join on the hash keys (co-located at scale, broadcast at gate
+    # scale — AQE's call); text never rides anything.
+    lmbig = materialize(
+        thd.where(F.size("th") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(th) - 1),"
+                    " i -> struct(element_at(th, i) AS ha,"
+                    " element_at(th, i + 1) AS hb))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.ha", "p.hb")
+    )
+    lm_train = lmbig.where(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    lmctx = lm_train.groupBy("ha").agg(F.count(F.lit(1)).cast("bigint").alias("c_ctx"))
+    lmpc = lm_train.groupBy("ha", "hb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    lmv = (
+        thd.where(F.col("doc_id") % LM_TRAIN_MOD == 0)
+        .select(F.explode("th").alias("u"))
+        .agg(F.count_distinct("u").cast("bigint").alias("v"))
+    )
+    lp = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (F.coalesce("c_ab", F.lit(0)) + 1)
+            / (F.coalesce("c_ctx", F.lit(0)) + F.col("v")).cast("double")
+        ),
+        0,
+    ).cast("bigint")
+    lmsc = (
+        lmbig.join(lmpc, ["ha", "hb"], "left")
+        .join(lmctx, "ha", "left")
+        .join(F.broadcast(lmv))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(lp).cast("bigint").alias("score"),
+            F.sum(F.when(F.col("c_ab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    lm_doc = (
+        thd.select(
+            "doc_id",
+            F.greatest(F.size("th") - 1, F.lit(0)).cast("bigint").alias("nb"),
+        )
+        .join(lmsc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "nb",
+            F.coalesce("score", F.lit(0)).cast("bigint").alias("score"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        )
+    )
+    lm_avg = F.col("score").cast("double") / F.col("nb")
+    lm_arm = lm_doc.select(
+        F.lit("lm").alias("which"),
+        "doc_id",
+        F.when(F.col("nb") == 0, F.lit(-1))
+        .otherwise(
+            F.least(
+                F.lit(LM_BUCKETS - 1),
+                F.greatest(
+                    F.lit(0), F.floor((lm_avg + 15000000) / 1000000.0).cast("int")
+                ),
+            )
+        )
+        .cast("int")
+        .alias("chunk_id"),
+        F.col("nb").alias("n_tokens"),
+        F.col("n_oov").alias("n_bpe_tokens"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit(None).cast("bigint").alias("n_unique"),
+        F.when(F.col("nb") == 0, F.lit(0.0))
+        .otherwise(F.round(lm_avg / 1000000.0, 6))
+        .alias("punct_ratio"),
+        F.col("score").alias("fp"),
+    )
     return (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
-        .unionAll(funnel_arm).unionAll(cap_arm)
+        .unionAll(funnel_arm).unionAll(cap_arm).unionAll(url_arm)
         .unionAll(merge_arm).unionAll(merge2_arm).unionAll(mergek_arm)
+        .unionAll(encode_arm).unionAll(lm_arm)
     )
 
 
