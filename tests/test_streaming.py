@@ -597,3 +597,71 @@ def test_stream_asof_pre_epoch_click(spark, tmp_path):
     # the pre-epoch click is dropped by the ENGINE's late-data filter
     # (watermark clamped at epoch 0), so the purchase seals unmatched
     assert got == {2: None}, got
+
+
+def test_maintain_cluster_stream_equals_full_recompute(spark, tmp_path):
+    """The dedup-cluster DECISION store maintained under an availableNow
+    edge stream (maxFilesPerTrigger=1, so batches really run separately)
+    must equal a full recompute: labels = CC fixpoint over all edges,
+    rep = argmax(nu, -id) per component, keep = (doc == rep). Batch 1
+    deliberately merges two components formed in batch 0 through a new
+    edge (the cascade case) and introduces brand-new docs."""
+    from wfc3_cte_monitor_spark.streaming.incremental import maintain_cluster_stream
+
+    nu = {v: (v * 7) % 5 + 1 for v in range(30)}
+    docs_nu = spark.createDataFrame(
+        [(v, nu[v]) for v in range(30)], "doc_id long, nu long"
+    )
+    b0 = [(1, 2), (2, 3), (10, 11), (15, 16)]
+    b1 = [(3, 10), (4, 5), (11, 18), (16, 15)]  # merge {1,2,3}+{10,11}; dup edge
+    inbox = tmp_path / "edges"
+    spark.createDataFrame(b0, "src long, dst long").coalesce(1).write.parquet(
+        str(inbox / "b0")
+    )
+    spark.createDataFrame(b1, "src long, dst long").coalesce(1).write.parquet(
+        str(inbox / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(inbox))
+    )
+    q = maintain_cluster_stream(
+        spark, stream, docs_nu,
+        store_path=str(tmp_path / "clusters"),
+        checkpoint=str(tmp_path / "ckpt_clusters"),
+    ).start()
+    assert q.awaitTermination(240)
+
+    # pure-python full recompute over the union of all edges
+    all_edges = b0 + b1
+    verts = sorted({v for e in all_edges for v in e})
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in all_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {v: find(v) for v in verts}
+    members: dict[int, list[int]] = {}
+    for v, l in label.items():
+        members.setdefault(l, []).append(v)
+    rep = {l: max(ms, key=lambda v: (nu[v], -v)) for l, ms in members.items()}
+    want = {
+        v: (label[v], nu[v], rep[label[v]], 1 if v == rep[label[v]] else 0)
+        for v in verts
+    }
+
+    got = {
+        r["doc_id"]: (r["label"], r["nu"], r["rep_id"], r["keep"])
+        for r in spark.read.parquet(str(tmp_path / "clusters")).collect()
+    }
+    assert got == want

@@ -223,3 +223,89 @@ def maintain_trend_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def maintain_cluster_stream(
+    spark: SparkSession,
+    edges_stream: DataFrame,
+    docs_nu: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+):
+    """Incrementally maintain the dedup-cluster DECISION store —
+    ``(doc_id, label, nu, rep_id, keep)`` — under a stream of verified
+    near-dup edges: the streaming twin of the d02 'incr_cc' arm and the
+    last member of the repo's incremental family (Results store, trend
+    store, d01 fingerprint store, e01 quantizer, dedup clusters).
+
+    Each micro-batch of undirected ``(src, dst)`` pairs:
+
+    1. self-registers endpoints not yet in the store (label = rep = the
+       doc itself, ``nu`` looked up in ``docs_nu`` — satisfying the
+       enforced ``incremental_components_with_reps`` contract). The
+       membership probe uses the store-streams trick: store ⋈
+       broadcast(endpoints) → found, then endpoints ∖ found — the
+       corpus-sized store is scanned, never exchanged;
+    2. merges components through the contracted graph and re-elects
+       representatives from the merged old winners
+       (``incremental_components_with_reps`` — work ∝ batch);
+    3. overwrites the parquet store (materialized eagerly first: the
+       merged plan lazily reads the store being replaced —
+       read-then-overwrite hygiene, same as the Results path; a table
+       format with real MERGE removes the full rewrite at scale).
+
+    Idempotent under replay: re-merging already-merged edges reaches the
+    same fixpoint and re-elects the same winners, so re-processing a
+    batch rewrites the same rows — exactly-once per batch under
+    checkpointing. Batch ORDER is immaterial too: component merging and
+    argmax re-election are commutative, so any arrival interleaving of
+    the same edge set converges to the same store (tested against a
+    full recompute in tests/test_streaming.py)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.connected_components import incremental_components_with_reps
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        both = (
+            batch_df.select("src", "dst")
+            .unionByName(
+                batch_df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+        )
+        endpoints = both.select(F.col("src").alias(id_col)).distinct()
+        try:
+            store = spark.read.parquet(store_path).select(
+                id_col, "label", "nu", "rep_id"
+            )
+        except AnalysisException:
+            # ONLY path-not-found bootstraps an empty store (same guard
+            # as the Results path)
+            store = None
+        if store is None:
+            new_ids = endpoints
+        else:
+            found = (
+                store.select(id_col)
+                .join(F.broadcast(endpoints), id_col)
+                .select(id_col)
+            )
+            new_ids = endpoints.join(found, id_col, "left_anti")
+        new_rows = new_ids.join(docs_nu, id_col).select(
+            F.col(id_col),
+            F.col(id_col).alias("label"),
+            F.col("nu"),
+            F.col(id_col).alias("rep_id"),
+        )
+        seeded = new_rows if store is None else store.unionByName(new_rows)
+        maintained = incremental_components_with_reps(seeded, both, id_col=id_col)
+        maintained.transform(materialize, eager=True).write.mode("overwrite").parquet(
+            store_path
+        )
+
+    return (
+        edges_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
