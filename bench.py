@@ -66,19 +66,17 @@ HEADLINE = [
 FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
     # r8 boundary: the r7 arm set is the frozen set (r7's additions —
     # d02 'incr_cc', t01 'mergeK', t02 'tri' — are IN it now; compare
-    # r8's frozen_total to BENCH_r07.json's total, 74.2s). r8 additions
-    # excluded below:
-    #   t01: 'encode' (corpus-scale vocab application), 'lm' (bigram-LM
-    #        perplexity scoring)
-    #   t02: 'url' pseudo-arm (URL canonicalization + registered-domain
-    #        columns; t02 has no `which` column — pseudo-arms are
-    #        consumed only via registry.set_arm_filter inside the query)
+    # r8's frozen_total to BENCH_r07.json's total, 74.2s). Only t01
+    # gained arms in r8 ('url' per-domain cap, 'encode' vocab
+    # application, 'lm' bigram-LM perplexity), so only t01 needs a
+    # #frozen twin; d02's 'incr_cc' changed IMPLEMENTATION (rep
+    # maintenance) but not arm set — that cost is exactly what the
+    # frozen subtotal should see.
     "t01_token_stats": (
         "which",
         ("doc", "chunk", "pack", "mix", "score", "sample", "funnel",
          "cap", "merge", "merge2", "mergeK"),
     ),
-    "t02_text_profile": ("which", ("base", "tri")),
 }
 
 # HOST-DRIFT SENTINEL (r7 verdict ask #2): a PINNED workload — fixed
