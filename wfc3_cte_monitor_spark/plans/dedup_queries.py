@@ -432,8 +432,15 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     # hash-matches (label, rep_id, keep) against the oracle's full
     # recompute + full re-election.
     is_delta_edge = (F.col("src") % 7 == 0) | (F.col("dst") % 7 == 0)
-    base_labels = connected_components(
-        docs.select("doc_id"), edges.where(~is_delta_edge)
+    # base_labels feeds TWO consumers (the election agg and the store
+    # projection) and base_store THREE more (remap lookup, winner
+    # filter, final remap join) plus the eager construction probes —
+    # materialize both or the base CC's final join re-executes once per
+    # consumer. force=True: the downstream _component_remap collects
+    # convergence sums during CONSTRUCTION (see checkpointing.py).
+    base_labels = materialize(
+        connected_components(docs.select("doc_id"), edges.where(~is_delta_edge)),
+        force=True,
     )
     nu_rel = toks.select("doc_id", F.size("t").cast("bigint").alias("nu"))
     base_reps = (
@@ -441,9 +448,10 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
         .groupBy("label")
         .agg((-F.max(F.struct(F.col("nu"), (-F.col("doc_id")).alias("nid")))["nid"]).alias("rep_id"))
     )
-    base_store = (
+    base_store = materialize(
         base_labels.join(nu_rel, "doc_id").join(base_reps, "label")
-        .select("doc_id", "label", "nu", "rep_id")
+        .select("doc_id", "label", "nu", "rep_id"),
+        force=True,
     )
     maintained = incremental_components_with_reps(
         base_store, edges.where(is_delta_edge)
