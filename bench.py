@@ -71,7 +71,8 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
     # application, 'lm' bigram-LM perplexity), so only t01 needs a
     # #frozen twin; d02's 'incr_cc' changed IMPLEMENTATION (rep
     # maintenance) but not arm set — that cost is exactly what the
-    # frozen subtotal should see.
+    # frozen subtotal should see. t01's r8 arms: 'url', 'encode',
+    # 'lm', 'rank'.
     "t01_token_stats": (
         "which",
         ("doc", "chunk", "pack", "mix", "score", "sample", "funnel",

@@ -773,3 +773,57 @@ def test_lm_arm_matches_python_reference(spark, sf_smoke):
             want_b = min(LM_BUCKETS - 1, max(0, math.floor((avg + 15e6) / 1e6)))
             assert r.chunk_id == want_b, (d, r.chunk_id, want_b)
             assert abs(r.punct_ratio - avg / 1e6) <= 1e-6, d
+
+
+def test_rank_arm_matches_python_reference(spark, sf_smoke):
+    """t01 'rank' arm: the planted domain link graph and the k-iteration
+    integer PageRank must match integer_pagerank_py exactly (masses,
+    penultimate masses, in/out degrees) — the all-integer recurrence is
+    the cross-engine determinism contract."""
+    import hashlib
+
+    from wfc3_cte_monitor_spark.functions.urls import canonicalize_py
+    from wfc3_cte_monitor_spark.operators.pagerank import (
+        PR_SCALE,
+        integer_pagerank_py,
+    )
+    from wfc3_cte_monitor_spark.plans.text_queries import PR_K, t01_token_stats
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_smoke, "documents").select("doc_id", "source").collect()
+    }
+    dom = {d: canonicalize_py(_py_planted_url(d, s))[1] for d, s in docs.items()}
+    n = len(docs)
+    links: dict = {}
+    for d in docs:
+        t = (d * 131 + 7) % n
+        if t in dom and dom[d] != dom[t]:
+            links[(dom[d], dom[t])] = links.get((dom[d], dom[t]), 0) + 1
+    edges = [(s, t, w) for (s, t), w in links.items()]
+    want = integer_pagerank_py(edges, k=PR_K)
+    outw: dict = {}
+    indeg: dict = {}
+    for s, t, w in edges:
+        outw[s] = outw.get(s, 0) + w
+        indeg[t] = indeg.get(t, 0) + 1
+
+    rows = {
+        r.doc_id: r
+        for r in t01_token_stats(spark, sf_smoke).where("which = 'rank'").collect()
+    }
+    assert set(rows) == {h64(v) for v in want}
+    for v, (mass, prev) in want.items():
+        r = rows[h64(v)]
+        assert r.n_chars == mass, (v, r.n_chars, mass)
+        assert r.fp == prev, (v, r.fp, prev)
+        assert r.n_tokens == outw.get(v, 0), v
+        assert r.n_bpe_tokens == indeg.get(v, 0), v
+        assert abs(r.punct_ratio - mass / PR_SCALE) <= 1e-6, v
+    # sanity: rank mass is conserved up to deterministic flooring leak
+    total = sum(m for m, _ in want.values())
+    assert 0 < total <= PR_SCALE

@@ -224,6 +224,7 @@ CAP_N = 2              # per-source quota ('cap' arm) — binds at every sf
 URL_CAP_N = 3          # per-REGISTERED-DOMAIN quota ('url' arm)
 LM_TRAIN_MOD = 9       # bigram-LM train slice: doc_id % 9 == 0 ('lm' arm)
 LM_BUCKETS = 20        # fixed-threshold perplexity buckets ('lm' arm)
+PR_K = 5               # PageRank power iterations ('rank' arm)
 _PAIR_PACK = 1 << 30   # pair key = (ha % 2^30)·2^30 + hb % 2^30, < 2^60
 
 
@@ -360,8 +361,10 @@ def _lm_ctes_sql() -> str:
 
 def _t01_sql() -> str:
     from ..functions.urls import planted_url_sql, url_table_sql
+    from ..operators.pagerank import integer_pagerank_ctes_sql
 
     url_tbl = url_table_sql("documents", "doc_id", planted_url_sql())
+    pr_ctes = integer_pagerank_ctes_sql("prlinks", k=PR_K)
     ct_text = "array_to_string(ct, ' ')"
     return f"""
     WITH toks AS (
@@ -456,7 +459,21 @@ def _t01_sql() -> str:
         FROM toks
     ),
     {_bpe_ctes_sql()},
-    {_lm_ctes_sql()}
+    {_lm_ctes_sql()},
+    urlt AS ({url_tbl}),
+    prcnt AS (SELECT CAST(count(*) AS BIGINT) AS _c FROM documents),
+    prlinks AS (
+        SELECT a.reg_domain AS src, b.reg_domain AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM (SELECT doc_id, reg_domain, (doc_id * 131 + 7) % _c AS _t
+              FROM urlt, prcnt) a
+        JOIN urlt b ON b.doc_id = a._t
+        WHERE a.reg_domain <> b.reg_domain
+        GROUP BY 1, 2
+    ),
+    {pr_ctes},
+    prin AS (SELECT dst, CAST(count(*) AS BIGINT) AS _in FROM prlinks GROUP BY dst),
+    prow AS (SELECT src, CAST(sum(w) AS BIGINT) AS _ow FROM prlinks GROUP BY src)
     SELECT 'doc' AS which, doc_id, CAST(-1 AS INT) AS chunk_id,
            {token_count_sql('text')} AS n_tokens,
            {bpe_token_count_sql('text')} AS n_bpe_tokens,
@@ -577,8 +594,20 @@ def _t01_sql() -> str:
         SELECT doc_id, canon_url, reg_domain,
                row_number() OVER (PARTITION BY reg_domain ORDER BY doc_id) AS rnk,
                count(*) OVER (PARTITION BY reg_domain)::BIGINT AS n_pop
-        FROM ({url_tbl})
+        FROM urlt
     )
+    UNION ALL
+    SELECT 'rank', {portable_hash64_sql('f.node')}, CAST(NULL AS INT),
+           coalesce(o._ow, 0), coalesce(i._in, 0),
+           f.mass, CAST(NULL AS BIGINT),
+           round(CAST(f.mass AS DOUBLE) / 1000000000000.0, 6),
+           f.prev_mass
+    FROM (
+        SELECT k.node, k.mass, p.mass AS prev_mass
+        FROM pr{PR_K} k JOIN pr{PR_K - 1} p ON k.node = p.node
+    ) f
+    LEFT JOIN prow o ON f.node = o.src
+    LEFT JOIN prin i ON f.node = i.dst
     UNION ALL
     SELECT 'encode', t0.doc_id, CAST(NULL AS INT),
            CAST(len(t0.th) AS BIGINT),
@@ -643,7 +672,11 @@ def t01_token_stats(spark, sf_dir):
     encoded corpus); 'lm' — bigram-LM perplexity quality scoring
     (CCNet-style), counts trained on the doc_id % 9 slice, add-one
     smoothed log-probs in integer micro-units for cross-engine
-    determinism, per-doc score + OOV count + fixed-threshold bucket.
+    determinism, per-doc score + OOV count + fixed-threshold bucket;
+    'rank' — domain-level link-graph PAGERANK over a planted citation
+    graph (operators/pagerank.py: all-integer power iterations,
+    node-scale joins, corpus touched once for edge derivation; final +
+    penultimate masses, in/out degrees gated).
     Each has a pure-python reference test in tests/test_text.py."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # per-doc stats materialize ONCE (numeric columns only — the text is
@@ -1012,6 +1045,56 @@ def t01_token_stats(spark, sf_dir):
             portable_hash64("canon_url").alias("fp"),
         )
     )
+    # 'rank' arm: domain-level LINK-GRAPH PAGERANK (the Common-Crawl
+    # "rank domains, filter the tail" quality signal) over a planted
+    # deterministic link graph: doc d cites doc (131·d + 7) mod N (N
+    # riding a broadcast 1-row count — no collect), edges lift to
+    # (src_domain → dst_domain) with multiplicity weights, and
+    # operators/pagerank.integer_pagerank runs k=PR_K all-integer power
+    # iterations (masses in micro-units, floor-per-edge distribution —
+    # bit-identical cross-engine, see the operator docstring). The
+    # corpus appears ONCE (edge derivation: a projection + one
+    # self-join on the computed citation id); every iteration is
+    # node-scale. Column meanings: doc_id ≡ hash64(domain), n_tokens ≡
+    # out-weight, n_bpe_tokens ≡ in-edge count, n_chars ≡ final mass,
+    # punct_ratio ≡ mass/scale, fp ≡ penultimate mass (gating the
+    # convergence trajectory, not just the endpoint).
+    from ..operators.pagerank import PR_SCALE, integer_pagerank
+
+    cnt_rel = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    link_a = urls_df.select("doc_id", F.col("reg_domain").alias("_sdom"))
+    link_b = urls_df.select(
+        F.col("doc_id").alias("_t"), F.col("reg_domain").alias("_ddom")
+    )
+    links = (
+        link_a.join(F.broadcast(cnt_rel))
+        .withColumn("_t", F.expr("(doc_id * 131 + 7) % _c"))
+        .join(link_b, "_t")
+        .where(F.col("_sdom") != F.col("_ddom"))
+        .groupBy(F.col("_sdom").alias("src"), F.col("_ddom").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .transform(materialize)
+    )
+    pr = integer_pagerank(links, k=PR_K, node_col="node")
+    pr_in = links.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("_in"))
+    pr_out = links.groupBy("src").agg(F.sum("w").cast("bigint").alias("_ow"))
+    rank_arm = (
+        pr.join(pr_out.withColumnRenamed("src", "node"), "node", "left")
+        .join(pr_in.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            F.lit("rank").alias("which"),
+            portable_hash64("node").alias("doc_id"),
+            F.lit(None).cast("int").alias("chunk_id"),
+            F.coalesce("_ow", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("_in", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+            F.col("mass").alias("n_chars"),
+            F.lit(None).cast("bigint").alias("n_unique"),
+            F.round(F.col("mass").cast("double") / F.lit(float(PR_SCALE)), 6).alias(
+                "punct_ratio"
+            ),
+            F.col("prev_mass").alias("fp"),
+        )
+    )
     # 'merge' arm: BPE-training merge candidates (see the arm comment).
     # Pairs explode row-locally off the bound token column and compress
     # to 60-bit hashes before the ONE count shuffle; Σcounts comes from
@@ -1302,6 +1385,7 @@ def t01_token_stats(spark, sf_dir):
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
         .unionAll(funnel_arm).unionAll(cap_arm).unionAll(url_arm)
+        .unionAll(rank_arm)
         .unionAll(merge_arm).unionAll(merge2_arm).unionAll(mergek_arm)
         .unionAll(encode_arm).unionAll(lm_arm)
     )
