@@ -827,3 +827,52 @@ def test_rank_arm_matches_python_reference(spark, sf_smoke):
     # sanity: rank mass is conserved up to deterministic flooring leak
     total = sum(m for m, _ in want.values())
     assert 0 < total <= PR_SCALE
+
+
+def test_url_canonicalizer_fuzz_three_engines(spark):
+    """Randomized URL component combinations (beyond the planted set):
+    Spark columns, the DuckDB twin and canonicalize_py must produce
+    identical canonical strings and registered domains."""
+    import random
+
+    import duckdb
+
+    from wfc3_cte_monitor_spark.functions.urls import (
+        canonicalize_py,
+        url_table_sql,
+        with_url_columns,
+    )
+
+    rng = random.Random(20260819)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "www.example.com", "WWW.a.b.CO.UK", "localhost",
+             "sub.host.github.io", "x.org.uk", "a.com.au", "deep.sub.domain.net"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/A/b", "/p?x", "/with%20esc"]
+    queries = ["", "?a=1", "?utm_source=x", "?a=1&utm_b=2&gclid=9&z=3",
+               "?fbclid=only", "?utm_a=1&utm_b=2"]
+    frags = ["", "#f", "#sec?fake=1&utm_x=2"]
+    urls = []
+    for _ in range(120):
+        p = rng.choice(paths)
+        q = rng.choice(queries) if "?" not in p else ""
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + p + q + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, u string")
+    got = {
+        r.id: (r.canon_url, r.reg_domain)
+        for r in with_url_columns(df, "u").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+        + ") AS t(id, u)"
+    )
+    ora = {r[0]: (r[1], r[2]) for r in con.execute(url_table_sql("t", "id", "u")).fetchall()}
+    for i, u in enumerate(urls):
+        py = canonicalize_py(u)
+        assert got[i] == py, (u, got[i], py)
+        assert ora[i] == py, (u, ora[i], py)
