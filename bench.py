@@ -78,6 +78,10 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
         ("doc", "chunk", "pack", "mix", "score", "sample", "funnel",
          "cap", "merge", "merge2", "mergeK"),
     ),
+    # n03 gained the rolling z-score anomaly COLUMNS in r8 ('anom'
+    # pseudo-arm, t02-'tri' pattern: no `which` column, the restriction
+    # acts via set_arm_filter inside the query function).
+    "n03_model_backtest": ("which", ("base",)),
 }
 
 # HOST-DRIFT SENTINEL (r7 verdict ask #2): a PINNED workload — fixed

@@ -148,3 +148,35 @@ def test_coeff_latextable_from_polyfit(spark, domain):
     out = print_coeff_latextable(coeffs, "mode")
     assert out.startswith("\\begin{table}")
     assert "C22" in out and out.count("\\\\") == 10  # header + 9 coeff rows
+
+
+def test_n03_anomaly_zscore_matches_python(spark, sf_smoke):
+    """The rolling z-score anomaly columns: an expanding-window pure-
+    python rederivation over the collected backtest rows must reproduce
+    zscore (to the rounding quantum) and the anomaly flag exactly —
+    strictly-prior-epoch history, n>=3 and positive variance guards."""
+    import math
+
+    from wfc3_cte_monitor_spark.plans.domain_queries import n03_model_backtest
+
+    rows = n03_model_backtest(spark, sf_smoke).collect()
+    assert rows
+    series: dict = {}
+    for r in sorted(rows, key=lambda r: (r.targname, r.aperture, r.fluxbin, r.epoch)):
+        key = (r.targname, r.aperture, r.fluxbin)
+        hist = series.setdefault(key, [])
+        xi = round(r.observed_slope * 1e8)
+        n = len(hist)
+        if n >= 3:
+            s, ss = sum(hist), sum(v * v for v in hist)
+            var = (ss - s * s / n) / (n - 1)
+            if var > 0:
+                z = (xi - s / n) / math.sqrt(var)
+                assert r.zscore is not None and abs(r.zscore - z) <= 1e-6, (key, r.epoch)
+                assert r.anomaly == (1 if abs(z) > 2 else 0), (key, r.epoch)
+            else:
+                assert r.zscore is None and r.anomaly == 0, (key, r.epoch)
+        else:
+            assert r.zscore is None and r.anomaly == 0, (key, r.epoch)
+        hist.append(xi)
+    assert any(r.anomaly == 1 for r in rows)  # the detector actually fires

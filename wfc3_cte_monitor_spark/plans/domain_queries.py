@@ -655,15 +655,51 @@ _N03_APERTURES = (3, 4)
         GROUP BY o.targname, o.epoch, r.aperture, r.fluxbin
     ),
     fit AS ({quadfit_sql("SELECT * FROM trend", x="_x", y="mean_slope",
-                         group_cols=["targname", "aperture", "fluxbin"], round_to=8)})
-    SELECT t.targname, t.epoch, t.aperture, t.fluxbin,
-           t.mean_slope AS observed_slope,
-           {_MODEL_RS} AS model_slope,
-           {_RESID_RS} AS residual,
-           f.num_points AS n_epochs
-    FROM trend t
-    JOIN fit f ON t.targname = f.targname AND t.fluxbin = f.fluxbin
-              AND t.aperture = f.aperture
+                         group_cols=["targname", "aperture", "fluxbin"], round_to=8)}),
+    backtest AS (
+        SELECT t.targname, t.epoch, t.aperture, t.fluxbin,
+               t.mean_slope AS observed_slope,
+               {_MODEL_RS} AS model_slope,
+               {_RESID_RS} AS residual,
+               f.num_points AS n_epochs
+        FROM trend t
+        JOIN fit f ON t.targname = f.targname AND t.fluxbin = f.fluxbin
+                  AND t.aperture = f.aperture
+    ),
+    -- rolling z-score anomaly columns: exact-integer running sums
+    -- (micro-unit slopes) feed double mean/var, so both engines derive
+    -- the identical z (see the Spark twin's comment)
+    anomwin AS (
+        SELECT b.*,
+               CAST(count(*) OVER w AS BIGINT) AS _np,
+               CAST(sum(_xi) OVER w AS BIGINT) AS _s,
+               CAST(sum(_xi * _xi) OVER w AS BIGINT) AS _ss,
+               _xi
+        FROM (
+            SELECT *, CAST(round(observed_slope * 100000000) AS BIGINT) AS _xi
+            FROM backtest
+        ) b
+        WINDOW w AS (PARTITION BY targname, aperture, fluxbin ORDER BY epoch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT targname, epoch, aperture, fluxbin,
+           observed_slope, model_slope, residual, n_epochs,
+           CASE WHEN _np >= 3
+                     AND (CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * _s / _np)
+                         / (_np - 1) > 0
+                THEN round((_xi - CAST(_s AS DOUBLE) / _np)
+                           / sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * _s / _np)
+                                  / (_np - 1)), 6)
+                END AS zscore,
+           CAST(CASE WHEN _np >= 3
+                          AND (CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * _s / _np)
+                              / (_np - 1) > 0
+                     THEN CASE WHEN abs((_xi - CAST(_s AS DOUBLE) / _np)
+                                        / sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * _s / _np)
+                                               / (_np - 1))) > 2
+                               THEN 1 ELSE 0 END
+                     ELSE 0 END AS BIGINT) AS anomaly
+    FROM anomwin
     """,
     tags=("model", "N1", "N2", "W3"),
 )
@@ -671,7 +707,16 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-vs-observation backtest (plot_model_on_reality.py:420-600 /
     solve_for_slope :48-113): fit the slope(t) trend per (target, fluxbin)
     with the closed-form quadratic, evaluate the model at every observed
-    epoch, report predicted vs observed and the residual."""
+    epoch, report predicted vs observed and the residual.
+
+    NEW (r8): rolling z-score ANOMALY DETECTION columns
+    (`zscore`/`anomaly`) — each epoch's observed slope scored against
+    the expanding strictly-prior history of its (target, aperture,
+    fluxbin) series, flagged at |z| > 2 with >= 3 priors: the
+    degradation-break monitoring judgment the reference's authors make
+    by eye on the cte_vs_time plots, as a gated operator (exact
+    integer micro-unit running sums -> identical doubles on both
+    engines; python rederivation in tests/test_trends.py)."""
     from ..functions.model import quadfit_agg
     from .pipeline import compute_results_long
     from .trends import cte_slope_vs_time, epoch_dimension
@@ -700,10 +745,65 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       group_cols=["targname", "aperture", "fluxbin"], round_to=8)
     model = F.col("c0") + F.col("c1") * F.col("_x") + F.col("c2") * F.col("_x") * F.col("_x")
     joined = trend.join(fit, ["targname", "aperture", "fluxbin"])
-    return joined.select(
+    backtest = joined.select(
         "targname", "epoch", "aperture", "fluxbin",
         F.col("mean_slope").alias("observed_slope"),
         round_stable(model, 8).alias("model_slope"),
         round_stable(F.col("mean_slope") - round_stable(model, 8), 8).alias("residual"),
         F.col("num_points").alias("n_epochs"),
+    )
+    # ROLLING Z-SCORE ANOMALY DETECTION — the monitoring op this whole
+    # pipeline exists for (the reference's authors eyeball
+    # cte_vs_time plots for degradation breaks; this is that judgment
+    # as an operator): per (target, aperture, fluxbin) series ordered
+    # by epoch, each epoch's observed slope is scored against the
+    # EXPANDING history of strictly-prior epochs (rows-frame window,
+    # never the current row — no self-leakage), flagged when |z| > 2
+    # with at least 3 priors. Cross-engine determinism: slopes are
+    # already 8dp-rounded, so micro-unit ints CAST(round(x·1e8)) are
+    # exact; the running sum/sumsq windows aggregate INTEGERS (exact,
+    # order-free); mean/var/z are then doubles derived from identical
+    # exact ints on both engines. One extra window over the (tiny)
+    # trend-grain relation — at any corpus size this is the same
+    # per-series shuffle the backtest join already pays.
+    # 'anom' pseudo-arm (t02-'tri' pattern): the frozen-arm bench pass
+    # restricts to 'base' via registry.set_arm_filter; n03 has no
+    # `which` column, so the filter acts here at construction.
+    from pyspark.sql import Window as W
+
+    from .registry import active_arms
+
+    arms = active_arms("n03_model_backtest")
+    if arms is not None and "anom" not in arms:
+        return backtest.select(
+            "*",
+            F.lit(None).cast("double").alias("zscore"),
+            F.lit(None).cast("bigint").alias("anomaly"),
+        )
+    w = (
+        W.partitionBy("targname", "aperture", "fluxbin")
+        .orderBy("epoch")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    withxi = backtest.withColumn(
+        "_xi", F.expr("CAST(round(observed_slope * 100000000) AS BIGINT)")
+    )
+    stats = (
+        withxi.withColumn("_np", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("_s", F.sum("_xi").over(w).cast("bigint"))
+        .withColumn("_ss", F.sum(F.col("_xi") * F.col("_xi")).over(w).cast("bigint"))
+    )
+    var = (F.col("_ss").cast("double") - F.col("_s").cast("double") * F.col("_s") / F.col("_np")) / (
+        F.col("_np") - 1
+    )
+    z = (F.col("_xi") - F.col("_s").cast("double") / F.col("_np")) / F.sqrt(var)
+    ok = (F.col("_np") >= 3) & (var > 0)
+    return stats.select(
+        "targname", "epoch", "aperture", "fluxbin",
+        "observed_slope", "model_slope", "residual", "n_epochs",
+        F.when(ok, F.round(z, 6)).alias("zscore"),
+        F.when(ok, F.when(F.abs(z) > 2, 1).otherwise(0))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("anomaly"),
     )
