@@ -65,7 +65,11 @@ def integer_pagerank(
         .transform(materialize)
     )
     n_rel = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("_W"))
+    # consumed once per iteration — truncate so round i doesn't re-run
+    # the out-weight agg over the edge lineage i times
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("bigint").alias("_W")
+    ).transform(materialize)
     base = F.expr(f"({scale} * {100 - damp}) DIV (100 * _n)")
     mass = nodes.join(F.broadcast(n_rel)).select(
         node_col, F.expr(f"{scale} DIV _n").alias("mass")
