@@ -665,3 +665,82 @@ def test_maintain_cluster_stream_equals_full_recompute(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "clusters")).collect()
     }
     assert got == want
+
+
+def test_stream_topk_mg_matches_python_and_bounds(spark, sf_smoke, tmp_path):
+    """Bounded-state streaming heavy hitters: the Misra-Gries summary
+    maintained across two real micro-batches (maxFilesPerTrigger=1)
+    must equal a pure-python fold of the SAME ingestion order, and both
+    classic error bounds must hold against exact counts:
+    est <= true <= est + n/(capacity+1), with every user whose true
+    count exceeds n/(capacity+1) present in the summary."""
+    from wfc3_cte_monitor_spark.sources.catalog import load_table
+    from wfc3_cte_monitor_spark.streaming.stateful import (
+        misra_gries_py,
+        stream_topk_mg,
+    )
+
+    CAP = 8
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    ).cache()
+    cut = ev.selectExpr("percentile(event_id, 0.5) AS c").collect()[0]["c"]
+    inbox = tmp_path / "tk"
+    ev.where(F.col("event_id") <= cut).coalesce(1).write.parquet(str(inbox / "b0"))
+    ev.where(F.col("event_id") > cut).coalesce(1).write.parquet(str(inbox / "b1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(inbox))
+    )
+    q = (
+        stream_topk_mg(stream, capacity=CAP)
+        .writeStream.format("memory")
+        .queryName("stream_topk")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+
+    out = spark.sql("SELECT * FROM stream_topk").collect()
+    assert out
+    # latest emission per event_type = the max-n_seen rows
+    final_n = {}
+    for r in out:
+        final_n[r.event_type] = max(final_n.get(r.event_type, 0), r.n_seen)
+    got = {
+        et: {r.user_id: r.est_count for r in out
+             if r.event_type == et and r.n_seen == n}
+        for et, n in final_n.items()
+    }
+    rows = [(r.event_id, r.ts, r.user_id, r.event_type) for r in ev.collect()]
+    by_type: dict = {}
+    for e, t, u, et in rows:
+        by_type.setdefault(et, {"b0": [], "b1": []})[
+            "b0" if e <= cut else "b1"
+        ].append((t, e, u))
+    for et, batches in by_type.items():
+        seq0 = [u for _, _, u in sorted(batches["b0"])]
+        seq1 = [u for _, _, u in sorted(batches["b1"])]
+        # the file source's batch order isn't contractual — the stream
+        # must equal the python fold of ONE of the two possible orders
+        cands = {
+            "b0-first": misra_gries_py(seq0 + seq1, CAP),
+            "b1-first": misra_gries_py(seq1 + seq0, CAP),
+        }
+        assert got[et] in cands.values(), (et, got[et], cands)
+
+        # error bounds vs exact counts (order-independent)
+        exact: dict = {}
+        for u in seq0 + seq1:
+            exact[u] = exact.get(u, 0) + 1
+        slack = len(seq0 + seq1) // (CAP + 1)
+        for u, est in got[et].items():
+            assert est <= exact[u] <= est + slack, (et, u)
+        for u, c in exact.items():
+            if c > slack:
+                assert u in got[et], (et, u, c, slack)

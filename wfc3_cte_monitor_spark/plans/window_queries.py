@@ -71,6 +71,15 @@ from .registry import register
 #                     sum_value = the raw HLL estimate (round 6),
 #                     bit-exact cross-engine via the integer harmonic
 #                     sum Σ 2^(55-M).
+#   kind='topk'     — per-event-type top-3 users by event count
+#                     (deterministic count-desc/user-asc tiebreak): the
+#                     EXACT batch twin of the bounded-state streaming
+#                     heavy-hitter operator (streaming/stateful.
+#                     stream_topk_mg — a Misra-Gries summary with at
+#                     most `capacity` counters per key, the O(keys×cap)
+#                     state shape an unbounded stream needs;
+#                     stream-vs-python-fold equivalence and both MG
+#                     error bounds audited in tests/test_streaming.py).
 #   kind='dedup'    — batch twin of the watermarked stateful dedup
 #                     (streaming/events.stream_dedup /
 #                     dropDuplicatesWithinWatermark): the events corpus
@@ -267,8 +276,18 @@ from .registry import register
         )
         GROUP BY 1, 2
     )
+    UNION ALL
+    SELECT 'topk', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           event_type || ':' || CAST(user_id AS VARCHAR),
+           cnt, CAST(rnk AS DOUBLE)
+    FROM (
+        SELECT event_type, user_id, count(*)::BIGINT AS cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY count(*) DESC, user_id) AS rnk
+        FROM events GROUP BY event_type, user_id
+    ) WHERE rnk <= 3
     """,
-    tags=("streaming", "window", "session", "hll"),
+    tags=("streaming", "window", "session", "hll", "topk"),
 )
 def ev01_event_windows(spark, sf_dir):
     """Tumbling, sliding, and session event-time windows — the identical
@@ -600,9 +619,35 @@ def ev01_event_windows(spark, sf_dir):
         F.col("exact_u").alias("n_events"),
         F.round(F.lit(HLLW_EST_NUM) / hzint.cast("double"), 6).alias("sum_value"),
     )
+    # 'topk' — per-event-type top-3 users by event count (deterministic
+    # tiebreak: count desc, user_id asc): the EXACT batch twin of the
+    # bounded-state streaming heavy-hitter operator
+    # (streaming/stateful.stream_topk_mg, Misra-Gries summary via
+    # applyInPandasWithState — stream-vs-python equivalence and both MG
+    # error bounds audited against THIS arm's exact counts in
+    # tests/test_streaming.py). One user-keyed agg + one per-type
+    # window; at scale the agg is the map-side-combined count and the
+    # window sees only distinct (type, user) rows.
+    from pyspark.sql import Window as W
+
+    wtk = W.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    topk = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(wtk))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.lit("topk").alias("kind"),
+            F.lit(None).cast("timestamp").alias("window_start"),
+            F.lit(None).cast("timestamp").alias("window_end"),
+            F.concat("event_type", F.lit(":"), F.col("user_id").cast("string")).alias("key"),
+            F.col("cnt").alias("n_events"),
+            F.col("rnk").cast("double").alias("sum_value"),
+        )
+    )
     return (
         tumbling.unionAll(sliding).unionAll(session)
         .unionAll(attrib).unionAll(asof).unionAll(resample)
         .unionAll(funnel3).unionAll(cohort).unionAll(profile)
-        .unionAll(dedup).unionAll(hllw)
+        .unionAll(dedup).unionAll(hllw).unionAll(topk)
     )

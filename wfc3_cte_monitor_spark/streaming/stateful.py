@@ -232,3 +232,82 @@ def stream_asof(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- bounded-state streaming heavy hitters (Misra-Gries) ---------------------
+#
+# Exact streaming top-k needs one counter per distinct value — unbounded
+# state. The Misra-Gries summary keeps AT MOST `capacity` counters per
+# key and guarantees (a) any value with true count > n/(capacity+1)
+# is present, and (b) est_count <= true_count <= est_count +
+# n/(capacity+1) — the classic bounded-state heavy-hitter contract, and
+# the shape a 100 TB stream needs (state is O(keys x capacity),
+# independent of stream length). Ingestion order is pinned (each
+# micro-batch sorted by (ts, event_id) before the fold) so the summary
+# is DETERMINISTIC given the batch sequence; the equivalence test folds
+# the same order in pure python and demands exact counter equality, and
+# separately audits both error bounds against exact counts.
+
+TOPK_OUTPUT_SCHEMA = "event_type string, user_id bigint, est_count bigint, n_seen bigint"
+TOPK_STATE_SCHEMA = "users array<bigint>, counts array<bigint>, n_seen bigint"
+
+
+def _topk_update_factory(capacity: int):
+    def _update(key, pdf_iter, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            users, counts, n_seen = state.get
+            ctr = {int(u): int(c) for u, c in zip(users, counts)}
+        else:
+            ctr, n_seen = {}, 0
+        frames = list(pdf_iter)
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for uid in (int(u) for u in batch["user_id"].tolist()):
+                n_seen += 1
+                if uid in ctr:
+                    ctr[uid] += 1
+                elif len(ctr) < capacity:
+                    ctr[uid] = 1
+                else:
+                    # decrement-all; drop zeros; the new item is NOT added
+                    ctr = {u: c - 1 for u, c in ctr.items() if c > 1}
+        us = sorted(ctr)
+        state.update((us, [ctr[u] for u in us], int(n_seen)))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(us),
+                "user_id": us,
+                "est_count": [ctr[u] for u in us],
+                "n_seen": [int(n_seen)] * len(us),
+            }
+        )
+
+    return _update
+
+
+def stream_topk_mg(events: DataFrame, capacity: int = 8) -> DataFrame:
+    """Per event_type, a Misra-Gries heavy-hitter summary of user_ids
+    maintained across micro-batches; each invocation emits the key's
+    full current summary (<= capacity rows) stamped with n_seen, so a
+    consumer takes the max-n_seen emission as the latest."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _topk_update_factory(capacity),
+        TOPK_OUTPUT_SCHEMA,
+        TOPK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def misra_gries_py(values, capacity: int) -> dict:
+    """Pure-python fold of the same summary (the tests' reference)."""
+    ctr: dict = {}
+    for v in values:
+        if v in ctr:
+            ctr[v] += 1
+        elif len(ctr) < capacity:
+            ctr[v] = 1
+        else:
+            ctr = {u: c - 1 for u, c in ctr.items() if c > 1}
+    return ctr
