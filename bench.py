@@ -82,6 +82,12 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
     # pseudo-arm, t02-'tri' pattern: no `which` column, the restriction
     # acts via set_arm_filter inside the query function).
     "n03_model_backtest": ("which", ("base",)),
+    # ev01 gained the 'topk' heavy-hitter arm in r8 (kind column).
+    "ev01_event_windows": (
+        "kind",
+        ("tumbling", "sliding", "session", "attrib", "asof", "resample",
+         "funnel3", "cohort", "profile", "dedup", "hllw"),
+    ),
 }
 
 # HOST-DRIFT SENTINEL (r7 verdict ask #2): a PINNED workload — fixed
