@@ -78,3 +78,22 @@ def test_pagerank_rejects_bad_k(spark):
         integer_pagerank(df, k=0)
     with pytest.raises(ValueError):
         integer_pagerank_ctes_sql("e", k=0)
+
+
+def test_pagerank_weight_cap_enforced_all_twins(spark):
+    """r8 ADVICE: weights past ~1.1e7 overflow int64 in the mass
+    distribution — Spark (non-ANSI) would wrap silently while DuckDB
+    errors. All three twins now clamp w to PR_W_CAP at ingestion, so a
+    pathological multiplicity yields the SAME (finite, positive) masses
+    everywhere instead of divergent failure modes."""
+    from wfc3_cte_monitor_spark.operators.pagerank import PR_W_CAP
+
+    # w far past the documented 2^63/(scale*damp/100) bound; uncapped,
+    # retained*w ≈ 8.5e11 * 2e9 ≈ 1.7e21 >> 2^63
+    e = [(1, 2, 2 * 10**9), (2, 3, 1), (3, 1, PR_W_CAP + 5)]
+    want = integer_pagerank_py(e, k=3)
+    capped = integer_pagerank_py([(s, d, min(w, PR_W_CAP)) for s, d, w in e], k=3)
+    assert want == capped  # the python twin itself clamps
+    assert all(m > 0 for m, _ in want.values())  # no wrap to negatives
+    assert _spark_pr(spark, e, 3) == want
+    assert _duck_pr(e, 3) == want

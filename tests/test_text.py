@@ -800,8 +800,11 @@ def test_rank_arm_matches_python_reference(spark, sf_smoke):
     dom = {d: canonicalize_py(_py_planted_url(d, s))[1] for d, s in docs.items()}
     n = len(docs)
     links: dict = {}
-    for d in docs:
-        t = (d * 131 + 7) % n
+    cite_pairs = [(d, (d * 131 + 7) % n) for d in docs]
+    # the r9 skew family: every third doc also cites (5d+1) mod n,
+    # concentrating extra in-mass on four hub domains
+    cite_pairs += [(d, (d * 5 + 1) % n) for d in docs if d % 3 == 0]
+    for d, t in cite_pairs:
         if t in dom and dom[d] != dom[t]:
             links[(dom[d], dom[t])] = links.get((dom[d], dom[t]), 0) + 1
     edges = [(s, t, w) for (s, t), w in links.items()]
@@ -824,6 +827,11 @@ def test_rank_arm_matches_python_reference(spark, sf_smoke):
         assert r.n_tokens == outw.get(v, 0), v
         assert r.n_bpe_tokens == indeg.get(v, 0), v
         assert abs(r.punct_ratio - mass / PR_SCALE) <= 1e-6, v
+        # r9: the PIPELINE DECISION rides n_unique — kept iff the
+        # domain's mass is at least the uniform share scale/N
+        assert r.n_unique == (1 if mass * len(want) >= PR_SCALE else 0), v
+    assert any(r.n_unique == 1 for r in rows.values())
+    assert any(r.n_unique == 0 for r in rows.values())
     # sanity: rank mass is conserved up to deterministic flooring leak
     total = sum(m for m, _ in want.values())
     assert 0 < total <= PR_SCALE
@@ -876,3 +884,67 @@ def test_url_canonicalizer_fuzz_three_engines(spark):
         py = canonicalize_py(u)
         assert got[i] == py, (u, got[i], py)
         assert ora[i] == py, (u, ora[i], py)
+
+
+def test_bpe_degenerate_corpus_passes_through(spark, tmp_path):
+    """r8 ADVICE: when an iteration has no valid merge pair (here: every
+    doc is a single token, so the bigram relation is EMPTY), the winner
+    relation is empty and the old cross join silently emptied the whole
+    encoded relation. The left-join guard must make every application a
+    no-op instead: the 'encode' arm returns the COMPLETE corpus with
+    after == before counts, and no vocab rows are emitted. Verified on
+    BOTH engines (the DuckDB twin has the same LEFT JOIN ON TRUE guard)."""
+    import duckdb
+
+    from wfc3_cte_monitor_spark.plans.registry import load_all
+
+    n = 24
+    rows = [(i, f"tok{i}", "en", "src%d" % (i % 3), len(f"tok{i}")) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    spec = load_all()["t01_token_stats"]
+    out = spec.fn(spark, str(tmp_path)).where("which in ('encode', 'mergeK')").collect()
+    enc = [r for r in out if r.which == "encode"]
+    assert len(enc) == n, "degenerate corpus must survive the merge loop intact"
+    assert all(r.n_tokens == 1 and r.n_bpe_tokens == 1 for r in enc)
+    assert not [r for r in out if r.which == "mergeK" and (r.chunk_id or 0) < 0], (
+        "no merges exist on a bigram-free corpus"
+    )
+
+    con = duckdb.connect()
+    pq_glob = str(tmp_path / "documents.parquet") + "/*.parquet"
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_glob}')"
+    )
+    oenc = con.execute(
+        f"SELECT * FROM ({spec.oracle}) WHERE which = 'encode'"
+    ).fetchall()
+    assert len(oenc) == n
+
+
+def test_with_url_columns_collision_safety(spark):
+    """r8 ADVICE: the old bare _u/_host… intermediates silently
+    overwrote-and-dropped caller columns. Now caller columns with the
+    old names survive untouched, and the reserved prefix is rejected
+    loudly."""
+    import pytest as _pytest
+
+    from wfc3_cte_monitor_spark.functions.urls import with_url_columns
+
+    df = spark.createDataFrame(
+        [(1, "https://www.a.co.uk/x?utm_source=z&id=1", "keepme", 7)],
+        "id long, u string, _host string, _q long",
+    )
+    out = with_url_columns(df, "u")
+    assert out.columns == ["id", "u", "_host", "_q", "canon_url", "reg_domain"]
+    row = out.collect()[0]
+    assert row["_host"] == "keepme" and row["_q"] == 7
+    assert row["canon_url"] == "https://a.co.uk/x?id=1"
+    assert row["reg_domain"] == "a.co.uk"
+
+    clash = df.withColumn("_wfc3url_u", df.id)
+    with _pytest.raises(ValueError, match="reserved intermediate"):
+        with_url_columns(clash, "u")

@@ -43,6 +43,9 @@ from pyspark.sql import functions as F
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 MULTI_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "github.io")
 
+# reserved prefix for bound intermediate columns (dropped before return)
+_TMP = "_wfc3url"
+
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
@@ -62,25 +65,34 @@ def with_url_columns(
     """Add ``canon_url`` and ``reg_domain`` columns derived from
     ``url_col``. Intermediates are BOUND via withColumn before reuse
     (the CollapseProject lesson from the t02 trigram columns: a lambda
-    or multi-reference over a raw expression re-evaluates it per use)."""
-    parts = df.withColumn("_u", F.regexp_replace(_c(url_col), r"#.*$", ""))
+    or multi-reference over a raw expression re-evaluates it per use).
+    Intermediate names carry a collision-safe prefix and are asserted
+    absent from the input (r8 ADVICE: the old bare ``_u``/``_host``…
+    names silently overwrote-then-dropped caller columns)."""
+    clash = [c for c in df.columns if c.startswith(_TMP)]
+    if clash:
+        raise ValueError(
+            f"with_url_columns: input already has reserved intermediate "
+            f"column(s) {clash} (prefix {_TMP!r})"
+        )
+    parts = df.withColumn(_TMP + "_u", F.regexp_replace(_c(url_col), r"#.*$", ""))
     parts = (
-        parts.withColumn("_scheme", F.lower(F.regexp_extract("_u", _SCHEME_RE, 1)))
-        .withColumn("_hp", F.lower(F.regexp_extract("_u", _HOSTPORT_RE, 1)))
-        .withColumn("_path", F.regexp_extract("_u", _PATH_RE, 1))
-        .withColumn("_q", F.regexp_extract("_u", _QUERY_RE, 1))
+        parts.withColumn(_TMP + "_scheme", F.lower(F.regexp_extract(_TMP + "_u", _SCHEME_RE, 1)))
+        .withColumn(_TMP + "_hp", F.lower(F.regexp_extract(_TMP + "_u", _HOSTPORT_RE, 1)))
+        .withColumn(_TMP + "_path", F.regexp_extract(_TMP + "_u", _PATH_RE, 1))
+        .withColumn(_TMP + "_q", F.regexp_extract(_TMP + "_u", _QUERY_RE, 1))
     )
     parts = parts.withColumn(
-        "_host",
+        _TMP + "_host",
         F.regexp_replace(
-            F.regexp_replace("_hp", r":[0-9]+$", ""), r"^www\.", ""
+            F.regexp_replace(_TMP + "_hp", r":[0-9]+$", ""), r"^www\.", ""
         ),
-    ).withColumn("_port", F.regexp_extract("_hp", r":([0-9]+)$", 1))
+    ).withColumn(_TMP + "_port", F.regexp_extract(_TMP + "_hp", r":([0-9]+)$", 1))
     parts = parts.withColumn(
-        "_cq",
+        _TMP + "_cq",
         F.array_join(
             F.filter(
-                F.split("_q", "&"),
+                F.split(_TMP + "_q", "&"),
                 lambda x: ~reduce(
                     Column.__or__, [x.startswith(p) for p in TRACKING_PREFIXES]
                 ),
@@ -89,32 +101,32 @@ def with_url_columns(
         ),
     )
     default_port = (
-        (F.col("_port") == "")
-        | ((F.col("_scheme") == "http") & (F.col("_port") == "80"))
-        | ((F.col("_scheme") == "https") & (F.col("_port") == "443"))
+        (F.col(_TMP + "_port") == "")
+        | ((F.col(_TMP + "_scheme") == "http") & (F.col(_TMP + "_port") == "80"))
+        | ((F.col(_TMP + "_scheme") == "https") & (F.col(_TMP + "_port") == "443"))
     )
     canon = F.concat(
-        F.col("_scheme"),
+        F.col(_TMP + "_scheme"),
         F.lit("://"),
-        F.col("_host"),
-        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), F.col("_port"))),
-        F.when(F.col("_path") == "", F.lit("/")).otherwise(F.col("_path")),
-        F.when(F.col("_cq") == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), F.col("_cq"))
+        F.col(_TMP + "_host"),
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), F.col(_TMP + "_port"))),
+        F.when(F.col(_TMP + "_path") == "", F.lit("/")).otherwise(F.col(_TMP + "_path")),
+        F.when(F.col(_TMP + "_cq") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col(_TMP + "_cq"))
         ),
     )
     is_multi = reduce(
-        Column.__or__, [F.col("_host").endswith("." + s) for s in MULTI_SUFFIXES]
+        Column.__or__, [F.col(_TMP + "_host").endswith("." + s) for s in MULTI_SUFFIXES]
     )
     dom = (
-        F.when(~F.col("_host").contains("."), F.col("_host"))
-        .when(is_multi, F.regexp_extract("_host", r"([^.]+\.[^.]+\.[^.]+)$", 1))
-        .otherwise(F.regexp_extract("_host", r"([^.]+\.[^.]+)$", 1))
+        F.when(~F.col(_TMP + "_host").contains("."), F.col(_TMP + "_host"))
+        .when(is_multi, F.regexp_extract(_TMP + "_host", r"([^.]+\.[^.]+\.[^.]+)$", 1))
+        .otherwise(F.regexp_extract(_TMP + "_host", r"([^.]+\.[^.]+)$", 1))
     )
     return (
         parts.withColumn(out_canon, canon)
         .withColumn(out_domain, dom)
-        .drop("_u", "_scheme", "_hp", "_host", "_port", "_path", "_q", "_cq")
+        .drop(_TMP + "_u", _TMP + "_scheme", _TMP + "_hp", _TMP + "_host", _TMP + "_port", _TMP + "_path", _TMP + "_q", _TMP + "_cq")
     )
 
 

@@ -19,9 +19,15 @@ generated-CTE chain reproduces the exact masses and the driver's value
 hash can gate them.
 
 Overflow bound: ``mass·damp ≤ scale·damp < 2^50``; ``retained·w`` needs
-``w < 2^63 / scale`` ≈ 9·10⁶ — normalize edge weights upstream if a
-single edge can carry more (at that multiplicity the weight is already
-a count, cap or log it).
+``w < 2^63 / scale`` ≈ 9·10⁶. Since r9 this is ENFORCED, not just
+documented (ADVICE r8: past the bound Spark's non-ANSI bigint wraps
+silently while DuckDB errors — divergent failure modes): every twin
+clamps ``w`` to :data:`PR_W_CAP` (= 10⁶, comfortably inside the bound)
+at ingestion. At that multiplicity the weight is already a saturated
+count — rank mass distribution is insensitive to the tail, the clamp
+is the standard log/cap normalization — and because ALL THREE twins
+(Spark, DuckDB CTE, pure python) clamp identically, the gate still
+hashes bit-equal.
 
 Iteration hygiene: the mass relation is materialized per round
 (lineage truncation, same rule as connected_components / the BPE
@@ -39,6 +45,9 @@ from ..checkpointing import materialize
 
 PR_SCALE = 10**12  # rank mass in micro-units: Σ mass_0 ≈ PR_SCALE
 PR_DAMP = 85       # damping factor, percent
+# Edge-weight clamp: retained·w with retained ≤ scale·damp/100 ≈ 8.5e11
+# needs w ≲ 1.08e7 to stay inside int64; 1e6 leaves a 10× margin.
+PR_W_CAP = 10**6
 
 
 def integer_pagerank(
@@ -58,6 +67,12 @@ def integer_pagerank(
     loop stays lazy)."""
     if k < 1:
         raise ValueError(f"integer_pagerank needs k >= 1 iterations, got {k}")
+    # overflow-bound enforcement (see module docstring): clamp w BEFORE
+    # anything reads it, so outw and every contribution see the same
+    # saturated weights — one row-local projection, no shuffle
+    edges = edges.select(
+        "src", "dst", F.least(F.col("w"), F.lit(PR_W_CAP)).cast("bigint").alias("w")
+    )
     nodes = (
         edges.select(F.col("src").alias(node_col))
         .union(edges.select(F.col("dst").alias(node_col)))
@@ -108,18 +123,25 @@ def integer_pagerank_ctes_sql(
 ) -> str:
     """DuckDB twin as a generated CTE chain (same shape as the BPE
     trainer's): ``edges_rel`` must be a CTE/relation named with columns
-    (src, dst, w). Emits CTEs prnodes/prn/prout/pr0..pr{k}; read the
-    final masses from ``pr{k}`` joined with ``pr{k-1}``."""
+    (src, dst, w). Emits CTEs predges/prnodes/prn/prout/pr0..pr{k};
+    read the final masses from ``pr{k}`` joined with ``pr{k-1}``."""
     if k < 1:
         raise ValueError(f"integer_pagerank needs k >= 1 iterations, got {k}")
     parts = [
-        f"""prnodes AS (
-        SELECT src AS node FROM {edges_rel}
+        # the same PR_W_CAP clamp as the Spark twin, applied once here so
+        # every downstream read (prout + the per-iteration contributions)
+        # sees saturated weights
+        f"""predges AS (
+        SELECT src, dst, CAST(least(w, {PR_W_CAP}) AS BIGINT) AS w
+        FROM {edges_rel}
+    )""",
+        """prnodes AS (
+        SELECT src AS node FROM predges
         UNION
-        SELECT dst FROM {edges_rel}
+        SELECT dst FROM predges
     )""",
         "prn AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM prnodes)",
-        f"prout AS (SELECT src, CAST(sum(w) AS BIGINT) AS _W FROM {edges_rel} GROUP BY src)",
+        "prout AS (SELECT src, CAST(sum(w) AS BIGINT) AS _W FROM predges GROUP BY src)",
         f"pr0 AS (SELECT node, {scale} // _n AS mass FROM prnodes, prn)",
     ]
     for i in range(1, k + 1):
@@ -131,7 +153,7 @@ def integer_pagerank_ctes_sql(
         LEFT JOIN (
             SELECT e.dst AS node,
                    CAST(sum(((m.mass * {damp}) // 100) * e.w // o._W) AS BIGINT) AS _m
-            FROM {edges_rel} e
+            FROM predges e
             JOIN pr{i - 1} m ON e.src = m.node
             JOIN prout o ON e.src = o.src
             GROUP BY e.dst
@@ -146,6 +168,7 @@ def integer_pagerank_py(
     """Pure-python reference of the SAME integer recurrence (tests'
     third witness). ``edges``: [(src, dst, w), ...] → {node: (mass_k,
     mass_{k-1})}."""
+    edges = [(s, d, min(w, PR_W_CAP)) for s, d, w in edges]
     nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
     n = len(nodes)
     outw: dict = {}

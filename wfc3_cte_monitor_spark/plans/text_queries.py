@@ -274,7 +274,10 @@ def _bpe_ctes_sql(k: int = K_BPE) -> str:
         # short docs (len < 2) pass through unchanged instead of being
         # dropped, so ths{k} is the COMPLETE encoded corpus (the 'encode'
         # arm gates it per doc); they contribute no bigrams either way,
-        # so every trained count is unchanged
+        # so every trained count is unchanged. LEFT JOIN ON TRUE, not a
+        # cross join, mirroring the Spark twin's degenerate-winner
+        # guard: an empty bgw{w} yields NULL ar/br/nid → every CASE
+        # predicate NULL → identity, instead of emptying the corpus.
         parts.append(f"""ths{i} AS (
         SELECT doc_id,
                CASE WHEN len(th) >= 2 THEN
@@ -285,7 +288,7 @@ def _bpe_ctes_sql(k: int = K_BPE) -> str:
                         AND th[i] % {_PAIR_PACK} = ar THEN nid
                    ELSE th[i] END), x -> x IS NOT NULL)
                ELSE th END AS th
-        FROM {src}, bgw{w}
+        FROM {src} LEFT JOIN bgw{w} ON TRUE
     )""")
         parts.append(f"bgagg{i} AS ({_bpe_bgagg_sql(f'ths{i}')})")
         src = f"ths{i}"
@@ -466,7 +469,10 @@ def _t01_sql() -> str:
         SELECT a.reg_domain AS src, b.reg_domain AS dst,
                CAST(count(*) AS BIGINT) AS w
         FROM (SELECT doc_id, reg_domain, (doc_id * 131 + 7) % _c AS _t
-              FROM urlt, prcnt) a
+              FROM urlt, prcnt
+              UNION ALL
+              SELECT doc_id, reg_domain, (doc_id * 5 + 1) % _c AS _t
+              FROM urlt, prcnt WHERE doc_id % 3 = 0) a
         JOIN urlt b ON b.doc_id = a._t
         WHERE a.reg_domain <> b.reg_domain
         GROUP BY 1, 2
@@ -599,13 +605,16 @@ def _t01_sql() -> str:
     UNION ALL
     SELECT 'rank', {portable_hash64_sql('f.node')}, CAST(NULL AS INT),
            coalesce(o._ow, 0), coalesce(i._in, 0),
-           f.mass, CAST(NULL AS BIGINT),
+           f.mass,
+           CAST(CASE WHEN f.mass * n._n >= 1000000000000 THEN 1 ELSE 0 END
+                AS BIGINT),
            round(CAST(f.mass AS DOUBLE) / 1000000000000.0, 6),
            f.prev_mass
     FROM (
         SELECT k.node, k.mass, p.mass AS prev_mass
         FROM pr{PR_K} k JOIN pr{PR_K - 1} p ON k.node = p.node
     ) f
+    CROSS JOIN prn n
     LEFT JOIN prow o ON f.node = o.src
     LEFT JOIN prin i ON f.node = i.dst
     UNION ALL
@@ -1047,9 +1056,16 @@ def t01_token_stats(spark, sf_dir):
     )
     # 'rank' arm: domain-level LINK-GRAPH PAGERANK (the Common-Crawl
     # "rank domains, filter the tail" quality signal) over a planted
-    # deterministic link graph: doc d cites doc (131·d + 7) mod N (N
-    # riding a broadcast 1-row count — no collect), edges lift to
-    # (src_domain → dst_domain) with multiplicity weights, and
+    # deterministic link graph: doc d cites doc (131·d + 7) mod N, and
+    # every third doc ALSO cites (5·d + 1) mod N (N riding a broadcast
+    # 1-row count — no collect). The second family is the SKEW plant:
+    # 131 is coprime to every domain-residue modulus so the base family
+    # is domain-uniform (at r8 the graph was perfectly regular and every
+    # mass sat exactly on the uniform share — no decision to gate), but
+    # 5·(3k)+1 mod 20 only hits residues {1, 6, 11, 16}, so four hub
+    # domains collect extra in-mass and the kept/dropped threshold
+    # genuinely splits. Edges lift to (src_domain → dst_domain) with
+    # multiplicity weights, and
     # operators/pagerank.integer_pagerank runs k=PR_K all-integer power
     # iterations (masses in micro-units, floor-per-edge distribution —
     # bit-identical cross-engine, see the operator docstring). The
@@ -1058,7 +1074,12 @@ def t01_token_stats(spark, sf_dir):
     # node-scale. Column meanings: doc_id ≡ hash64(domain), n_tokens ≡
     # out-weight, n_bpe_tokens ≡ in-edge count, n_chars ≡ final mass,
     # punct_ratio ≡ mass/scale, fp ≡ penultimate mass (gating the
-    # convergence trajectory, not just the endpoint).
+    # convergence trajectory, not just the endpoint), and since r9
+    # n_unique ≡ the PIPELINE DECISION (r8 verdict ask #7): kept=1 iff
+    # mass ≥ the uniform share scale DIV N — the "drop the rank tail"
+    # quality filter, all-integer (mass·N vs scale stays < 2^63: mass ≤
+    # scale=1e12, and N is domain-count-sized), N riding the same
+    # broadcast 1-row node count on both engines.
     from ..operators.pagerank import PR_SCALE, integer_pagerank
 
     cnt_rel = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
@@ -1066,9 +1087,16 @@ def t01_token_stats(spark, sf_dir):
     link_b = urls_df.select(
         F.col("doc_id").alias("_t"), F.col("reg_domain").alias("_ddom")
     )
+    cites = link_a.join(F.broadcast(cnt_rel)).withColumn(
+        "_t", F.expr("(doc_id * 131 + 7) % _c")
+    )
+    cites_skew = (
+        link_a.where(F.col("doc_id") % 3 == 0)
+        .join(F.broadcast(cnt_rel))
+        .withColumn("_t", F.expr("(doc_id * 5 + 1) % _c"))
+    )
     links = (
-        link_a.join(F.broadcast(cnt_rel))
-        .withColumn("_t", F.expr("(doc_id * 131 + 7) % _c"))
+        cites.unionByName(cites_skew)
         .join(link_b, "_t")
         .where(F.col("_sdom") != F.col("_ddom"))
         .groupBy(F.col("_sdom").alias("src"), F.col("_ddom").alias("dst"))
@@ -1078,9 +1106,11 @@ def t01_token_stats(spark, sf_dir):
     pr = integer_pagerank(links, k=PR_K, node_col="node")
     pr_in = links.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("_in"))
     pr_out = links.groupBy("src").agg(F.sum("w").cast("bigint").alias("_ow"))
+    pr_n = pr.agg(F.count(F.lit(1)).cast("bigint").alias("_nn"))
     rank_arm = (
         pr.join(pr_out.withColumnRenamed("src", "node"), "node", "left")
         .join(pr_in.withColumnRenamed("dst", "node"), "node", "left")
+        .join(F.broadcast(pr_n))
         .select(
             F.lit("rank").alias("which"),
             portable_hash64("node").alias("doc_id"),
@@ -1088,7 +1118,10 @@ def t01_token_stats(spark, sf_dir):
             F.coalesce("_ow", F.lit(0)).cast("bigint").alias("n_tokens"),
             F.coalesce("_in", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
             F.col("mass").alias("n_chars"),
-            F.lit(None).cast("bigint").alias("n_unique"),
+            F.when(F.col("mass") * F.col("_nn") >= F.lit(PR_SCALE), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_unique"),
             F.round(F.col("mass").cast("double") / F.lit(float(PR_SCALE)), 6).alias(
                 "punct_ratio"
             ),
@@ -1234,8 +1267,18 @@ def t01_token_stats(spark, sf_dir):
         # full both) — the array rewrite is the trainer's hot loop.
         # Short docs pass through unmerged (CASE, matching the SQL twin)
         # so the final relation is the COMPLETE encoded corpus.
+        # LEFT join (not cross): on a degenerate corpus where an
+        # iteration has no valid merge pair the winner relation is
+        # EMPTY, and a cross join would silently empty the whole
+        # encoded relation (r8 ADVICE). Left-join-on-true instead makes
+        # the application a NO-OP there: ar/br/nid come back NULL, every
+        # CASE predicate evaluates NULL → ELSE → identity, and the
+        # filter keeps all positions — same broadcast-nested-loop plan,
+        # winner present or not.
         ths_cur = materialize(
-            ths_cur.crossJoin(F.broadcast(winner.select("ar", "br", "nid")))
+            ths_cur.join(
+                F.broadcast(winner.select("ar", "br", "nid")), F.lit(True), "left"
+            )
             .select(
                 "doc_id",
                 F.when(F.size("th") >= 2, F.expr(apply_expr))

@@ -32,6 +32,25 @@ from ..plans.pipeline import compute_results
 PAIR_KEY_COLS = ["targname", "imagename_1", "imagename_2"]
 
 
+def read_store_or_none(spark: SparkSession, path: str, columns=None):
+    """Bootstrap-read a parquet state store: ``None`` when the path does
+    not exist yet (first batch bootstraps an empty store), anything
+    else — schema drift, corrupt footer, permission failure — RE-RAISED
+    (r8 ADVICE: a bare ``except AnalysisException`` silently
+    re-bootstrapped on ANY analysis failure, discarding every prior
+    decision in the store; matching the error condition makes a
+    corrupted store fail loudly instead)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if e.getCondition() == "PATH_NOT_FOUND":
+            return None
+        raise
+    return df.select(*columns) if columns else df
+
+
 def _ingest_and_corpus(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -127,19 +146,14 @@ def maintain_results_stream(
     snapshot) still form pairs — including pairs whose two sides arrived
     in DIFFERENT batches, which a snapshot-plus-current-batch corpus
     would silently miss."""
-    from pyspark.errors import AnalysisException
-
     if ingested_path is None:
         ingested_path = store_path.rstrip("/") + "_ingested"
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            store = spark.read.parquet(store_path)
-        except AnalysisException:
-            # ONLY path-not-found bootstraps an empty store; any other
-            # read failure must propagate — falling through here would
-            # overwrite the whole store with just this batch's pairs
-            store = None
+        # ONLY path-not-found bootstraps an empty store; any other
+        # read failure propagates — falling through here would
+        # overwrite the whole store with just this batch's pairs
+        store = read_store_or_none(spark, store_path)
         corpus = _ingest_and_corpus(spark, batch_df, all_fileinfo, ingested_path)
         fresh = incremental_results_batch(store, batch_df, corpus, phot_long, aperture)
         # materialize BEFORE overwriting: the merged plan lazily reads the
@@ -262,8 +276,6 @@ def maintain_cluster_stream(
     argmax re-election are commutative, so any arrival interleaving of
     the same edge set converges to the same store (tested against a
     full recompute in tests/test_streaming.py)."""
-    from pyspark.errors import AnalysisException
-
     from ..operators.connected_components import incremental_components_with_reps
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -275,14 +287,11 @@ def maintain_cluster_stream(
             .distinct()
         )
         endpoints = both.select(F.col("src").alias(id_col)).distinct()
-        try:
-            store = spark.read.parquet(store_path).select(
-                id_col, "label", "nu", "rep_id"
-            )
-        except AnalysisException:
-            # ONLY path-not-found bootstraps an empty store (same guard
-            # as the Results path)
-            store = None
+        # ONLY path-not-found bootstraps an empty store (same guard as
+        # the Results path); schema drift / corruption re-raises
+        store = read_store_or_none(
+            spark, store_path, columns=(id_col, "label", "nu", "rep_id")
+        )
         if store is None:
             new_ids = endpoints
         else:
