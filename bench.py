@@ -63,30 +63,31 @@ HEADLINE = [
 # here per query as (arm_column, frozen_arm_values); queries not listed
 # are unchanged and reuse their full-run best. New arms join the frozen
 # set only at the NEXT round boundary (update this dict then).
+#
+# r9 comparison rule: BENCH_r09's frozen_total (t01 replaced by its
+# PINNED r8 twin, everything else live) subtracts from BENCH_r08.json's
+# TOTAL (88.954 raw; 82.17 in anchor-window seconds via its recorded
+# host_ratio 1.0825) — both numbers measure the full r8 arm set.
 FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
-    # r8 boundary: the r7 arm set is the frozen set (r7's additions —
-    # d02 'incr_cc', t01 'mergeK', t02 'tri' — are IN it now; compare
-    # r8's frozen_total to BENCH_r07.json's total, 74.2s). Only t01
-    # gained arms in r8 ('url' per-domain cap, 'encode' vocab
-    # application, 'lm' bigram-LM perplexity), so only t01 needs a
-    # #frozen twin; d02's 'incr_cc' changed IMPLEMENTATION (rep
-    # maintenance) but not arm set — that cost is exactly what the
-    # frozen subtotal should see. t01's r8 arms: 'url', 'encode',
-    # 'lm', 'rank'.
+    # r9 boundary: EMPTY — every r8 arm (t01 url/encode/lm/rank, n03
+    # 'anom', ev01 'topk') joined the frozen set, and round 9 adds no
+    # new gated arms, so there is no arm-set delta to restrict. The
+    # machinery stays for future rounds that DO add arms mid-round.
+}
+
+# PINNED-CODE twins (r8 verdict ask #2): the r8 frozen twin restricted
+# ARMS on CURRENT code, so shared-stage code changes leaked into the
+# "frozen" number (t01#frozen 10.49s was unexplainable by host drift
+# alone). A pinned twin is a verbatim COPY of the previous round's plan
+# body, never edited after its boundary — timing it alongside the live
+# query makes `live − pinned` the cost of this round's code changes and
+# `pinned_rN vs pinned_r{N-1}` pure host drift, with no arm-set or
+# shared-stage ambiguity. Re-pin a NEW module at each future boundary
+# where the query's code changed; SCALING.md records each re-pin.
+PINNED_TWINS: dict[str, tuple[str, str]] = {
     "t01_token_stats": (
-        "which",
-        ("doc", "chunk", "pack", "mix", "score", "sample", "funnel",
-         "cap", "merge", "merge2", "mergeK"),
-    ),
-    # n03 gained the rolling z-score anomaly COLUMNS in r8 ('anom'
-    # pseudo-arm, t02-'tri' pattern: no `which` column, the restriction
-    # acts via set_arm_filter inside the query function).
-    "n03_model_backtest": ("which", ("base",)),
-    # ev01 gained the 'topk' heavy-hitter arm in r8 (kind column).
-    "ev01_event_windows": (
-        "kind",
-        ("tumbling", "sliding", "session", "attrib", "asof", "resample",
-         "funnel3", "cohort", "profile", "dedup", "hllw"),
+        "wfc3_cte_monitor_spark.plans.frozen_t01_r8",
+        "t01_token_stats_r8",
     ),
 }
 
@@ -104,6 +105,21 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
 # sentinel workload itself changes (then re-pin and note it in
 # SCALING.md).
 SENTINEL_REF_S = 0.97
+
+# I/O-FLAVORED SENTINEL (r8 verdict ask #3): the CPU sentinel is blind
+# to contention that squeezes only the I/O path (page cache pressure,
+# disk scheduler bursts) — its documented blind spot made the r8
+# normalization contestable for I/O-mixed queries. This second pinned
+# workload is a fixed parquet scan + filter + hash agg over a
+# DETERMINISTIC file (generated from spark.range once, content
+# identical whenever regenerated, never edited). Both ratios are
+# emitted; frozen_total_norm stays CPU-sentinel-based (protocol
+# continuity), the I/O ratio is the recorded second witness that says
+# whether an I/O-heavy query's drift tracks the host's I/O path.
+# SENTINEL_IO_REF_S pinned from quiet-window r9 measurements on the
+# round-9 host — an ANCHOR, not a prediction (same rule as above).
+IO_SENTINEL_PATH = "/tmp/wfc3_bench_io_sentinel_v1"
+SENTINEL_IO_REF_S = 0.62
 
 
 def _frozen_builder(specs, name: str, col: str, vals: tuple[str, ...]):
@@ -136,9 +152,11 @@ def main() -> None:
     specs = load_all()
     names = [n for n in HEADLINE if n in specs]
 
-    # Builders: every headline query plus, for queries that gained arms
-    # since the r6 boundary, a "<name>#frozen" twin restricted to the r6
-    # arm set — measured with the SAME pass/probe/redo machinery.
+    # Builders: every headline query plus a "<name>#frozen" twin per
+    # query that either gained arms since the boundary (FROZEN_ARMS,
+    # arm-restriction on current code) or has a pinned-code copy
+    # (PINNED_TWINS, previous round's verbatim plan body) — measured
+    # with the SAME pass/probe/redo machinery.
     builders = {n: specs[n].fn for n in names}
     frozen_keys: dict[str, str] = {}
     for n, (col, vals) in FROZEN_ARMS.items():
@@ -146,7 +164,27 @@ def main() -> None:
             key = n + "#frozen"
             builders[key] = _frozen_builder(specs, n, col, vals)
             frozen_keys[n] = key
+    import importlib
+
+    for n, (mod_name, fn_name) in PINNED_TWINS.items():
+        if n in names and n not in frozen_keys:
+            key = n + "#frozen"
+            builders[key] = getattr(importlib.import_module(mod_name), fn_name)
+            frozen_keys[n] = key
     run_list = names + sorted(frozen_keys.values())
+
+    # Twin placement is RANDOMIZED within each sweep (deterministic
+    # seed per pass) instead of appended at the end: the r8 end-of-
+    # sweep slot put every twin sample in the same (documented slow)
+    # window, biasing twin-vs-live deltas.
+    import random
+
+    def sweep_order(seed: int) -> list[str]:
+        order = list(names)
+        rng = random.Random(seed)
+        for key in sorted(frozen_keys.values()):
+            order.insert(rng.randrange(len(order) + 1), key)
+        return order
 
     # Warm the JVM + parquet footer caches with the cheapest query once.
     specs[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -314,6 +352,36 @@ def main() -> None:
         sentinel_log.append(s)
         return s
 
+    # The pinned I/O sentinel (see SENTINEL_IO_REF_S above). The file is
+    # deterministic spark.range output — (re)generated only when absent,
+    # byte-stable content, fixed 32-way layout; the job is a full scan
+    # (two bigints + a short string column), a 1-in-11 filter and one
+    # hash agg: scan-dominated by construction.
+    if not os.path.exists(os.path.join(IO_SENTINEL_PATH, "_SUCCESS")):
+        (
+            spark.range(0, 40_000_000, 1, 32)
+            .selectExpr(
+                "id % 9973 AS k", "id * 7 + 3 AS v",
+                "concat('r-', id % 131071) AS s",
+            )
+            .write.mode("overwrite").parquet(IO_SENTINEL_PATH)
+        )
+    io_sentinel_df = (
+        spark.read.parquet(IO_SENTINEL_PATH)
+        .where("v % 11 = 0")
+        .selectExpr("k", "v", "length(s) AS ls")
+        .groupBy("k")
+        .sum("v", "ls")
+    )
+    io_sentinel_log: list[float] = []
+
+    def io_sentinel() -> float:
+        t0 = time.perf_counter()
+        io_sentinel_df.write.mode("overwrite").format("noop").save()
+        s = time.perf_counter() - t0
+        io_sentinel_log.append(s)
+        return s
+
     def probe() -> tuple[float, float]:
         t0 = time.perf_counter()
         probe_df.write.mode("overwrite").format("noop").save()
@@ -385,16 +453,20 @@ def main() -> None:
     # knob for validating the harness itself without the full budget.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
-    # warm the sentinel plan once, untimed: its first execution pays
+    # warm the sentinel plans once, untimed: the first executions pay
     # whole-stage codegen (~3.5s vs ~1s steady) which would otherwise
-    # make pass-1's sample pure compile noise
+    # make pass-1's samples pure compile noise (the I/O sentinel's
+    # warm run also primes the page cache — deliberate: the steady-state
+    # cached-scan floor is the pinned reference, not cold disk)
     sentinel_df.write.mode("overwrite").format("noop").save()
+    io_sentinel_df.write.mode("overwrite").format("noop").save()
 
     probe()  # settle + first sample
     last_probe = probe()
-    for _ in range(n_passes):
+    for p_i in range(n_passes):
         sentinel()  # one pinned-workload sample per interleaved sweep
-        for name in run_list:
+        io_sentinel()
+        for name in sweep_order(1000 + p_i):
             elapsed = run_once(name)
             p_after = probe()
             all_passes[name].append((elapsed, *last_probe, *p_after))
@@ -445,11 +517,81 @@ def main() -> None:
     EXTRA_PASS_BUDGET_S = 420.0
     if n_passes >= 3 and time.perf_counter() - bench_t0 < EXTRA_PASS_BUDGET_S:
         sentinel()
-        for name in run_list:
+        io_sentinel()
+        for name in sweep_order(1999):
             elapsed = run_once(name)
             p_after = probe()
             all_passes[name].append((elapsed, *last_probe, *p_after))
             last_probe = p_after
+
+    # --- per-arm timing manifest (r8 verdict ask #4) ----------------------
+    # The mega-queries host 7-15 tagged-union arms each; their headline
+    # numbers are unreadable without per-arm prices, which until r8 were
+    # narrated as session-prose A/Bs. One arm-restricted timing per arm,
+    # machine-emitted, JVM fully warm (runs after the scheduled passes):
+    #   only:<arm>    — the arm alone plus the shared stages it pulls in
+    #                   (NOT a marginal price: shared stages are counted
+    #                   in every arm's 'only' time);
+    #   without:<arm> — for eager pseudo-arms (construction-time work
+    #                   outside the tag column), the complement run; the
+    #                   marginal price is queries_best[q] − without:<arm>.
+    # Arm sets are DISCOVERED from the result relation (distinct over
+    # the tag column), so the manifest tracks the code with no
+    # hand-kept list to go stale.
+    ARM_PRICE_QUERIES = [
+        "t01_token_stats", "t02_text_profile", "d03_minhash_lsh",
+        "ev01_event_windows", "d02_lsh_dedup_pipeline",
+    ]
+    PSEUDO_ARMS = {  # set_arm_filter-consulted construction gates
+        "t02_text_profile": ("tri",),
+        "d02_lsh_dedup_pipeline": ("incr_cc",),
+    }
+    ARM_PRICE_TOTAL_BUDGET_S = 1500.0  # wall gate: never threaten the driver timeout
+    arm_prices: dict[str, dict[str, float]] = {}
+
+    def _timed_noop(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        el = time.perf_counter() - t0
+        spark.sparkContext._jvm.System.gc()  # same cleaner hygiene as run_once
+        return el
+
+    if n_passes >= 3:
+        from pyspark.sql import functions as _F
+
+        for qname in ARM_PRICE_QUERIES:
+            if qname not in specs:
+                continue
+            if time.perf_counter() - bench_t0 > ARM_PRICE_TOTAL_BUDGET_S:
+                arm_prices.setdefault("_truncated", {})[qname] = -1.0
+                continue
+            entry: dict[str, float] = {}
+            df_full = specs[qname].fn(spark, sf_dir)
+            tag_col = next((c for c in ("which", "kind") if c in df_full.columns), None)
+            if tag_col is not None:
+                vals = sorted(
+                    r[0] for r in df_full.select(tag_col).distinct().collect()
+                    if r[0] is not None
+                )
+                for v in vals:
+                    set_arm_filter({qname: {v}})
+                    try:
+                        d = specs[qname].fn(spark, sf_dir)
+                        entry["only:" + v] = round(
+                            _timed_noop(d.where(_F.col(tag_col) == v)), 3
+                        )
+                    finally:
+                        set_arm_filter(None)
+            for pv in PSEUDO_ARMS.get(qname, ()):
+                # complement run: every tag arm, pseudo-arm excluded
+                set_arm_filter({qname: {"__all_but__" + pv}})
+                try:
+                    entry["without:" + pv] = round(
+                        _timed_noop(specs[qname].fn(spark, sf_dir)), 3
+                    )
+                finally:
+                    set_arm_filter(None)
+            arm_prices[qname] = entry
 
     def best_of(name: str) -> float:
         """Per-query headline: best over ALL passes. Host noise can only
@@ -519,6 +661,8 @@ def main() -> None:
     sentinel_s = round(min(sentinel_log), 3)
     host_ratio = round(sentinel_s / SENTINEL_REF_S, 4)
     frozen_total_norm = round(frozen_total / host_ratio, 3)
+    sentinel_io_s = round(min(io_sentinel_log), 3)
+    io_ratio = round(sentinel_io_s / SENTINEL_IO_REF_S, 4)
 
     # Full per-pass detail (cold/warm split + min/median/max spread, so a
     # noisy-neighbor stall is distinguishable from a plan regression) goes
@@ -535,7 +679,13 @@ def main() -> None:
         "host_ratio": host_ratio,
         "frozen_total_norm": frozen_total_norm,
         "sentinel_passes": [round(s, 3) for s in sentinel_log],
+        "sentinel_io_s": sentinel_io_s,
+        "sentinel_io_ref_s": SENTINEL_IO_REF_S,
+        "io_ratio": io_ratio,
+        "sentinel_io_passes": [round(s, 3) for s in io_sentinel_log],
+        "arm_prices": arm_prices,
         "frozen_arms": {n: list(v[1]) for n, v in FROZEN_ARMS.items()},
+        "pinned_twins": {n: f"{m}.{f}" for n, (m, f) in PINNED_TWINS.items()},
         "queries_best": timings_best,
         "queries_cold": timings,
         "cold_total": round(sum(timings.values()), 3),
@@ -591,6 +741,8 @@ def main() -> None:
                 "sentinel_s": sentinel_s,
                 "host_ratio": host_ratio,
                 "frozen_total_norm": frozen_total_norm,
+                "sentinel_io_s": sentinel_io_s,
+                "io_ratio": io_ratio,
                 "queries": {n: timings_best[n] for n in names},
                 "frozen_queries": {
                     k: timings_best[k] for k in sorted(frozen_keys.values())

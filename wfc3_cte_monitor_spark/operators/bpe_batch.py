@@ -1,0 +1,262 @@
+"""Batched-merge BPE trainer: apply the top-m pairwise-compatible merge
+winners per round, one Spark job per ROUND instead of one per merge.
+
+The gated k=3 trainer (plans/text_queries.py t01 'merge*' arms) applies
+ONE winner per iteration — correct, but a production tokenizer build is
+10^4–10^5 merges, and one-job-per-merge makes a 30k vocab 30k
+sequential jobs (the r8 verdict's "only operator whose real-scale form
+is structurally different from its gated form"). This module is the
+scale form: each round snapshots the bigram counts once, selects up to
+``m`` high-rank candidates whose member residues are PAIRWISE DISJOINT,
+and applies them all in a single positional pass — O(vocab/m) jobs.
+
+Semantics, precisely:
+
+* Candidates are ranked by the sequential trainer's exact tiebreak
+  ``(cnt DESC, h ASC, mx ASC)`` after dropping self-pairs (ar == br),
+  within a probe window of the top ``probe_mult·m`` candidates.
+* The batch keeps candidate x iff x shares no member residue with ANY
+  higher-ranked candidate in the window (a conservative prefix rule —
+  a kept set under it is always mutually disjoint), then truncates to
+  the first ``m`` kept by rank.
+* Disjoint members ⇒ no token belongs to two batch pairs ⇒ each
+  position matches at most one pair ⇒ ONE left-to-right pass applies
+  the whole batch exactly as applying its members one at a time, in
+  any order (``tests/test_bpe_batch.py`` proves batched ≡ sequential
+  application on the same winner set, and m=1 ≡ the sequential
+  trainer's winner/apply semantics).
+* Counts refresh once per ROUND, not per merge — the standard batched
+  tokenizer-trainer approximation; with m=1 the recurrence degenerates
+  to the strictly-sequential greedy.
+
+Scale shape: per round, one explode + map-side-combined count shuffle
+over 60-bit bigint keys (identical to the sequential trainer's), two
+broadcast self-joins over the ≤ probe_mult·m-row candidate window, and
+one broadcast of a 1-row map relation carrying ≤ m (ar → (br, nid))
+entries; the corpus relation is rewritten by a row-local array
+transform and materialized per round (lineage truncation). No driver
+collects anywhere — the loop is fully lazy, rounds is a static
+parameter (same contract as the sequential trainer's k).
+
+The degenerate-winner guard is INHERENT here: an empty batch produces
+an empty map (the map relation is a global agg — always exactly one
+row), every lookup returns NULL, and the pass is the identity — the r8
+cross-join-empties-the-corpus failure mode cannot occur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpointing import materialize
+
+# pair key = (ha % 2^30)·2^30 + hb % 2^30 — must agree with the gated
+# trainer in plans/text_queries.py (same packing, same tiebreak)
+PAIR_PACK = 1 << 30
+NID_BASE = 1 << 60  # new-token ids live above the 60-bit pair-key space
+
+
+def bigram_counts(ths: DataFrame) -> DataFrame:
+    """(h, mx, cnt) over adjacent token-residue pairs of ``ths`` —
+    ``ths``: (doc_id, th array<bigint>). Same packing, same tiebreak
+    columns as the sequential trainer's pair vocab (ndocs omitted: the
+    trainer ranks on (cnt, h, mx) only)."""
+    return materialize(
+        ths.where(F.size("th") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(th)-1),"
+                    " i -> struct(element_at(th, i) AS ha,"
+                    " element_at(th, i+1) AS hb))"
+                )
+            ).alias("p")
+        )
+        .select(
+            (
+                (F.col("p.ha") % PAIR_PACK) * PAIR_PACK + F.col("p.hb") % PAIR_PACK
+            ).alias("h"),
+            F.col("p.ha").bitwiseXOR(F.col("p.hb")).alias("mx"),
+        )
+        .groupBy("h", "mx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _rank_small(df: DataFrame, cols=("cnt", "h", "mx")) -> DataFrame:
+    """Rank a POST-LIMIT candidate window by (cnt DESC, h, mx) without a
+    global window (the repo-wide no-unpartitioned-window rule): a
+    broadcast inequality self-join counts strict predecessors. Input
+    must already be bounded (≤ probe window rows)."""
+    c, h, mx = cols
+    return (
+        df.alias("x")
+        .join(
+            F.broadcast(df.alias("y")),
+            F.expr(
+                f"y.{c} > x.{c} OR (y.{c} = x.{c} AND y.{h} < x.{h}) "
+                f"OR (y.{c} = x.{c} AND y.{h} = x.{h} AND y.{mx} < x.{mx})"
+            ),
+            "left",
+        )
+        .groupBy(f"x.{c}", f"x.{h}", f"x.{mx}")
+        .agg((F.count(f"y.{h}") + 1).cast("int").alias("rnk"))
+        .select(F.col(h), F.col(mx), F.col(c), "rnk")
+    )
+
+
+def compatible_topm(
+    counts: DataFrame, m: int, round_idx: int, probe_mult: int = 4
+) -> DataFrame:
+    """The round's batch: up to ``m`` pairwise-compatible winners from
+    the top ``probe_mult·m`` candidates → (ar, br, nid, rnk) with
+    ``nid = h + (round_idx·m + batch_rank)·2^60`` (unique across rounds
+    even when a batch comes back short)."""
+    if m < 1:
+        raise ValueError(f"batch size m must be >= 1, got {m}")
+    window = max(probe_mult * m, m + 2)
+    top = materialize(
+        counts.where(F.expr(f"h DIV {PAIR_PACK} <> h % {PAIR_PACK}"))
+        .orderBy(F.desc("cnt"), F.asc("h"), F.asc("mx"))
+        .limit(window),
+        eager=False,
+    )
+    rnk = _rank_small(top).selectExpr(
+        "h", "mx", "cnt", "rnk",
+        f"h DIV {PAIR_PACK} AS ar", f"h % {PAIR_PACK} AS br",
+    )
+    # conservative prefix rule: drop x if ANY higher-ranked candidate in
+    # the window shares a member residue with it
+    survivors = (
+        rnk.alias("x")
+        .join(
+            F.broadcast(rnk.alias("y")),
+            F.expr(
+                "y.rnk < x.rnk AND (y.ar = x.ar OR y.ar = x.br "
+                "OR y.br = x.ar OR y.br = x.br)"
+            ),
+            "left_anti",
+        )
+        .select("h", "mx", "cnt", "ar", "br")
+    )
+    batch = _rank_small(survivors).where(F.col("rnk") <= m)
+    return batch.selectExpr(
+        f"h DIV {PAIR_PACK} AS ar",
+        f"h % {PAIR_PACK} AS br",
+        f"h + ({round_idx} * {m} + rnk) * {NID_BASE} AS nid",
+        "rnk",
+    )
+
+
+def apply_merge_batch(ths: DataFrame, batch: DataFrame) -> DataFrame:
+    """One positional pass applying every (ar, br, nid) of ``batch`` to
+    the token arrays. The batch rides a 1-row broadcast MAP relation
+    (ar → (br, nid)); map keys are unique because batch members are
+    pairwise disjoint. Same residue-matching semantics as the
+    sequential trainer's CASE (left-to-right greedy, i+1 lookahead via
+    try_element_at for DuckDB-compatible NULL-past-the-end)."""
+    mp = batch.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("ar"), F.struct("br", "nid")))
+        ).alias("_mp")
+    )
+    apply_expr = f"""filter(transform(sequence(1, size(th)), i -> CASE
+        WHEN i > 1 AND element_at(_mp, element_at(th, greatest(i - 1, 1))
+                 % {PAIR_PACK}).br = element_at(th, i) % {PAIR_PACK}
+            THEN CAST(NULL AS BIGINT)
+        WHEN element_at(_mp, element_at(th, i) % {PAIR_PACK}).br
+                 = try_element_at(th, i + 1) % {PAIR_PACK}
+            THEN element_at(_mp, element_at(th, i) % {PAIR_PACK}).nid
+        ELSE element_at(th, i) END), x -> x IS NOT NULL)"""
+    return ths.join(F.broadcast(mp), F.lit(True), "left").select(
+        "doc_id",
+        F.when(F.size("th") >= 2, F.expr(apply_expr))
+        .otherwise(F.col("th"))
+        .alias("th"),
+    )
+
+
+def batched_bpe_train(
+    ths: DataFrame, rounds: int, m: int, probe_mult: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``rounds`` batched rounds of up to ``m`` merges each over
+    ``ths`` (doc_id, th). Returns (encoded corpus, vocab) where vocab is
+    one row per applied winner: (round, rnk, ar, br, nid). Fully lazy;
+    the corpus relation is materialized per round so round r's plan
+    never re-embeds rounds 1..r-1."""
+    if rounds < 1:
+        raise ValueError(f"batched_bpe_train needs rounds >= 1, got {rounds}")
+    cur = ths
+    vocab: DataFrame | None = None
+    for r in range(rounds):
+        batch = materialize(
+            compatible_topm(bigram_counts(cur), m, r, probe_mult), eager=False
+        )
+        tagged = batch.select(
+            F.lit(r).cast("int").alias("round"), "rnk", "ar", "br", "nid"
+        )
+        vocab = tagged if vocab is None else vocab.unionAll(tagged)
+        cur = materialize(apply_merge_batch(cur, batch))
+    return cur, vocab
+
+
+def batched_bpe_py(
+    docs: dict[int, list[int]], rounds: int, m: int, probe_mult: int = 4
+) -> tuple[dict[int, list[int]], list[tuple]]:
+    """Pure-python reference of the SAME recurrence (the tests' second
+    witness): ``docs`` maps doc_id → token-hash list. Returns (encoded
+    docs, vocab rows (round, rnk, ar, br, nid))."""
+    cur = {d: list(t) for d, t in docs.items()}
+    vocab: list[tuple] = []
+    for r in range(rounds):
+        counts: dict[tuple, int] = {}
+        for t in cur.values():
+            for a, b in zip(t, t[1:]):
+                key = ((a % PAIR_PACK) * PAIR_PACK + b % PAIR_PACK, a ^ b)
+                counts[key] = counts.get(key, 0) + 1
+        window = max(probe_mult * m, m + 2)
+        cands = sorted(
+            (
+                (h, mx, c)
+                for (h, mx), c in counts.items()
+                if h // PAIR_PACK != h % PAIR_PACK
+            ),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )[:window]
+        kept: list[tuple] = []
+        members: dict[int, int] = {}  # residue -> rank of the candidate holding it
+        for i, (h, mx, c) in enumerate(cands):
+            ar, br = h // PAIR_PACK, h % PAIR_PACK
+            # conservative prefix rule: conflict with ANY higher-ranked
+            # candidate in the window (kept or not) excludes
+            if any(
+                oar in (ar, br) or obr in (ar, br)
+                for (oh, omx, oc) in cands[:i]
+                for oar, obr in [(oh // PAIR_PACK, oh % PAIR_PACK)]
+            ):
+                continue
+            kept.append((h, mx, c))
+            if len(kept) == m:
+                break
+        pairs = {}
+        for j, (h, mx, c) in enumerate(kept, start=1):
+            ar, br = h // PAIR_PACK, h % PAIR_PACK
+            nid = h + (r * m + j) * NID_BASE
+            pairs[ar] = (br, nid)
+            vocab.append((r, j, ar, br, nid))
+        for d, t in cur.items():
+            if len(t) < 2:
+                continue
+            out: list[int] = []
+            i = 0
+            while i < len(t):
+                hit = pairs.get(t[i] % PAIR_PACK)
+                if hit is not None and i + 1 < len(t) and t[i + 1] % PAIR_PACK == hit[0]:
+                    out.append(hit[1])
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            cur[d] = out
+    return cur, vocab
