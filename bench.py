@@ -64,15 +64,18 @@ HEADLINE = [
 # are unchanged and reuse their full-run best. New arms join the frozen
 # set only at the NEXT round boundary (update this dict then).
 #
-# r9 comparison rule: BENCH_r09's frozen_total (t01 replaced by its
-# PINNED r8 twin, everything else live) subtracts from BENCH_r08.json's
-# TOTAL (88.954 raw; 82.17 in anchor-window seconds via its recorded
-# host_ratio 1.0825) — both numbers measure the full r8 arm set.
+# r10 comparison rule: BENCH_r10's frozen_total (t01 replaced by its
+# PINNED r9 twin, everything else live) subtracts from BENCH_r09.json's
+# TOTAL (82.852 raw on a host_ratio-1.309 window) — both numbers
+# measure the full r9 arm set; host drift reads off the sentinels.
 FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
-    # r9 boundary: EMPTY — every r8 arm (t01 url/encode/lm/rank, n03
-    # 'anom', ev01 'topk') joined the frozen set, and round 9 adds no
-    # new gated arms, so there is no arm-set delta to restrict. The
-    # machinery stays for future rounds that DO add arms mid-round.
+    # r10 boundary: EMPTY on purpose. The one arm-set delta this round
+    # (t01 gains 'mergeB', the batched-merge BPE) is carried by the
+    # PINNED r9 code twin below — pinned code has no mergeB arm, so
+    # t01#frozen is exactly the r9 arm set on r9 code, which dominates
+    # an arm-restriction on current code (and a FROZEN_ARMS entry would
+    # SHADOW the pinned twin in the builder wiring). The machinery
+    # stays for rounds where a changed query has no pinned twin.
 }
 
 # PINNED-CODE twins (r8 verdict ask #2): the r8 frozen twin restricted
@@ -85,9 +88,14 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
 # shared-stage ambiguity. Re-pin a NEW module at each future boundary
 # where the query's code changed; SCALING.md records each re-pin.
 PINNED_TWINS: dict[str, tuple[str, str]] = {
+    # re-pinned at the r10 boundary (r9 verdict ask #4): the live t01
+    # changed in r9 (second plant family, kept flag, LEFT-JOIN guard),
+    # so the r8 twin no longer isolates r10's changes. frozen_t01_r9
+    # was verified row-identical to live t01 at sf0.001 before any r10
+    # edit (tests/test_plan_shape.py keeps the plan importable).
     "t01_token_stats": (
-        "wfc3_cte_monitor_spark.plans.frozen_t01_r8",
-        "t01_token_stats_r8",
+        "wfc3_cte_monitor_spark.plans.frozen_t01_r9",
+        "t01_token_stats_r9",
     ),
 }
 

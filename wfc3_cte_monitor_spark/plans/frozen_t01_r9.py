@@ -1,26 +1,23 @@
-"""PINNED round-8 twin of ``t01_token_stats`` — the bench's
-cross-version control (round-8 verdict ask #2).
+"""PINNED round-9 twin of ``t01_token_stats`` — the bench's
+cross-version control (re-pinned at the round-10 boundary per the r9
+verdict ask #4; protocol recorded in SCALING.md).
 
-This module is a FROZEN COPY of the r8 plan body, taken verbatim at the
-round-9 boundary from:
+This module is a FROZEN COPY of the r9 plan body, taken verbatim at the
+round-10 boundary from commit 7f94b36:
 
-  - ``plans/text_queries.py`` ``t01_token_stats`` (the full 16-arm r8
-    plan, commit 67c4310) plus the constants it binds;
+  - ``plans/text_queries.py`` ``t01_token_stats`` (the full 16-arm r9
+    plan: 15 tag arms + the r9 rank decision gate) plus the constants
+    it binds;
   - ``functions/urls.py`` ``with_url_columns`` / ``planted_url`` (+ the
-    regex/prefix constants) — copied because the live versions keep
-    evolving (r9 renames the intermediate columns);
-  - ``operators/pagerank.py`` ``integer_pagerank`` — copied because r9
-    adds the edge-weight overflow cap.
+    regex/prefix constants);
+  - ``operators/pagerank.py`` ``integer_pagerank`` (+ the r9 overflow
+    clamp constants) — copied because r10 adds a NULL-weight guard.
 
-CONTRACT — the reason this file exists: the r8 frozen twin restricted
-ARMS on CURRENT code, so a shared-stage change (e.g. the r8 BPE trainer
-carrying short docs through) leaked into the "frozen" number and the
-+7.2%% round-over-round delta could not be attributed from artifacts
-alone. This twin pins the CODE: ``bench.py`` times
-``t01_token_stats_r8`` alongside the live ``t01_token_stats``; after
-sentinel normalization,
+CONTRACT (unchanged from the retired ``frozen_t01_r8`` pin): bench.py
+times ``t01_token_stats_r9`` alongside the live ``t01_token_stats`` in
+the same randomized sweeps; after sentinel normalization,
 
-  live − pinned  =  the cost of ROUND-9+ code changes to t01,
+  live − pinned  =  the cost of ROUND-10+ code changes to t01,
   pinned_rN / pinned_r{N-1} (normalized)  =  pure host drift,
 
 with no arm-set or shared-stage ambiguity. Rules:
@@ -34,13 +31,19 @@ with no arm-set or shared-stage ambiguity. Rules:
      changes behavior or cost, the twin must be re-pinned that round.
   3. This builder is NOT registered and has NO oracle — it is bench
      instrumentation, not a query (the live t01 carries the gate).
+  4. Pin verification: verified row-identical to live t01 at sf0.001
+     at the boundary (before any r10 edit); the ongoing guard is
+     tests/test_plan_shape.py::test_pinned_t01_twin_matches_live_on_
+     pinned_arms, which compares the pin against live t01 restricted
+     to the pin's own arm set — a substrate behavior change (rule 2)
+     fails it and forces a re-pin.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpointing import materialize
@@ -54,7 +57,7 @@ from ..functions.text import (
 )
 from ..sources.catalog import load_table, spread
 
-# ---------------------------------------------------------------- r8 constants
+# ---------------------------------------------------------------- r9 constants
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -75,9 +78,12 @@ PR_K = 5               # PageRank power iterations ('rank' arm)
 _PAIR_PACK = 1 << 30   # pair key = (ha % 2^30)·2^30 + hb % 2^30, < 2^60
 
 
-# ------------------------- r8 functions/urls.py (canonicalizer + fixture)
+# ------------------------------------------- functions/urls.py @ r9 (pinned)
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 MULTI_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "github.io")
+
+# reserved prefix for bound intermediate columns (dropped before return)
+_TMP = "_wfc3url"
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
@@ -89,6 +95,7 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+
 def with_url_columns(
     df: DataFrame,
     url_col: str | Column,
@@ -98,25 +105,34 @@ def with_url_columns(
     """Add ``canon_url`` and ``reg_domain`` columns derived from
     ``url_col``. Intermediates are BOUND via withColumn before reuse
     (the CollapseProject lesson from the t02 trigram columns: a lambda
-    or multi-reference over a raw expression re-evaluates it per use)."""
-    parts = df.withColumn("_u", F.regexp_replace(_c(url_col), r"#.*$", ""))
+    or multi-reference over a raw expression re-evaluates it per use).
+    Intermediate names carry a collision-safe prefix and are asserted
+    absent from the input (r8 ADVICE: the old bare ``_u``/``_host``…
+    names silently overwrote-then-dropped caller columns)."""
+    clash = [c for c in df.columns if c.startswith(_TMP)]
+    if clash:
+        raise ValueError(
+            f"with_url_columns: input already has reserved intermediate "
+            f"column(s) {clash} (prefix {_TMP!r})"
+        )
+    parts = df.withColumn(_TMP + "_u", F.regexp_replace(_c(url_col), r"#.*$", ""))
     parts = (
-        parts.withColumn("_scheme", F.lower(F.regexp_extract("_u", _SCHEME_RE, 1)))
-        .withColumn("_hp", F.lower(F.regexp_extract("_u", _HOSTPORT_RE, 1)))
-        .withColumn("_path", F.regexp_extract("_u", _PATH_RE, 1))
-        .withColumn("_q", F.regexp_extract("_u", _QUERY_RE, 1))
+        parts.withColumn(_TMP + "_scheme", F.lower(F.regexp_extract(_TMP + "_u", _SCHEME_RE, 1)))
+        .withColumn(_TMP + "_hp", F.lower(F.regexp_extract(_TMP + "_u", _HOSTPORT_RE, 1)))
+        .withColumn(_TMP + "_path", F.regexp_extract(_TMP + "_u", _PATH_RE, 1))
+        .withColumn(_TMP + "_q", F.regexp_extract(_TMP + "_u", _QUERY_RE, 1))
     )
     parts = parts.withColumn(
-        "_host",
+        _TMP + "_host",
         F.regexp_replace(
-            F.regexp_replace("_hp", r":[0-9]+$", ""), r"^www\.", ""
+            F.regexp_replace(_TMP + "_hp", r":[0-9]+$", ""), r"^www\.", ""
         ),
-    ).withColumn("_port", F.regexp_extract("_hp", r":([0-9]+)$", 1))
+    ).withColumn(_TMP + "_port", F.regexp_extract(_TMP + "_hp", r":([0-9]+)$", 1))
     parts = parts.withColumn(
-        "_cq",
+        _TMP + "_cq",
         F.array_join(
             F.filter(
-                F.split("_q", "&"),
+                F.split(_TMP + "_q", "&"),
                 lambda x: ~reduce(
                     Column.__or__, [x.startswith(p) for p in TRACKING_PREFIXES]
                 ),
@@ -125,32 +141,32 @@ def with_url_columns(
         ),
     )
     default_port = (
-        (F.col("_port") == "")
-        | ((F.col("_scheme") == "http") & (F.col("_port") == "80"))
-        | ((F.col("_scheme") == "https") & (F.col("_port") == "443"))
+        (F.col(_TMP + "_port") == "")
+        | ((F.col(_TMP + "_scheme") == "http") & (F.col(_TMP + "_port") == "80"))
+        | ((F.col(_TMP + "_scheme") == "https") & (F.col(_TMP + "_port") == "443"))
     )
     canon = F.concat(
-        F.col("_scheme"),
+        F.col(_TMP + "_scheme"),
         F.lit("://"),
-        F.col("_host"),
-        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), F.col("_port"))),
-        F.when(F.col("_path") == "", F.lit("/")).otherwise(F.col("_path")),
-        F.when(F.col("_cq") == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), F.col("_cq"))
+        F.col(_TMP + "_host"),
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), F.col(_TMP + "_port"))),
+        F.when(F.col(_TMP + "_path") == "", F.lit("/")).otherwise(F.col(_TMP + "_path")),
+        F.when(F.col(_TMP + "_cq") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col(_TMP + "_cq"))
         ),
     )
     is_multi = reduce(
-        Column.__or__, [F.col("_host").endswith("." + s) for s in MULTI_SUFFIXES]
+        Column.__or__, [F.col(_TMP + "_host").endswith("." + s) for s in MULTI_SUFFIXES]
     )
     dom = (
-        F.when(~F.col("_host").contains("."), F.col("_host"))
-        .when(is_multi, F.regexp_extract("_host", r"([^.]+\.[^.]+\.[^.]+)$", 1))
-        .otherwise(F.regexp_extract("_host", r"([^.]+\.[^.]+)$", 1))
+        F.when(~F.col(_TMP + "_host").contains("."), F.col(_TMP + "_host"))
+        .when(is_multi, F.regexp_extract(_TMP + "_host", r"([^.]+\.[^.]+\.[^.]+)$", 1))
+        .otherwise(F.regexp_extract(_TMP + "_host", r"([^.]+\.[^.]+)$", 1))
     )
     return (
         parts.withColumn(out_canon, canon)
         .withColumn(out_domain, dom)
-        .drop("_u", "_scheme", "_hp", "_host", "_port", "_path", "_q", "_cq")
+        .drop(_TMP + "_u", _TMP + "_scheme", _TMP + "_hp", _TMP + "_host", _TMP + "_port", _TMP + "_path", _TMP + "_q", _TMP + "_cq")
     )
 
 
@@ -185,10 +201,12 @@ def planted_url(doc_id: str | Column = "doc_id", source: str | Column = "source"
     return F.concat(scheme, F.lit("://"), www, s, suffix, port, path, F.lit("?"), query, frag)
 
 
-
-# ----------------------------- r8 operators/pagerank.py (integer PageRank)
+# ---------------------------------------- operators/pagerank.py @ r9 (pinned)
 PR_SCALE = 10**12  # rank mass in micro-units: Σ mass_0 ≈ PR_SCALE
 PR_DAMP = 85       # damping factor, percent
+# Edge-weight clamp: retained·w with retained ≤ scale·damp/100 ≈ 8.5e11
+# needs w ≲ 1.08e7 to stay inside int64; 1e6 leaves a 10× margin.
+PR_W_CAP = 10**6
 
 
 def integer_pagerank(
@@ -208,6 +226,12 @@ def integer_pagerank(
     loop stays lazy)."""
     if k < 1:
         raise ValueError(f"integer_pagerank needs k >= 1 iterations, got {k}")
+    # overflow-bound enforcement (see module docstring): clamp w BEFORE
+    # anything reads it, so outw and every contribution see the same
+    # saturated weights — one row-local projection, no shuffle
+    edges = edges.select(
+        "src", "dst", F.least(F.col("w"), F.lit(PR_W_CAP)).cast("bigint").alias("w")
+    )
     nodes = (
         edges.select(F.col("src").alias(node_col))
         .union(edges.select(F.col("dst").alias(node_col)))
@@ -250,7 +274,8 @@ def integer_pagerank(
     ).select(node_col, "mass", "prev_mass")
 
 
-def t01_token_stats_r8(spark, sf_dir):
+# ------------------------------------------------- t01 plan body @ r9 (pinned)
+def t01_token_stats_r9(spark, sf_dir):
     """Tokenization stats ('doc' arm: whitespace count, BPE-ish
     pre-tokenizer count — letter/digit/symbol runs with leading-space
     affinity, the GPT-2 first-split shape, engine-portable regex —
@@ -626,6 +651,8 @@ def t01_token_stats_r8(spark, sf_dir):
     # n_bpe_tokens ≡ kept-under-cap flag, n_chars ≡ hash64(reg_domain),
     # n_unique ≡ length(canon_url), punct_ratio ≡ kept fraction, fp ≡
     # hash64(canon_url) — the fingerprint IS the canonicalization gate.
+    # pinned module-level copies of planted_url / with_url_columns
+
     urls_df = with_url_columns(
         docs.select("doc_id", planted_url("doc_id", "source").alias("_url")), "_url"
     )
@@ -654,9 +681,16 @@ def t01_token_stats_r8(spark, sf_dir):
     )
     # 'rank' arm: domain-level LINK-GRAPH PAGERANK (the Common-Crawl
     # "rank domains, filter the tail" quality signal) over a planted
-    # deterministic link graph: doc d cites doc (131·d + 7) mod N (N
-    # riding a broadcast 1-row count — no collect), edges lift to
-    # (src_domain → dst_domain) with multiplicity weights, and
+    # deterministic link graph: doc d cites doc (131·d + 7) mod N, and
+    # every third doc ALSO cites (5·d + 1) mod N (N riding a broadcast
+    # 1-row count — no collect). The second family is the SKEW plant:
+    # 131 is coprime to every domain-residue modulus so the base family
+    # is domain-uniform (at r8 the graph was perfectly regular and every
+    # mass sat exactly on the uniform share — no decision to gate), but
+    # 5·(3k)+1 mod 20 only hits residues {1, 6, 11, 16}, so four hub
+    # domains collect extra in-mass and the kept/dropped threshold
+    # genuinely splits. Edges lift to (src_domain → dst_domain) with
+    # multiplicity weights, and
     # operators/pagerank.integer_pagerank runs k=PR_K all-integer power
     # iterations (masses in micro-units, floor-per-edge distribution —
     # bit-identical cross-engine, see the operator docstring). The
@@ -665,15 +699,29 @@ def t01_token_stats_r8(spark, sf_dir):
     # node-scale. Column meanings: doc_id ≡ hash64(domain), n_tokens ≡
     # out-weight, n_bpe_tokens ≡ in-edge count, n_chars ≡ final mass,
     # punct_ratio ≡ mass/scale, fp ≡ penultimate mass (gating the
-    # convergence trajectory, not just the endpoint).
+    # convergence trajectory, not just the endpoint), and since r9
+    # n_unique ≡ the PIPELINE DECISION (r8 verdict ask #7): kept=1 iff
+    # mass ≥ the uniform share scale DIV N — the "drop the rank tail"
+    # quality filter, all-integer (mass·N vs scale stays < 2^63: mass ≤
+    # scale=1e12, and N is domain-count-sized), N riding the same
+    # broadcast 1-row node count on both engines.
+    # pinned module-level copies of PR_SCALE / integer_pagerank
+
     cnt_rel = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     link_a = urls_df.select("doc_id", F.col("reg_domain").alias("_sdom"))
     link_b = urls_df.select(
         F.col("doc_id").alias("_t"), F.col("reg_domain").alias("_ddom")
     )
+    cites = link_a.join(F.broadcast(cnt_rel)).withColumn(
+        "_t", F.expr("(doc_id * 131 + 7) % _c")
+    )
+    cites_skew = (
+        link_a.where(F.col("doc_id") % 3 == 0)
+        .join(F.broadcast(cnt_rel))
+        .withColumn("_t", F.expr("(doc_id * 5 + 1) % _c"))
+    )
     links = (
-        link_a.join(F.broadcast(cnt_rel))
-        .withColumn("_t", F.expr("(doc_id * 131 + 7) % _c"))
+        cites.unionByName(cites_skew)
         .join(link_b, "_t")
         .where(F.col("_sdom") != F.col("_ddom"))
         .groupBy(F.col("_sdom").alias("src"), F.col("_ddom").alias("dst"))
@@ -683,9 +731,11 @@ def t01_token_stats_r8(spark, sf_dir):
     pr = integer_pagerank(links, k=PR_K, node_col="node")
     pr_in = links.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("_in"))
     pr_out = links.groupBy("src").agg(F.sum("w").cast("bigint").alias("_ow"))
+    pr_n = pr.agg(F.count(F.lit(1)).cast("bigint").alias("_nn"))
     rank_arm = (
         pr.join(pr_out.withColumnRenamed("src", "node"), "node", "left")
         .join(pr_in.withColumnRenamed("dst", "node"), "node", "left")
+        .join(F.broadcast(pr_n))
         .select(
             F.lit("rank").alias("which"),
             portable_hash64("node").alias("doc_id"),
@@ -693,7 +743,10 @@ def t01_token_stats_r8(spark, sf_dir):
             F.coalesce("_ow", F.lit(0)).cast("bigint").alias("n_tokens"),
             F.coalesce("_in", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
             F.col("mass").alias("n_chars"),
-            F.lit(None).cast("bigint").alias("n_unique"),
+            F.when(F.col("mass") * F.col("_nn") >= F.lit(PR_SCALE), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_unique"),
             F.round(F.col("mass").cast("double") / F.lit(float(PR_SCALE)), 6).alias(
                 "punct_ratio"
             ),
@@ -839,8 +892,18 @@ def t01_token_stats_r8(spark, sf_dir):
         # full both) — the array rewrite is the trainer's hot loop.
         # Short docs pass through unmerged (CASE, matching the SQL twin)
         # so the final relation is the COMPLETE encoded corpus.
+        # LEFT join (not cross): on a degenerate corpus where an
+        # iteration has no valid merge pair the winner relation is
+        # EMPTY, and a cross join would silently empty the whole
+        # encoded relation (r8 ADVICE). Left-join-on-true instead makes
+        # the application a NO-OP there: ar/br/nid come back NULL, every
+        # CASE predicate evaluates NULL → ELSE → identity, and the
+        # filter keeps all positions — same broadcast-nested-loop plan,
+        # winner present or not.
         ths_cur = materialize(
-            ths_cur.crossJoin(F.broadcast(winner.select("ar", "br", "nid")))
+            ths_cur.join(
+                F.broadcast(winner.select("ar", "br", "nid")), F.lit(True), "left"
+            )
             .select(
                 "doc_id",
                 F.when(F.size("th") >= 2, F.expr(apply_expr))
@@ -994,9 +1057,3 @@ def t01_token_stats_r8(spark, sf_dir):
         .unionAll(merge_arm).unionAll(merge2_arm).unionAll(mergek_arm)
         .unionAll(encode_arm).unionAll(lm_arm)
     )
-
-
-# T2 — language-ID heuristics, both forms: stopword-profile hit counts
-# (argmax with deterministic tiebreak, below) AND the character-n-gram
-# profile method proper (t02's tri_lang/tri_hits columns — space-padded
-# trigram profiles, broadcast-joined against the exploded doc trigrams).
