@@ -573,15 +573,29 @@ def main() -> None:
             if time.perf_counter() - bench_t0 > ARM_PRICE_TOTAL_BUDGET_S:
                 arm_prices.setdefault("_truncated", {})[qname] = -1.0
                 continue
+
+            # the budget is re-checked INSIDE the per-arm loop too (r9
+            # ADVICE: checking only between queries let one query's
+            # full sweep — untimed arm discovery + up to ~16 timed arm
+            # runs — overshoot the wall gate by minutes); a partial
+            # entry carries an explicit truncation marker so the
+            # manifest never reads as a complete sweep when it isn't.
+            def _over_budget() -> bool:
+                return time.perf_counter() - bench_t0 > ARM_PRICE_TOTAL_BUDGET_S
+
             entry: dict[str, float] = {}
             df_full = specs[qname].fn(spark, sf_dir)
             tag_col = next((c for c in ("which", "kind") if c in df_full.columns), None)
+            truncated = False
             if tag_col is not None:
                 vals = sorted(
                     r[0] for r in df_full.select(tag_col).distinct().collect()
                     if r[0] is not None
                 )
                 for v in vals:
+                    if _over_budget():
+                        truncated = True
+                        break
                     set_arm_filter({qname: {v}})
                     try:
                         d = specs[qname].fn(spark, sf_dir)
@@ -591,6 +605,9 @@ def main() -> None:
                     finally:
                         set_arm_filter(None)
             for pv in PSEUDO_ARMS.get(qname, ()):
+                if truncated or _over_budget():
+                    truncated = True
+                    break
                 # complement run: every tag arm, pseudo-arm excluded
                 set_arm_filter({qname: {"__all_but__" + pv}})
                 try:
@@ -599,6 +616,9 @@ def main() -> None:
                     )
                 finally:
                     set_arm_filter(None)
+            if truncated:
+                entry["_truncated_mid_sweep"] = -1.0
+                arm_prices.setdefault("_truncated", {})[qname] = -1.0
             arm_prices[qname] = entry
 
     def best_of(name: str) -> float:

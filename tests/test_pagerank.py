@@ -97,3 +97,15 @@ def test_pagerank_weight_cap_enforced_all_twins(spark):
     assert all(m > 0 for m, _ in want.values())  # no wrap to negatives
     assert _spark_pr(spark, e, 3) == want
     assert _duck_pr(e, 3) == want
+
+
+def test_pagerank_null_weight_fails_fast(spark):
+    """r9 ADVICE: least(w, cap) ignores NULLs in Spark, so a NULL edge
+    weight used to saturate silently to the cap. The contract is bigint
+    w >= 1 — a NULL is a caller bug and must raise at execution, not
+    distribute 10^6 units of phantom mass."""
+    df = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, None)], "src long, dst long, w long"
+    )
+    with pytest.raises(Exception, match="must be non-null"):
+        integer_pagerank(df, k=1, node_col="node").collect()

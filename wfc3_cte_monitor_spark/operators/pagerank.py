@@ -69,9 +69,23 @@ def integer_pagerank(
         raise ValueError(f"integer_pagerank needs k >= 1 iterations, got {k}")
     # overflow-bound enforcement (see module docstring): clamp w BEFORE
     # anything reads it, so outw and every contribution see the same
-    # saturated weights — one row-local projection, no shuffle
+    # saturated weights — one row-local projection, no shuffle. least()
+    # ignores NULLs in Spark, which would silently saturate a NULL
+    # weight to the cap (r9 ADVICE) — a NULL w is a caller bug (the
+    # contract is bigint w ≥ 1), so fail fast at execution instead.
     edges = edges.select(
-        "src", "dst", F.least(F.col("w"), F.lit(PR_W_CAP)).cast("bigint").alias("w")
+        "src",
+        "dst",
+        F.when(
+            F.col("w").isNull(),
+            F.expr(
+                "CAST(raise_error('integer_pagerank: edge weight w must"
+                " be non-null') AS BIGINT)"
+            ),
+        )
+        .otherwise(F.least(F.col("w"), F.lit(PR_W_CAP)))
+        .cast("bigint")
+        .alias("w"),
     )
     nodes = (
         edges.select(F.col("src").alias(node_col))

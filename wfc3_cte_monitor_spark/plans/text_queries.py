@@ -1076,8 +1076,10 @@ def t01_token_stats(spark, sf_dir):
     # punct_ratio ≡ mass/scale, fp ≡ penultimate mass (gating the
     # convergence trajectory, not just the endpoint), and since r9
     # n_unique ≡ the PIPELINE DECISION (r8 verdict ask #7): kept=1 iff
-    # mass ≥ the uniform share scale DIV N — the "drop the rank tail"
-    # quality filter, all-integer (mass·N vs scale stays < 2^63: mass ≤
+    # mass·N ≥ scale, i.e. mass ≥ ceil(scale/N) — the uniform share
+    # rounded UP (when scale % N != 0 a node sitting exactly on
+    # scale DIV N is dropped; all three twins agree) — the "drop the
+    # rank tail" quality filter, all-integer (mass·N stays < 2^63: mass ≤
     # scale=1e12, and N is domain-count-sized), N riding the same
     # broadcast 1-row node count on both engines.
     from ..operators.pagerank import PR_SCALE, integer_pagerank
