@@ -1,0 +1,259 @@
+"""Batched-merge BPE trainer (operators/bpe_batch) — the invariants its
+docstring promises, each proved against multiple engines:
+
+  1. batched application ≡ applying the same winner set ONE MEMBER AT A
+     TIME, in any order (the disjointness argument);
+  2. m=1 degenerates to the gated sequential trainer's exact winner /
+     apply semantics (same (cnt DESC, h, mx) tiebreak, same
+     iteration-indexed nid);
+  3. the empty-batch identity (no valid pair → the pass is a no-op,
+     not a corpus wipe);
+  4. Spark ≡ pure-python twin ≡ DuckDB CTE twin on typical, chained,
+     residue-colliding, and degenerate corpora.
+
+Reference parity: the reference repo has no tokenizer trainer — this is
+part of the additive LLM-pipeline layer (SURVEY.md §2 'beyond').
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from wfc3_cte_monitor_spark.operators.bpe_batch import (
+    NID_BASE,
+    PAIR_PACK,
+    apply_merge_batch,
+    batched_bpe_ctes_sql,
+    batched_bpe_py,
+    batched_bpe_train,
+)
+
+# --------------------------------------------------------------- corpora
+# C1: seeded-random corpus over a small alphabet INCLUDING a residue
+# collision (77 and 77 + 2^30 match identically in merge semantics —
+# both twins key on residues, the collision must not diverge them).
+_rng = random.Random(20260816)
+_ALPHABET = [3, 5, 9, 12, 77, 77 + PAIR_PACK, 104, 200, 512, 900, 1300, 4096]
+C1 = {
+    d: [_rng.choice(_ALPHABET) for _ in range(_rng.randrange(0, 41))]
+    for d in range(1, 31)
+}
+
+# C3: adversarial chains/overlaps for the positional one-pass apply.
+C3 = {
+    101: [3, 5, 3, 5, 3, 5, 3, 5],   # abababab
+    102: [3, 3, 5, 5],               # aabb
+    103: [9, 12, 9, 12, 9, 12],      # xyxyxy
+    104: [5, 3, 5, 5],               # suffix repeats
+    105: [3, 5, 5, 3, 5],            # merge then straggler member
+    106: [77, 77 + PAIR_PACK, 5],    # residue-colliding adjacent pair
+}
+
+# C2: degenerate — no non-self pair anywhere (empty docs, singletons,
+# constant runs whose only bigram is a self-pair).
+C2 = {
+    201: [],
+    202: [7],
+    203: [9, 9, 9, 9],
+    204: [4096],
+    205: [12, 12],
+}
+
+
+def _spark_df(spark, docs):
+    return spark.createDataFrame(
+        [(d, t) for d, t in sorted(docs.items())],
+        "doc_id long, th array<bigint>",
+    )
+
+
+def _spark_train(spark, docs, rounds, m):
+    enc, vocab = batched_bpe_train(_spark_df(spark, docs), rounds=rounds, m=m)
+    enc_d = {r["doc_id"]: list(r["th"]) for r in enc.collect()}
+    voc = sorted(
+        (r["round"], r["rnk"], r["ar"], r["br"], r["nid"], r["cnt"])
+        for r in vocab.collect()
+    )
+    return enc_d, voc
+
+
+def _duck_train(docs, rounds, m):
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({d}, {list(map(int, t))}::BIGINT[])" for d, t in sorted(docs.items())
+    ) or "(0, []::BIGINT[]) LIMIT 0"
+    ctes = batched_bpe_ctes_sql("ths0", rounds=rounds, m=m)
+    sql = f"""
+    WITH ths0 AS (SELECT * FROM (VALUES {vals}) AS t(doc_id, th)),
+    {ctes}
+    SELECT doc_id, th FROM bbths{rounds}
+    """
+    enc_d = {r[0]: list(r[1]) for r in con.execute(sql).fetchall()}
+    vsql = f"""
+    WITH ths0 AS (SELECT * FROM (VALUES {vals}) AS t(doc_id, th)),
+    {ctes}
+    SELECT round, rnk, ar, br, nid, cnt FROM bbvocab
+    """
+    voc = sorted(tuple(r) for r in con.execute(vsql).fetchall())
+    return enc_d, voc
+
+
+def _py_train(docs, rounds, m):
+    enc_d, voc = batched_bpe_py(docs, rounds=rounds, m=m)
+    return enc_d, sorted(voc)
+
+
+def _apply_one_pair_py(docs, ar, br, nid):
+    """Greedy left-to-right application of ONE merge pair — the
+    sequential trainer's apply step, as a plain-python reference."""
+    out = {}
+    for d, t in docs.items():
+        res, i = [], 0
+        while i < len(t):
+            if (
+                i + 1 < len(t)
+                and t[i] % PAIR_PACK == ar
+                and t[i + 1] % PAIR_PACK == br
+            ):
+                res.append(nid)
+                i += 2
+            else:
+                res.append(t[i])
+                i += 1
+        out[d] = res
+    return out
+
+
+def _sequential_trainer_py(docs, k):
+    """The gated t01 trainer's semantics, minimal python form: per
+    iteration w (1-based) pick THE single winner by (cnt DESC, h, mx)
+    among non-self pairs, nid = h + w·2^60, apply greedily, recount. An
+    iteration with no valid pair applies the identity (the LEFT-JOIN
+    degenerate guard)."""
+    cur = {d: list(t) for d, t in docs.items()}
+    vocab = []
+    for w in range(1, k + 1):
+        counts: dict[tuple, int] = {}
+        for t in cur.values():
+            for a, b in zip(t, t[1:]):
+                key = ((a % PAIR_PACK) * PAIR_PACK + b % PAIR_PACK, a ^ b)
+                counts[key] = counts.get(key, 0) + 1
+        cands = sorted(
+            (
+                (h, mx, c)
+                for (h, mx), c in counts.items()
+                if h // PAIR_PACK != h % PAIR_PACK
+            ),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )
+        if not cands:
+            continue
+        h, mx, c = cands[0]
+        ar, br = h // PAIR_PACK, h % PAIR_PACK
+        nid = h + w * NID_BASE
+        vocab.append((w, ar, br, nid, c))
+        cur = _apply_one_pair_py(cur, ar, br, nid)
+    return cur, vocab
+
+
+# ----------------------------------------------------------------- tests
+@pytest.mark.parametrize("rounds,m", [(2, 3), (3, 2), (1, 7), (2, 1)])
+def test_three_engines_agree(spark, rounds, m):
+    docs = {**C1, **C3}
+    py_enc, py_voc = _py_train(docs, rounds, m)
+    sp_enc, sp_voc = _spark_train(spark, docs, rounds, m)
+    assert sp_voc == py_voc
+    assert sp_enc == py_enc
+    dk_enc, dk_voc = _duck_train(docs, rounds, m)
+    assert dk_voc == py_voc
+    assert dk_enc == py_enc
+
+
+def test_empty_batch_identity(spark):
+    for rounds, m in [(1, 4), (2, 2)]:
+        py_enc, py_voc = _py_train(C2, rounds, m)
+        assert py_voc == []
+        assert py_enc == C2
+        sp_enc, sp_voc = _spark_train(spark, C2, rounds, m)
+        assert sp_voc == []
+        assert sp_enc == C2
+        dk_enc, dk_voc = _duck_train(C2, rounds, m)
+        assert dk_voc == []
+        assert dk_enc == C2
+
+
+def test_batched_application_equals_sequential_any_order(spark):
+    """The module's core claim: ONE positional pass over a pairwise-
+    disjoint batch ≡ applying its members one at a time — in any
+    order. Winner set from the python twin's round 0; application
+    cross-checked Spark-batch vs python-sequential (forward AND
+    reversed member order)."""
+    docs = {**C1, **C3}
+    _, voc = _py_train(docs, 1, 4)
+    members = [(ar, br, nid) for (_r, _j, ar, br, nid, _c) in voc]
+    assert len(members) >= 2, "fixture must exercise a real batch"
+    # sequential applications, both orders
+    seq_fwd = dict(docs)
+    for ar, br, nid in members:
+        seq_fwd = _apply_one_pair_py(seq_fwd, ar, br, nid)
+    seq_rev = dict(docs)
+    for ar, br, nid in reversed(members):
+        seq_rev = _apply_one_pair_py(seq_rev, ar, br, nid)
+    assert seq_fwd == seq_rev, "disjoint members must commute"
+    # one batched Spark pass over the same winner set
+    batch = spark.createDataFrame(members, "ar long, br long, nid long")
+    got = {
+        r["doc_id"]: list(r["th"])
+        for r in apply_merge_batch(_spark_df(spark, docs), batch).collect()
+    }
+    assert got == seq_fwd
+
+
+def test_m1_degenerates_to_sequential_trainer(spark):
+    """m=1 must reproduce the gated trainer's recurrence exactly:
+    same winner per iteration (same tiebreak), same nid indexing
+    (batched r·m+rnk = (r+1)·1 ≡ sequential w), same greedy apply."""
+    for docs in (C1, C3, {**C1, **C3}):
+        seq_enc, seq_voc = _sequential_trainer_py(docs, k=3)
+        py_enc, py_voc = _py_train(docs, 3, 1)
+        assert [(r + 1, ar, br, nid, c) for (r, _j, ar, br, nid, c) in py_voc] == seq_voc
+        assert py_enc == seq_enc
+    sp_enc, sp_voc = _spark_train(spark, {**C1, **C3}, 3, 1)
+    seq_enc, seq_voc = _sequential_trainer_py({**C1, **C3}, k=3)
+    assert [(r + 1, ar, br, nid, c) for (r, _j, ar, br, nid, c) in sp_voc] == seq_voc
+    assert sp_enc == seq_enc
+
+
+def test_batch_members_pairwise_disjoint():
+    """Every round's batch must hold pairwise-disjoint member residues —
+    the precondition the one-pass apply's correctness proof stands on."""
+    _, voc = _py_train({**C1, **C3}, 1, 7)
+    by_round: dict[int, list] = {}
+    for r, _j, ar, br, _nid, _c in voc:
+        by_round.setdefault(r, []).extend([ar, br])
+    assert by_round, "fixture must produce at least one non-empty batch"
+    for r, residues in by_round.items():
+        assert len(residues) == len(set(residues)), (r, residues)
+
+
+def test_rejects_bad_params(spark):
+    df = _spark_df(spark, C3)
+    with pytest.raises(ValueError):
+        batched_bpe_train(df, rounds=0, m=2)
+    with pytest.raises(ValueError):
+        batched_bpe_train(df, rounds=1, m=0)
+    with pytest.raises(ValueError):
+        batched_bpe_ctes_sql("x", rounds=0, m=2)
+    with pytest.raises(ValueError):
+        batched_bpe_ctes_sql("x", rounds=1, m=0)
+    # the 7-slot nid bound is ENFORCED in all three twins (slot 8's
+    # nid = 8*2^60 + h overflows int64 — DuckDB errors, ANSI Spark too)
+    with pytest.raises(ValueError, match="slot"):
+        batched_bpe_train(df, rounds=2, m=4)
+    with pytest.raises(ValueError, match="slot"):
+        batched_bpe_ctes_sql("x", rounds=1, m=8)
+    with pytest.raises(ValueError, match="slot"):
+        batched_bpe_py(C3, rounds=4, m=2)

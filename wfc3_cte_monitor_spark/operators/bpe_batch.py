@@ -56,6 +56,18 @@ from ..checkpointing import materialize
 PAIR_PACK = 1 << 30
 NID_BASE = 1 << 60  # new-token ids live above the 60-bit pair-key space
 
+# The nid scheme (h + slot·2^60, slot = round·m + rnk, 1-based) is the
+# SAME iteration-indexed scheme the gated sequential trainer uses
+# (nid = h + w·2^60) — which int64 bounds to SEVEN merge slots: with
+# h < 2^60, slot·2^60 + h < 2^63 requires slot ≤ 7 (DuckDB errors at
+# slot 8; ANSI Spark likewise). The bound is enforced, not documented-
+# only, in all three twins. It is a REPRESENTATION limit orthogonal to
+# the operator's scale story (jobs-per-merge): a production vocab build
+# re-keys winners to contiguous dictionary ids from the vocab relation
+# (one node-scale projection per round) instead of carrying the
+# traceable h-embedded ids the cross-engine gate wants.
+NID_SLOTS_MAX = 7
+
 
 def bigram_counts(ths: DataFrame) -> DataFrame:
     """(h, mx, cnt) over adjacent token-residue pairs of ``ths`` —
@@ -146,6 +158,7 @@ def compatible_topm(
         f"h % {PAIR_PACK} AS br",
         f"h + ({round_idx} * {m} + rnk) * {NID_BASE} AS nid",
         "rnk",
+        "cnt",
     )
 
 
@@ -155,19 +168,21 @@ def apply_merge_batch(ths: DataFrame, batch: DataFrame) -> DataFrame:
     (ar → (br, nid)); map keys are unique because batch members are
     pairwise disjoint. Same residue-matching semantics as the
     sequential trainer's CASE (left-to-right greedy, i+1 lookahead via
-    try_element_at for DuckDB-compatible NULL-past-the-end)."""
+    try_element_at for DuckDB-compatible NULL-past-the-end; map lookups
+    via try_element_at too — a non-member residue must yield NULL →
+    identity, never an ANSI lookup error)."""
     mp = batch.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("ar"), F.struct("br", "nid")))
         ).alias("_mp")
     )
     apply_expr = f"""filter(transform(sequence(1, size(th)), i -> CASE
-        WHEN i > 1 AND element_at(_mp, element_at(th, greatest(i - 1, 1))
+        WHEN i > 1 AND try_element_at(_mp, element_at(th, greatest(i - 1, 1))
                  % {PAIR_PACK}).br = element_at(th, i) % {PAIR_PACK}
             THEN CAST(NULL AS BIGINT)
-        WHEN element_at(_mp, element_at(th, i) % {PAIR_PACK}).br
+        WHEN try_element_at(_mp, element_at(th, i) % {PAIR_PACK}).br
                  = try_element_at(th, i + 1) % {PAIR_PACK}
-            THEN element_at(_mp, element_at(th, i) % {PAIR_PACK}).nid
+            THEN try_element_at(_mp, element_at(th, i) % {PAIR_PACK}).nid
         ELSE element_at(th, i) END), x -> x IS NOT NULL)"""
     return ths.join(F.broadcast(mp), F.lit(True), "left").select(
         "doc_id",
@@ -182,11 +197,18 @@ def batched_bpe_train(
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``rounds`` batched rounds of up to ``m`` merges each over
     ``ths`` (doc_id, th). Returns (encoded corpus, vocab) where vocab is
-    one row per applied winner: (round, rnk, ar, br, nid). Fully lazy;
-    the corpus relation is materialized per round so round r's plan
-    never re-embeds rounds 1..r-1."""
+    one row per applied winner: (round, rnk, ar, br, nid, cnt) — cnt is
+    the pair's bigram count at selection time, gateable against the SQL
+    twin. Fully lazy; the corpus relation is materialized per round so
+    round r's plan never re-embeds rounds 1..r-1."""
     if rounds < 1:
         raise ValueError(f"batched_bpe_train needs rounds >= 1, got {rounds}")
+    if rounds * m > NID_SLOTS_MAX:
+        raise ValueError(
+            f"rounds*m = {rounds * m} exceeds the {NID_SLOTS_MAX}-slot nid "
+            "space (see NID_SLOTS_MAX: slot*2^60 + h overflows int64 past "
+            "slot 7; re-key to dictionary ids for larger vocab builds)"
+        )
     cur = ths
     vocab: DataFrame | None = None
     for r in range(rounds):
@@ -194,11 +216,107 @@ def batched_bpe_train(
             compatible_topm(bigram_counts(cur), m, r, probe_mult), eager=False
         )
         tagged = batch.select(
-            F.lit(r).cast("int").alias("round"), "rnk", "ar", "br", "nid"
+            F.lit(r).cast("int").alias("round"), "rnk", "ar", "br", "nid", "cnt"
         )
         vocab = tagged if vocab is None else vocab.unionAll(tagged)
         cur = materialize(apply_merge_batch(cur, batch))
     return cur, vocab
+
+
+def batched_bpe_ctes_sql(
+    src: str, rounds: int, m: int, probe_mult: int = 4, prefix: str = "bb"
+) -> str:
+    """DuckDB twin as a generated CTE chain (same pattern as
+    ``integer_pagerank_ctes_sql``): ``src`` must be a relation with
+    columns (doc_id, th LIST(BIGINT)). Emits, per round r,
+    ``{prefix}agg{r}`` (bigram counts), ``{prefix}top{r}`` (the ranked
+    probe window), ``{prefix}keep{r}`` (prefix-disjoint survivors),
+    ``{prefix}batch{r}`` (the applied batch), ``{prefix}map{r}``
+    (1-row aligned-lists map relation), ``{prefix}ths{r+1}`` (the
+    rewritten corpus) — plus ``{prefix}vocab`` unioning every round's
+    batch as (round, rnk, ar, br, nid, cnt). Read the encoded corpus
+    from ``{prefix}ths{rounds}``.
+
+    The map lookup uses ``list_position`` (0 for a miss) + list
+    indexing (``l[0]`` → NULL), so a non-member residue falls through
+    to identity exactly like the Spark twin's try_element_at; an empty
+    batch makes the map lists NULL (DuckDB ``list()`` over zero rows)
+    and the whole pass the identity — the same inherent degenerate
+    guard."""
+    if rounds < 1:
+        raise ValueError(f"batched_bpe_train needs rounds >= 1, got {rounds}")
+    if m < 1:
+        raise ValueError(f"batch size m must be >= 1, got {m}")
+    if rounds * m > NID_SLOTS_MAX:
+        raise ValueError(
+            f"rounds*m = {rounds * m} exceeds the {NID_SLOTS_MAX}-slot nid "
+            "space (slot*2^60 + h overflows int64 past slot 7)"
+        )
+    window = max(probe_mult * m, m + 2)
+    parts = []
+    cur = src
+    for r in range(rounds):
+        parts.append(f"""{prefix}agg{r} AS (
+        SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT (ha % {PAIR_PACK}) * {PAIR_PACK} + hb % {PAIR_PACK} AS h,
+                   xor(ha, hb) AS mx
+            FROM (SELECT th[i] AS ha, th[i+1] AS hb
+                  FROM {cur}, UNNEST(range(1, len(th))) AS u(i))
+        ) GROUP BY h, mx
+    )""")
+        parts.append(f"""{prefix}top{r} AS (
+        SELECT h, mx, cnt, h // {PAIR_PACK} AS ar, h % {PAIR_PACK} AS br,
+               CAST(row_number() OVER (ORDER BY cnt DESC, h, mx) AS INT) AS rnk
+        FROM {prefix}agg{r} WHERE h // {PAIR_PACK} <> h % {PAIR_PACK}
+        ORDER BY cnt DESC, h, mx LIMIT {window}
+    )""")
+        parts.append(f"""{prefix}keep{r} AS (
+        SELECT x.h, x.mx, x.cnt, x.ar, x.br
+        FROM {prefix}top{r} x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {prefix}top{r} y
+            WHERE y.rnk < x.rnk AND (y.ar = x.ar OR y.ar = x.br
+                                     OR y.br = x.ar OR y.br = x.br))
+    )""")
+        parts.append(f"""{prefix}batch{r} AS (
+        SELECT ar, br, h + ({r} * {m} + rnk) * (1::BIGINT << 60) AS nid,
+               rnk, cnt
+        FROM (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, h, mx)
+                             AS INT) AS rnk
+              FROM {prefix}keep{r})
+        WHERE rnk <= {m}
+    )""")
+        parts.append(f"""{prefix}map{r} AS (
+        SELECT list(ar ORDER BY rnk) AS ars, list(br ORDER BY rnk) AS brs,
+               list(nid ORDER BY rnk) AS nids
+        FROM {prefix}batch{r}
+    )""")
+        parts.append(f"""{prefix}ths{r + 1} AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 2 THEN
+               list_filter(list_transform(range(1, len(th) + 1), i -> CASE
+                   WHEN i > 1 AND brs[list_position(ars,
+                            th[greatest(i - 1, 1)] % {PAIR_PACK})]
+                        = th[i] % {PAIR_PACK} THEN NULL
+                   WHEN brs[list_position(ars, th[i] % {PAIR_PACK})]
+                        = th[i + 1] % {PAIR_PACK}
+                        THEN nids[list_position(ars, th[i] % {PAIR_PACK})]
+                   ELSE th[i] END), x -> x IS NOT NULL)
+               ELSE th END AS th
+        FROM {cur} LEFT JOIN {prefix}map{r} ON TRUE
+    )""")
+        cur = f"{prefix}ths{r + 1}"
+    parts.append(
+        f"{prefix}vocab AS ("
+        + "\n        UNION ALL ".join(
+            f"SELECT CAST({r} AS INT) AS round, rnk, ar, br, nid, cnt "
+            f"FROM {prefix}batch{r}"
+            for r in range(rounds)
+        )
+        + ")"
+    )
+    return ",\n    ".join(parts)
 
 
 def batched_bpe_py(
@@ -206,7 +324,12 @@ def batched_bpe_py(
 ) -> tuple[dict[int, list[int]], list[tuple]]:
     """Pure-python reference of the SAME recurrence (the tests' second
     witness): ``docs`` maps doc_id → token-hash list. Returns (encoded
-    docs, vocab rows (round, rnk, ar, br, nid))."""
+    docs, vocab rows (round, rnk, ar, br, nid, cnt))."""
+    if rounds * m > NID_SLOTS_MAX:
+        raise ValueError(
+            f"rounds*m = {rounds * m} exceeds the {NID_SLOTS_MAX}-slot nid "
+            "space (slot*2^60 + h overflows int64 past slot 7)"
+        )
     cur = {d: list(t) for d, t in docs.items()}
     vocab: list[tuple] = []
     for r in range(rounds):
@@ -244,7 +367,7 @@ def batched_bpe_py(
             ar, br = h // PAIR_PACK, h % PAIR_PACK
             nid = h + (r * m + j) * NID_BASE
             pairs[ar] = (br, nid)
-            vocab.append((r, j, ar, br, nid))
+            vocab.append((r, j, ar, br, nid, c))
         for d, t in cur.items():
             if len(t) < 2:
                 continue

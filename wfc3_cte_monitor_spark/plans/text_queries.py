@@ -208,6 +208,23 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
 #                   iteration DataFrame loop; DuckDB: generated CTE
 #                   chain), and a pytest cross-checks iteration k
 #                   against a pure-Python greedy reference.
+#   which='mergeB'— the BATCHED-merge BPE trainer (operators/
+#                   bpe_batch.py), the SCALE form of 'mergeK': per
+#                   round, up to BB_M pairwise-DISJOINT winners from
+#                   the ranked probe window apply in ONE positional
+#                   pass (one job per ROUND, not per merge — a 30k
+#                   vocab becomes vocab/m jobs; tests/test_bpe_batch.py
+#                   proves batched ≡ sequential application and m=1 ≡
+#                   'mergeK'). Gated rows, BB_ROUNDS=2 × BB_M=3 (the
+#                   h-embedded nid scheme bounds gateable slots to 7 —
+#                   see bpe_batch.NID_SLOTS_MAX):
+#                   vocab rows (doc_id ≡ packed pair key, chunk_id ≡
+#                   -(round·BB_M+rnk), n_tokens ≡ selection-time count,
+#                   n_bpe_tokens ≡ batch rank, n_chars/n_unique ≡
+#                   ar/br residues, fp ≡ assigned nid) + per-doc
+#                   encoded-corpus rows (chunk_id NULL, before/after
+#                   lengths, fp ≡ encoded-sequence fingerprint — the
+#                   application gate, same render as 'encode').
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -220,6 +237,8 @@ SAMPLE_MOD = 10        # Bernoulli rate = 1/10 by hash residue
 HOLD_K = 25            # fixed-size per-stratum holdout
 MERGE_K = 10           # BPE merge candidates gated
 K_BPE = 3              # BPE trainer iterations gated (the 'mergeK' arm)
+BB_ROUNDS = 2          # batched BPE trainer rounds gated ('mergeB' arm)
+BB_M = 3               # batched merges/round — rounds·m ≤ NID_SLOTS_MAX
 CAP_N = 2              # per-source quota ('cap' arm) — binds at every sf
 URL_CAP_N = 3          # per-REGISTERED-DOMAIN quota ('url' arm)
 LM_TRAIN_MOD = 9       # bigram-LM train slice: doc_id % 9 == 0 ('lm' arm)
@@ -364,6 +383,7 @@ def _lm_ctes_sql() -> str:
 
 def _t01_sql() -> str:
     from ..functions.urls import planted_url_sql, url_table_sql
+    from ..operators.bpe_batch import batched_bpe_ctes_sql
     from ..operators.pagerank import integer_pagerank_ctes_sql
 
     url_tbl = url_table_sql("documents", "doc_id", planted_url_sql())
@@ -462,6 +482,7 @@ def _t01_sql() -> str:
         FROM toks
     ),
     {_bpe_ctes_sql()},
+    {batched_bpe_ctes_sql('ths', rounds=BB_ROUNDS, m=BB_M)},
     {_lm_ctes_sql()},
     urlt AS ({url_tbl}),
     prcnt AS (SELECT CAST(count(*) AS BIGINT) AS _c FROM documents),
@@ -641,6 +662,17 @@ def _t01_sql() -> str:
                coalesce(s.score, 0) AS score, coalesce(s.n_oov, 0) AS n_oov
         FROM ths t LEFT JOIN lmsc s ON t.doc_id = s.doc_id
     )
+    UNION ALL
+    SELECT 'mergeB', ar * {_PAIR_PACK} + br,
+           CAST(-(round * {BB_M} + rnk) AS INT),
+           cnt, CAST(rnk AS BIGINT), ar, br, CAST(NULL AS DOUBLE), nid
+    FROM bbvocab
+    UNION ALL
+    SELECT 'mergeB', t0.doc_id, CAST(NULL AS INT),
+           CAST(len(t0.th) AS BIGINT), CAST(len(tb.th) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           {portable_hash64_sql("coalesce(array_to_string(tb.th, ','), '')")}
+    FROM ths t0 JOIN bbths{BB_ROUNDS} tb USING (doc_id)
     UNION ALL{_bpe_arms_sql()}
     """
 
@@ -1336,6 +1368,49 @@ def t01_token_stats(spark, sf_dir):
             ).alias("fp"),
         )
     )
+    # 'mergeB' arm: the BATCHED-merge BPE trainer (see the arm comment
+    # and operators/bpe_batch.py — the scale form of the sequential
+    # trainer: one job per ROUND of up to BB_M pairwise-disjoint
+    # merges, not one per merge). Runs its own BB_ROUNDS rounds off the
+    # shared materialized token-hash relation; per round the cost is
+    # ONE map-side-combined bigram-count shuffle over 60-bit keys, two
+    # ≤16-row broadcast self-joins, a 1-row broadcast map relation, and
+    # a row-local corpus rewrite (materialized — same lineage hygiene
+    # as the sequential loop). In production you run EITHER this OR the
+    # sequential trainer; the gate runs both to cross-check them, so
+    # the round-0 bigram count intentionally duplicates aggs[1]'s work
+    # at gate scale rather than complicating the operator's contract
+    # with a precomputed-counts argument.
+    from ..operators.bpe_batch import batched_bpe_train
+
+    bb_corpus, bb_vocab = batched_bpe_train(thd, rounds=BB_ROUNDS, m=BB_M)
+    mergeb_arm = bb_vocab.select(
+        F.lit("mergeB").alias("which"),
+        (F.col("ar") * _PAIR_PACK + F.col("br")).alias("doc_id"),
+        (-(F.col("round") * BB_M + F.col("rnk"))).cast("int").alias("chunk_id"),
+        F.col("cnt").alias("n_tokens"),
+        F.col("rnk").cast("bigint").alias("n_bpe_tokens"),
+        F.col("ar").alias("n_chars"),
+        F.col("br").alias("n_unique"),
+        F.lit(None).cast("double").alias("punct_ratio"),
+        F.col("nid").alias("fp"),
+    ).unionAll(
+        thd.select("doc_id", F.size("th").cast("bigint").alias("_n0"))
+        .join(bb_corpus, "doc_id")
+        .select(
+            F.lit("mergeB").alias("which"),
+            "doc_id",
+            F.lit(None).cast("int").alias("chunk_id"),
+            F.col("_n0").alias("n_tokens"),
+            F.size("th").cast("bigint").alias("n_bpe_tokens"),
+            F.lit(None).cast("bigint").alias("n_chars"),
+            F.lit(None).cast("bigint").alias("n_unique"),
+            F.lit(None).cast("double").alias("punct_ratio"),
+            portable_hash64(
+                F.array_join(F.transform("th", lambda x: x.cast("string")), ",")
+            ).alias("fp"),
+        )
+    )
     # 'lm' arm: BIGRAM-LM PERPLEXITY quality score (the CCNet-style
     # signal; the 'score' arm is its linear-classifier counterpart).
     # Counts train on the doc_id % LM_TRAIN_MOD slice; every doc is
@@ -1432,7 +1507,7 @@ def t01_token_stats(spark, sf_dir):
         .unionAll(funnel_arm).unionAll(cap_arm).unionAll(url_arm)
         .unionAll(rank_arm)
         .unionAll(merge_arm).unionAll(merge2_arm).unionAll(mergek_arm)
-        .unionAll(encode_arm).unionAll(lm_arm)
+        .unionAll(mergeb_arm).unionAll(encode_arm).unionAll(lm_arm)
     )
 
 
