@@ -368,3 +368,121 @@ def test_aqe_skew_split_vs_manual_salt_boundary(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mega_domain_window_skew_drill(spark):
+    """The URL-cap mega-domain drill (r8 verdict ask #8 / r9 ask #2).
+
+    t01's 'url'/'cap' arms rank within reg_domain via a plain window —
+    correct at gate scale, but a window's exchange hashes on the
+    partition key ALONE, so a 50%-hot registered domain (one mega-site
+    dominating a crawl snapshot) funnels half the corpus through ONE
+    task. This drill plants exactly that skew and pins the decision:
+
+    1. AQE does NOT rescue a skewed window: OptimizeSkewedJoin rewrites
+       joins only. Even with the skew thresholds floored, the executed
+       window plan carries no skew split and the hot domain's rows all
+       land in a single task.
+    2. salted_rank (operators/salting.py) is the remedy: exchanges move
+       to (domain, bucket), the hot domain spreads across n_buckets
+       tasks, and the ranks are EXACTLY the plain window's ranks.
+
+    Rule recorded in SCALING.md §skew: per-key windows under mega-key
+    skew are salted_rank territory, never AQE territory.
+    """
+    n = 60_000
+    # 50% of rows in one mega domain, the rest uniform over 500 domains.
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("mega.example"))
+        .otherwise(F.concat(F.lit("site"), (F.col("id") % 500).cast("string"), F.lit(".example")))
+        .alias("reg_domain"),
+    )
+
+    CONFS = {
+        # floor every AQE skew gate: if ANY rule could split a window
+        # partition, these settings would trigger it
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in CONFS}
+    try:
+        for k, v in CONFS.items():
+            spark.conf.set(k, v)
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("reg_domain").orderBy("doc_id")
+        plain = docs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        tagged = plain.withColumn("pid", F.spark_partition_id())
+        tagged.collect()  # finalize the adaptive plan
+        plan = tagged._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan, plan  # (1) AQE never splits a window
+        # measure WITH rnk referenced: if the aggregate only touched pid,
+        # Catalyst would prune rnk, eliminate the Window, and pid would
+        # measure the Range scan instead of the window exchange
+        hot = (
+            tagged.where(F.col("reg_domain") == "mega.example")
+            .agg(F.countDistinct("pid").alias("d"), F.max("rnk").alias("mx"))
+            .collect()[0]
+        )
+        assert hot["mx"] == n // 2
+        assert hot["d"] == 1  # the funnel: 30k rows -> one task
+
+        # (2) salted_rank: exact same ranks, hot key scattered
+        from wfc3_cte_monitor_spark.operators.salting import salted_rank
+
+        salted = salted_rank(docs, "reg_domain", "doc_id", n_buckets=32)
+        assert sorted(salted.columns) == sorted(plain.columns)
+        stagged = salted.withColumn("pid", F.spark_partition_id())
+        shot = (
+            stagged.where(F.col("reg_domain") == "mega.example")
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("rnk").alias("mx"))
+            .collect()
+        )
+        assert max(r["mx"] for r in shot) == n // 2
+        hot_total = sum(r["c"] for r in shot)
+        # the structural claim: no single task carries the domain (the
+        # plain window put 100% in one task); exact pid counts depend on
+        # how the 32 (domain, bucket) hashes collide into shuffle
+        # partitions, so gate on the max per-task share instead
+        assert len(shot) >= 4, shot
+        assert max(r["c"] for r in shot) <= 0.4 * hot_total, shot
+
+        # exact equality with the window's ranks (doc_id is unique)
+        diff = (
+            salted.select("doc_id", "reg_domain", "rnk")
+            .exceptAll(plain.select("doc_id", "reg_domain", "rnk"))
+            .count()
+        )
+        assert diff == 0
+        # the exchange key is (domain, bucket), not domain alone
+        splan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "_rnk_bkt" in splan, splan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_rank_degenerate_groups(spark):
+    """salted_rank edge cases: single-row groups, constant order key
+    (hi == lo -> bucket 0), and ties sharing a bucket."""
+    from wfc3_cte_monitor_spark.operators.salting import salted_rank
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 5), ("b", 7), ("c", 1), ("c", 9)],
+        "k string, v int",
+    )
+    out = salted_rank(df, "k", "v", n_buckets=4).collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r.k, []).append(r.rnk)
+    assert sorted(by_k["a"]) == [1, 2, 3]  # ties: rank SET exact
+    assert by_k["b"] == [1]
+    ranks_c = {r.v: r.rnk for r in out if r.k == "c"}
+    assert ranks_c == {1: 1, 9: 2}

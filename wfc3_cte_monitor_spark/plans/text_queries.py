@@ -1052,8 +1052,13 @@ def t01_token_stats(spark, sf_dir):
     # params incl. all-tracking queries, fragments, empty paths).
     # Canonicalize + domain-extract are pure row-local expressions
     # (functions/urls.py); the ONLY exchange is the per-domain window —
-    # the shape a per-domain cap has at any scale (a skewed mega-domain
-    # is AQE skew-split territory, SCALING.md). Column meanings:
+    # the shape a per-domain cap has at any scale. A skewed mega-domain
+    # is NOT AQE territory (OptimizeSkewedJoin rewrites joins only,
+    # never window exchanges — pinned by the r10 skew drill,
+    # tests/test_scale_ops.py::test_mega_domain_window_skew_drill):
+    # the at-scale remedy is operators/salting.salted_rank, which moves
+    # the exchange to (domain, order-range bucket) and reconstructs the
+    # exact global rank from broadcast per-bucket offsets. Column meanings:
     # chunk_id ≡ rank within domain, n_tokens ≡ domain population,
     # n_bpe_tokens ≡ kept-under-cap flag, n_chars ≡ hash64(reg_domain),
     # n_unique ≡ length(canon_url), punct_ratio ≡ kept fraction, fp ≡
