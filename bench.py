@@ -711,6 +711,17 @@ def main() -> None:
         "sentinel_io_ref_s": SENTINEL_IO_REF_S,
         "io_ratio": io_ratio,
         "sentinel_io_passes": [round(s, 3) for s in io_sentinel_log],
+        # r9 verdict ask #6: frozen_total_norm divides a MIXED CPU/I-O
+        # workload by the CPU ratio alone, so it is DIRECTIONAL, not a
+        # precise host-independent number. The I/O-normalized companion
+        # below brackets the truth from the other side: when the two
+        # agree the window is uniform drift and either is trustworthy;
+        # when they diverge (|host_ratio − io_ratio| large) quote raw
+        # totals + both ratios and normalize nothing.
+        "frozen_total_norm_io": round(frozen_total / io_ratio, 3) if io_ratio > 0 else None,
+        "norm_basis": "frozen_total_norm is CPU-sentinel-based; "
+        "frozen_total_norm_io is IO-sentinel-based; both directional — "
+        "a mixed workload has no single drift ratio",
         "arm_prices": arm_prices,
         "frozen_arms": {n: list(v[1]) for n, v in FROZEN_ARMS.items()},
         "pinned_twins": {n: f"{m}.{f}" for n, (m, f) in PINNED_TWINS.items()},
@@ -771,6 +782,11 @@ def main() -> None:
                 "frozen_total_norm": frozen_total_norm,
                 "sentinel_io_s": sentinel_io_s,
                 "io_ratio": io_ratio,
+                # self-description (r9 verdict ask #6): what the
+                # normalized number can and cannot claim
+                "norm_basis": "cpu-sentinel-only; directional — "
+                "overstates precision when io_ratio diverges from "
+                "host_ratio; raw totals + both ratios are the record",
                 "queries": {n: timings_best[n] for n in names},
                 "frozen_queries": {
                     k: timings_best[k] for k in sorted(frozen_keys.values())
