@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Batched-BPE m-scaling A/B (r8 verdict ask #5, recorded in r10).
+
+Times the SAME 6-merge vocab-build budget through the batched trainer
+(`operators/bpe_batch.batched_bpe_train`) at three batch widths:
+
+  m=1 x 6 rounds   — degenerates to the sequential trainer's job shape
+  m=3 x 2 rounds   — the gated 'mergeB' configuration
+  m=6 x 1 round    — one ranking, one positional pass
+
+The claim under test: wall scales with ROUND count (each round = one
+corpus bigram-count shuffle + one corpus rewrite), not merge count —
+i.e. a vocab of V merges costs O(V/m) jobs. Caveat recorded with the
+numbers: the three configs pick different winner SETS (m=1 re-ranks
+after every merge and may pick pairs that overlap earlier winners;
+m=6 picks 6 pairwise-disjoint pairs from one ranking), so this is a
+jobs-shape A/B at equal merge budget, not an identical-output A/B —
+the identical-output proof is tests/test_bpe_batch.py.
+
+Usage: python scripts/bpe_batch_ab.py   (env: SPARK_GRAFT_SF_DIR, _CPUS)
+Prints one JSON line; paste the numbers into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wfc3_cte_monitor_spark.session import get_spark  # noqa: E402
+from wfc3_cte_monitor_spark.sources.catalog import load_table  # noqa: E402
+from wfc3_cte_monitor_spark.functions.scalars import portable_hash64  # noqa: E402
+from wfc3_cte_monitor_spark.operators.bpe_batch import batched_bpe_train  # noqa: E402
+from wfc3_cte_monitor_spark.checkpointing import materialize  # noqa: E402
+from wfc3_cte_monitor_spark.functions.text import tokens  # noqa: E402
+
+PASSES = 3  # best-of
+
+
+def main() -> None:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bpe-batch-ab", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf, "documents")
+    # the same token-hash relation shape t01 trains on, materialized
+    # OUTSIDE the timed region (both configs consume the identical input)
+    thd = materialize(
+        docs.select(
+            "doc_id",
+            F.transform(
+                F.filter(tokens("text"), lambda x: x != F.lit("")),
+                lambda x: portable_hash64(x),
+            ).alias("th"),
+        )
+    )
+    thd.count()  # force the materialization before timing
+
+    def run(rounds: int, m: int) -> tuple[float, int, int]:
+        best = float("inf")
+        vrows = crows = 0
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            corpus, vocab = batched_bpe_train(thd, rounds=rounds, m=m)
+            # consume both outputs (vocab rows + encoded-corpus length sum)
+            vrows = vocab.count()
+            crows = corpus.select(F.sum(F.size("th"))).collect()[0][0]
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), vrows, crows
+
+    out = {"metric": "bpe_batch_m_scaling", "unit": "sec", "sf": sf, "passes": PASSES}
+    for rounds, m in ((6, 1), (2, 3), (1, 6)):
+        sec, vrows, toks = run(rounds, m)
+        out[f"m{m}_r{rounds}"] = {"sec": sec, "vocab_rows": vrows, "total_tokens": toks}
+    print(json.dumps(out, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
