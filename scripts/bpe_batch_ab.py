@@ -34,10 +34,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from wfc3_cte_monitor_spark.session import get_spark  # noqa: E402
 from wfc3_cte_monitor_spark.sources.catalog import load_table  # noqa: E402
-from wfc3_cte_monitor_spark.functions.scalars import portable_hash64  # noqa: E402
 from wfc3_cte_monitor_spark.operators.bpe_batch import batched_bpe_train  # noqa: E402
 from wfc3_cte_monitor_spark.checkpointing import materialize  # noqa: E402
-from wfc3_cte_monitor_spark.functions.text import tokens  # noqa: E402
+from wfc3_cte_monitor_spark.functions.text import portable_hash64, tokens  # noqa: E402
 
 PASSES = 3  # best-of
 

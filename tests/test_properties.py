@@ -511,3 +511,45 @@ def test_asof_nearest_matches_reference(spark, left_rows, right_rows):
     }
     want = {i: ref(k, s) for i, (k, s, _x) in enumerate(left_rows)}
     assert got == want
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.sampled_from([1, 2, 4, 16]),
+)
+def test_salted_rank_property(spark, rows, n_buckets):
+    """salted_rank == plain window row_number for arbitrary group/order
+    distributions (incl. all-one-group, constant order keys, negative
+    keys) at every bucket count — the rank SET per group is exact; with
+    ties the assignment is arbitrary in both, so compare per-group
+    sorted (order_val, rank) multisets only where order keys are unique
+    and rank SETS everywhere."""
+    from wfc3_cte_monitor_spark.operators.salting import salted_rank
+
+    df = spark.createDataFrame([(g, v) for g, v in rows], "g int, v int")
+    got = salted_rank(df, "g", "v", n_buckets=n_buckets).collect()
+    by_g: dict[int, list] = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append((r.v, r.rnk))
+    for g, pairs in by_g.items():
+        vals = sorted(v for v, _ in pairs)
+        # rank set is exactly 1..n
+        assert sorted(rk for _, rk in pairs) == list(range(1, len(pairs) + 1))
+        # where order keys are unique, rank must equal the sort position
+        from collections import Counter
+
+        cnt = Counter(vals)
+        pos = {}
+        i = 1
+        for v in vals:
+            if cnt[v] == 1:
+                pos[v] = i
+            i += 1
+        for v, rk in pairs:
+            if v in pos:
+                assert rk == pos[v], (g, v, rk, pos[v])
