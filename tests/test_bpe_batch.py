@@ -257,3 +257,103 @@ def test_rejects_bad_params(spark):
         batched_bpe_ctes_sql("x", rounds=1, m=8)
     with pytest.raises(ValueError, match="slot"):
         batched_bpe_py(C3, rounds=4, m=2)
+
+
+# ------------------------------------------------- dictionary-id form
+# (batched_bpe_train_dict — the production re-key path the h-embedded
+# scheme's NID_SLOTS_MAX bound points at; fresh dense new-token ids,
+# true-BPE identity, no slot cap.)
+
+from wfc3_cte_monitor_spark.operators.bpe_batch import (  # noqa: E402
+    DICT_PACK,
+    NID_SLOTS_MAX,
+    batched_bpe_train_dict,
+    dense_token_ids,
+    translate_corpus,
+)
+
+
+def _py_dict(docs):
+    """python twin of dense_token_ids: distinct tokens sorted ascending
+    → id 0..V-1."""
+    toks = sorted({t for ts in docs.values() for t in ts})
+    return {t: i for i, t in enumerate(toks)}
+
+
+def test_dense_ids_and_translate_roundtrip(spark):
+    docs = {**C1, **C2, **C3}
+    df = _spark_df(spark, docs)
+    d = {r["tok"]: r["tid"] for r in dense_token_ids(df).collect()}
+    assert d == _py_dict(docs)  # bijective, dense, value-ordered
+    tr = {r["doc_id"]: list(r["th"]) for r in translate_corpus(df, dense_token_ids(df)).collect()}
+    assert set(tr) == set(docs)  # empty docs survive
+    inv = {i: t for t, i in d.items()}
+    for doc, ts in docs.items():
+        assert [inv[i] for i in tr[doc]] == ts  # lossless round-trip
+
+
+@pytest.mark.parametrize("rounds,m", [(3, 2), (4, 3)])  # (4,3)=12 > 7 slots
+def test_dict_mode_matches_python_witness(spark, rounds, m):
+    docs = {**C1, **C3}
+    d = _py_dict(docs)
+    tdocs = {doc: [d[t] for t in ts] for doc, ts in docs.items()}
+    py_enc, py_voc = batched_bpe_py(
+        tdocs, rounds, m, pack=DICT_PACK, vocab_base=len(d)
+    )
+    enc, vocab, dict_df = batched_bpe_train_dict(
+        _spark_df(spark, docs), rounds=rounds, m=m
+    )
+    sp_enc = {r["doc_id"]: list(r["th"]) for r in enc.collect()}
+    sp_voc = sorted(
+        (r["round"], r["rnk"], r["ar"], r["br"], r["nid"], r["cnt"])
+        for r in vocab.collect()
+    )
+    assert sp_voc == sorted(py_voc)
+    assert sp_enc == py_enc
+    # fresh ids: every nid above the dictionary, inside the slot range
+    v = len(d)
+    assert all(v <= row[4] < v + rounds * m for row in sp_voc)
+
+
+def test_dict_single_round_equals_embedded_winners(spark):
+    """Where the two schemes coincide (ONE round — no merged token can
+    re-enter the pair counts), the winner SETS resolve to the same
+    token pairs. Collision-free alphabet, distinct winner counts (the
+    tiebreak h differs across schemes, so equal counts could legally
+    order differently)."""
+    docs = {
+        1: [1, 2] * 10,   # (1,2) x 10 … top
+        2: [3, 4] * 7,    # (3,4) x 7  … second
+        3: [5, 6] * 3,
+        4: [7, 8] * 2,
+    }
+    m = 2
+    _, emb_voc = _spark_train(spark, docs, rounds=1, m=m)
+    emb_pairs = [(row[2], row[3]) for row in emb_voc]  # residues == tokens here
+    enc, vocab, dict_df = batched_bpe_train_dict(_spark_df(spark, docs), rounds=1, m=m)
+    inv = {r["tid"]: r["tok"] for r in dict_df.collect()}
+    dict_pairs = [
+        (inv[r["ar"]], inv[r["br"]])
+        for r in sorted(vocab.collect(), key=lambda r: r["rnk"])
+    ]
+    assert dict_pairs == emb_pairs == [(1, 2), (3, 4)]
+
+
+def test_dict_mode_capacity_beyond_embedded_slots(spark):
+    """12 merge slots: the embedded scheme REFUSES (int64 bound), the
+    dictionary scheme builds the vocab."""
+    docs = {**C1, **C3}
+    with pytest.raises(ValueError, match="slot"):
+        batched_bpe_train(_spark_df(spark, docs), rounds=4, m=3)
+    enc, vocab, _ = batched_bpe_train_dict(_spark_df(spark, docs), rounds=4, m=3)
+    rows = vocab.collect()
+    assert len(rows) > NID_SLOTS_MAX  # more merges than the embedded cap
+    assert enc.count() == len(docs)
+
+
+def test_dict_rejects_bad_params(spark):
+    df = _spark_df(spark, C3)
+    with pytest.raises(ValueError):
+        batched_bpe_train_dict(df, rounds=0, m=2)
+    with pytest.raises(ValueError):
+        batched_bpe_train_dict(df, rounds=1, m=0)

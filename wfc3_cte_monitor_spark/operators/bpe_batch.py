@@ -69,11 +69,14 @@ NID_BASE = 1 << 60  # new-token ids live above the 60-bit pair-key space
 NID_SLOTS_MAX = 7
 
 
-def bigram_counts(ths: DataFrame) -> DataFrame:
+def bigram_counts(ths: DataFrame, pack: int = PAIR_PACK) -> DataFrame:
     """(h, mx, cnt) over adjacent token-residue pairs of ``ths`` —
     ``ths``: (doc_id, th array<bigint>). Same packing, same tiebreak
     columns as the sequential trainer's pair vocab (ndocs omitted: the
-    trainer ranks on (cnt, h, mx) only)."""
+    trainer ranks on (cnt, h, mx) only). ``pack`` parameterizes the
+    pair key base: PAIR_PACK (2^30 residues, the gate-traceable
+    h-embedded scheme) or DICT_PACK (2^31, dense dictionary ids where
+    ``id % pack == id`` — injective packing, true-BPE identity)."""
     return materialize(
         ths.where(F.size("th") >= 2)
         .select(
@@ -87,7 +90,7 @@ def bigram_counts(ths: DataFrame) -> DataFrame:
         )
         .select(
             (
-                (F.col("p.ha") % PAIR_PACK) * PAIR_PACK + F.col("p.hb") % PAIR_PACK
+                (F.col("p.ha") % pack) * pack + F.col("p.hb") % pack
             ).alias("h"),
             F.col("p.ha").bitwiseXOR(F.col("p.hb")).alias("mx"),
         )
@@ -119,24 +122,33 @@ def _rank_small(df: DataFrame, cols=("cnt", "h", "mx")) -> DataFrame:
 
 
 def compatible_topm(
-    counts: DataFrame, m: int, round_idx: int, probe_mult: int = 4
+    counts: DataFrame,
+    m: int,
+    round_idx: int,
+    probe_mult: int = 4,
+    pack: int = PAIR_PACK,
+    vocab_base: int | None = None,
 ) -> DataFrame:
     """The round's batch: up to ``m`` pairwise-compatible winners from
-    the top ``probe_mult·m`` candidates → (ar, br, nid, rnk) with
-    ``nid = h + (round_idx·m + batch_rank)·2^60`` (unique across rounds
-    even when a batch comes back short)."""
+    the top ``probe_mult·m`` candidates → (ar, br, nid, rnk).
+
+    nid scheme: with ``vocab_base=None`` (default, the gated form)
+    ``nid = h + (round_idx·m + batch_rank)·2^60`` — h-embedded,
+    cross-engine traceable, 7-slot int64 bound. With ``vocab_base=V``
+    (the dictionary form) ``nid = V + round_idx·m + batch_rank - 1`` —
+    a fresh dense id above the V-token dictionary, no slot bound."""
     if m < 1:
         raise ValueError(f"batch size m must be >= 1, got {m}")
     window = max(probe_mult * m, m + 2)
     top = materialize(
-        counts.where(F.expr(f"h DIV {PAIR_PACK} <> h % {PAIR_PACK}"))
+        counts.where(F.expr(f"h DIV {pack} <> h % {pack}"))
         .orderBy(F.desc("cnt"), F.asc("h"), F.asc("mx"))
         .limit(window),
         eager=False,
     )
     rnk = _rank_small(top).selectExpr(
         "h", "mx", "cnt", "rnk",
-        f"h DIV {PAIR_PACK} AS ar", f"h % {PAIR_PACK} AS br",
+        f"h DIV {pack} AS ar", f"h % {pack} AS br",
     )
     # conservative prefix rule: drop x if ANY higher-ranked candidate in
     # the window shares a member residue with it
@@ -153,16 +165,21 @@ def compatible_topm(
         .select("h", "mx", "cnt", "ar", "br")
     )
     batch = _rank_small(survivors).where(F.col("rnk") <= m)
+    nid_expr = (
+        f"h + ({round_idx} * {m} + rnk) * {NID_BASE} AS nid"
+        if vocab_base is None
+        else f"CAST({vocab_base} + {round_idx} * {m} + rnk - 1 AS BIGINT) AS nid"
+    )
     return batch.selectExpr(
-        f"h DIV {PAIR_PACK} AS ar",
-        f"h % {PAIR_PACK} AS br",
-        f"h + ({round_idx} * {m} + rnk) * {NID_BASE} AS nid",
+        f"h DIV {pack} AS ar",
+        f"h % {pack} AS br",
+        nid_expr,
         "rnk",
         "cnt",
     )
 
 
-def apply_merge_batch(ths: DataFrame, batch: DataFrame) -> DataFrame:
+def apply_merge_batch(ths: DataFrame, batch: DataFrame, pack: int = PAIR_PACK) -> DataFrame:
     """One positional pass applying every (ar, br, nid) of ``batch`` to
     the token arrays. The batch rides a 1-row broadcast MAP relation
     (ar → (br, nid)); map keys are unique because batch members are
@@ -178,11 +195,11 @@ def apply_merge_batch(ths: DataFrame, batch: DataFrame) -> DataFrame:
     )
     apply_expr = f"""filter(transform(sequence(1, size(th)), i -> CASE
         WHEN i > 1 AND try_element_at(_mp, element_at(th, greatest(i - 1, 1))
-                 % {PAIR_PACK}).br = element_at(th, i) % {PAIR_PACK}
+                 % {pack}).br = element_at(th, i) % {pack}
             THEN CAST(NULL AS BIGINT)
-        WHEN try_element_at(_mp, element_at(th, i) % {PAIR_PACK}).br
-                 = try_element_at(th, i + 1) % {PAIR_PACK}
-            THEN try_element_at(_mp, element_at(th, i) % {PAIR_PACK}).nid
+        WHEN try_element_at(_mp, element_at(th, i) % {pack}).br
+                 = try_element_at(th, i + 1) % {pack}
+            THEN try_element_at(_mp, element_at(th, i) % {pack}).nid
         ELSE element_at(th, i) END), x -> x IS NOT NULL)"""
     return ths.join(F.broadcast(mp), F.lit(True), "left").select(
         "doc_id",
@@ -221,6 +238,114 @@ def batched_bpe_train(
         vocab = tagged if vocab is None else vocab.unionAll(tagged)
         cur = materialize(apply_merge_batch(cur, batch))
     return cur, vocab
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-id form: the PRODUCTION re-key path the h-embedded scheme's
+# 7-slot bound points at (NID_SLOTS_MAX above). Two differences, both
+# deliberate:
+#   1. CAPACITY — new-token ids are dense ints above the dictionary, so
+#      merge count is bounded by DICT_PACK, not by 7 int64 slots.
+#   2. SEMANTICS — under the h-embedded scheme a merged token's residue
+#      (nid % 2^30) EQUALS its right member's residue, so in later
+#      rounds the pair counter cannot tell them apart (a deliberate
+#      property shared with the gated sequential trainer so the two
+#      cross-check). Dictionary ids are fresh, so a merged token is a
+#      NEW symbol — the true-BPE identity a production tokenizer needs.
+# tests/test_bpe_batch.py pins both: dict ≡ embedded where the schemes
+# coincide (single round — no merged token can re-enter the counts),
+# dict ≡ the python dict-mode witness over multiple rounds, and a
+# 12-merge build that the embedded scheme's slot check refuses.
+
+DICT_PACK = 1 << 31  # ids < 2^31 ⇒ id % DICT_PACK == id and
+#                      a·DICT_PACK + b < 2^62: injective int64 packing
+
+
+def dense_token_ids(ths: DataFrame) -> DataFrame:
+    """(tok, tid) — every distinct token value of ``ths`` mapped to a
+    dense id 0..V-1 ordered by token value. Built WITHOUT a global
+    window: `salted_rank` over a single group spreads the rank
+    computation across order-range buckets (the same order-correlated
+    salt that fixes mega-key window skew) — the only single-task
+    relations are the broadcast per-bucket bounds/offsets."""
+    from .salting import salted_rank
+
+    toks = ths.select(F.explode("th").alias("tok")).distinct()
+    return (
+        salted_rank(
+            toks.withColumn("_g", F.lit(1)), "_g", "tok", n_buckets=256, out="_r"
+        )
+        .select("tok", (F.col("_r").cast("bigint") - 1).alias("tid"))
+    )
+
+
+def translate_corpus(ths: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Rewrite (doc_id, th) token-hash arrays into dictionary-id arrays
+    via ``dict_df`` (tok, tid). One posexplode + one equi-join on tok
+    (the dictionary is corpus-vocabulary-sized — it shuffles, it does
+    not broadcast) + one doc_id re-group; empty docs survive via the
+    left join-back."""
+    pos = ths.select("doc_id", F.posexplode("th").alias("pos", "tok"))
+    arr = (
+        pos.join(dict_df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("th")
+        )
+    )
+    return ths.select("doc_id").join(arr, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("th", F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias("th"),
+    )
+
+
+def batched_bpe_train_dict(
+    ths: DataFrame, rounds: int, m: int, probe_mult: int = 4
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The dictionary-id batched trainer: re-keys the corpus to dense
+    ids, then runs ``rounds`` × ``m`` batched merges with fresh new-token
+    ids allocated above the dictionary. Returns (encoded corpus in
+    dictionary ids, vocab rows (round, rnk, ar, br, nid, cnt) — ar/br/
+    nid all dictionary ids, and the dictionary itself (tok, tid)).
+
+    The single driver-side scalar is the dictionary COUNT (the
+    allocation base) — one number, not data. Everything else matches
+    ``batched_bpe_train``'s shape: one count shuffle + one row-local
+    rewrite per round, relations materialized per round."""
+    if rounds < 1:
+        raise ValueError(f"batched_bpe_train_dict needs rounds >= 1, got {rounds}")
+    if m < 1:
+        raise ValueError(f"batch size m must be >= 1, got {m}")
+    dict_df = materialize(dense_token_ids(ths))
+    vocab_base = dict_df.count()
+    if vocab_base + rounds * m >= DICT_PACK:
+        raise ValueError(
+            f"dictionary size {vocab_base} + {rounds * m} merges exceeds "
+            f"DICT_PACK={DICT_PACK}: ids would no longer pack injectively"
+        )
+    cur = materialize(translate_corpus(ths, dict_df))
+    vocab: DataFrame | None = None
+    for r in range(rounds):
+        batch = materialize(
+            compatible_topm(
+                bigram_counts(cur, pack=DICT_PACK),
+                m,
+                r,
+                probe_mult,
+                pack=DICT_PACK,
+                vocab_base=vocab_base,
+            ),
+            eager=False,
+        )
+        tagged = batch.select(
+            F.lit(r).cast("int").alias("round"), "rnk", "ar", "br", "nid", "cnt"
+        )
+        vocab = tagged if vocab is None else vocab.unionAll(tagged)
+        cur = materialize(apply_merge_batch(cur, batch, pack=DICT_PACK))
+    return cur, vocab, dict_df
 
 
 def batched_bpe_ctes_sql(
@@ -320,12 +445,19 @@ def batched_bpe_ctes_sql(
 
 
 def batched_bpe_py(
-    docs: dict[int, list[int]], rounds: int, m: int, probe_mult: int = 4
+    docs: dict[int, list[int]],
+    rounds: int,
+    m: int,
+    probe_mult: int = 4,
+    pack: int = PAIR_PACK,
+    vocab_base: int | None = None,
 ) -> tuple[dict[int, list[int]], list[tuple]]:
     """Pure-python reference of the SAME recurrence (the tests' second
     witness): ``docs`` maps doc_id → token-hash list. Returns (encoded
-    docs, vocab rows (round, rnk, ar, br, nid, cnt))."""
-    if rounds * m > NID_SLOTS_MAX:
+    docs, vocab rows (round, rnk, ar, br, nid, cnt)). With
+    ``vocab_base``/``pack=DICT_PACK`` it is the dictionary-mode witness
+    (fresh dense nids, no slot bound) over already-translated ids."""
+    if vocab_base is None and rounds * m > NID_SLOTS_MAX:
         raise ValueError(
             f"rounds*m = {rounds * m} exceeds the {NID_SLOTS_MAX}-slot nid "
             "space (slot*2^60 + h overflows int64 past slot 7)"
@@ -336,27 +468,26 @@ def batched_bpe_py(
         counts: dict[tuple, int] = {}
         for t in cur.values():
             for a, b in zip(t, t[1:]):
-                key = ((a % PAIR_PACK) * PAIR_PACK + b % PAIR_PACK, a ^ b)
+                key = ((a % pack) * pack + b % pack, a ^ b)
                 counts[key] = counts.get(key, 0) + 1
         window = max(probe_mult * m, m + 2)
         cands = sorted(
             (
                 (h, mx, c)
                 for (h, mx), c in counts.items()
-                if h // PAIR_PACK != h % PAIR_PACK
+                if h // pack != h % pack
             ),
             key=lambda x: (-x[2], x[0], x[1]),
         )[:window]
         kept: list[tuple] = []
-        members: dict[int, int] = {}  # residue -> rank of the candidate holding it
         for i, (h, mx, c) in enumerate(cands):
-            ar, br = h // PAIR_PACK, h % PAIR_PACK
+            ar, br = h // pack, h % pack
             # conservative prefix rule: conflict with ANY higher-ranked
             # candidate in the window (kept or not) excludes
             if any(
                 oar in (ar, br) or obr in (ar, br)
                 for (oh, omx, oc) in cands[:i]
-                for oar, obr in [(oh // PAIR_PACK, oh % PAIR_PACK)]
+                for oar, obr in [(oh // pack, oh % pack)]
             ):
                 continue
             kept.append((h, mx, c))
@@ -364,8 +495,12 @@ def batched_bpe_py(
                 break
         pairs = {}
         for j, (h, mx, c) in enumerate(kept, start=1):
-            ar, br = h // PAIR_PACK, h % PAIR_PACK
-            nid = h + (r * m + j) * NID_BASE
+            ar, br = h // pack, h % pack
+            nid = (
+                h + (r * m + j) * NID_BASE
+                if vocab_base is None
+                else vocab_base + r * m + j - 1
+            )
             pairs[ar] = (br, nid)
             vocab.append((r, j, ar, br, nid, c))
         for d, t in cur.items():
@@ -374,8 +509,8 @@ def batched_bpe_py(
             out: list[int] = []
             i = 0
             while i < len(t):
-                hit = pairs.get(t[i] % PAIR_PACK)
-                if hit is not None and i + 1 < len(t) and t[i + 1] % PAIR_PACK == hit[0]:
+                hit = pairs.get(t[i] % pack)
+                if hit is not None and i + 1 < len(t) and t[i + 1] % pack == hit[0]:
                     out.append(hit[1])
                     i += 2
                 else:
