@@ -486,3 +486,27 @@ def test_salted_rank_degenerate_groups(spark):
     assert by_k["b"] == [1]
     ranks_c = {r.v: r.rnk for r in out if r.k == "c"}
     assert ranks_c == {1: 1, 9: 2}
+
+
+def test_salted_rank_null_and_type_contract(spark):
+    """Code-review fixes: NULL order keys rank FIRST (row_number's
+    ASC NULLS FIRST, via a dedicated -1 bucket), and non-numeric order
+    columns are rejected up front (a lexical key cast to double is not
+    order-preserving — '15' < '2' lexically but 15.0 > 2.0 — so the
+    bucket-monotonicity invariant would silently break)."""
+    from wfc3_cte_monitor_spark.operators.salting import salted_rank
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 0), ("a", 1000), ("b", None), ("b", None)],
+        "k string, v int",
+    )
+    rows = salted_rank(df, "k", "v", n_buckets=4).collect()
+    got = {(r.k, r.v): r.rnk for r in rows if r.k == "a"}
+    assert got[("a", None)] == 1  # NULLS FIRST
+    assert got[("a", 0)] == 2 and got[("a", 1000)] == 3
+    # two all-NULL rows in one group: rank SET exact (dict would collapse them)
+    assert sorted(r.rnk for r in rows if r.k == "b") == [1, 2]
+
+    sdf = spark.createDataFrame([("a", "10"), ("a", "15"), ("a", "2")], "k string, v string")
+    with pytest.raises(TypeError, match="order-preserving"):
+        salted_rank(sdf, "k", "v")

@@ -270,7 +270,10 @@ def dense_token_ids(ths: DataFrame) -> DataFrame:
     relations are the broadcast per-bucket bounds/offsets."""
     from .salting import salted_rank
 
-    toks = ths.select(F.explode("th").alias("tok")).distinct()
+    # materialized: salted_rank evaluates its input's lineage three
+    # times (bounds / rank pass / bucket counts), and this lineage is a
+    # corpus-wide explode+distinct shuffle — pay it once
+    toks = materialize(ths.select(F.explode("th").alias("tok")).distinct())
     return (
         salted_rank(
             toks.withColumn("_g", F.lit(1)), "_g", "tok", n_buckets=256, out="_r"
@@ -321,7 +324,8 @@ def batched_bpe_train_dict(
         raise ValueError(f"batch size m must be >= 1, got {m}")
     dict_df = materialize(dense_token_ids(ths))
     vocab_base = dict_df.count()
-    if vocab_base + rounds * m >= DICT_PACK:
+    # max allocated nid is vocab_base + rounds*m - 1; it must stay < DICT_PACK
+    if vocab_base + rounds * m - 1 >= DICT_PACK:
         raise ValueError(
             f"dictionary size {vocab_base} + {rounds * m} merges exceeds "
             f"DICT_PACK={DICT_PACK}: ids would no longer pack injectively"

@@ -51,23 +51,52 @@ def salted_rank(
     Ties in ``order_col`` within one group are assigned ranks in an
     arbitrary (but bucket-stable) order — the same contract as plain
     ``row_number``. Equal values always land in the same bucket, so the
-    rank set {1..n} per group is exact regardless.
+    rank set {1..n} per group is exact regardless. NULL order keys get
+    a dedicated first bucket, matching ``row_number``'s NULLS FIRST.
+
+    ``order_col`` must be numeric: bucketing maps it through a cast to
+    double, and for strings (or other non-numeric types) that mapping
+    is not order-preserving ('15' < '2' lexically but 15.0 > 2.0), so
+    the bucket-monotonicity invariant the exact-rank proof relies on
+    would silently break — rejected up front instead.
+
+    Cost note: the input's lineage is evaluated three times (bounds
+    aggregate, the bucketed rank pass, the bucket-counts aggregate) —
+    callers whose input is an expensive pipeline should materialize it
+    first (as dense_token_ids in operators/bpe_batch.py does).
     """
+    from pyspark.sql.types import (
+        ByteType, DateType, DecimalType, DoubleType, FloatType,
+        IntegerType, LongType, ShortType, TimestampType,
+    )
+
+    ot = df.schema[order_col].dataType
+    _OK = (ByteType, ShortType, IntegerType, LongType, FloatType,
+           DoubleType, DecimalType, DateType, TimestampType)
+    if not isinstance(ot, _OK):
+        raise TypeError(
+            f"salted_rank order_col {order_col!r} has type {ot.simpleString()}; "
+            "bucketing is only order-preserving for numeric/date/timestamp "
+            "types (a lexical order key would silently mis-rank)"
+        )
     lo, hi = f"_{out}_lo", f"_{out}_hi"
     bkt, lrnk, off = f"_{out}_bkt", f"_{out}_lrnk", f"_{out}_off"
-    bounds = df.groupBy(part_col).agg(
-        F.min(order_col).alias(lo), F.max(order_col).alias(hi)
+    oc = (
+        F.col(order_col).cast("timestamp").cast("double")
+        if isinstance(ot, DateType)
+        else F.col(order_col).cast("double")
     )
+    bounds = df.groupBy(part_col).agg(F.min(oc).alias(lo), F.max(oc).alias(hi))
     d = df.join(F.broadcast(bounds), part_col)
-    span = F.col(hi).cast("double") - F.col(lo).cast("double") + F.lit(1.0)
-    bucket = F.when(F.col(hi) == F.col(lo), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor(
-                (F.col(order_col).cast("double") - F.col(lo).cast("double"))
-                * n_buckets
-                / span
-            ).cast("int"),
+    span = F.col(hi) - F.col(lo) + F.lit(1.0)
+    bucket = (
+        F.when(oc.isNull(), F.lit(-1))  # NULLS FIRST, own bucket
+        .when(F.col(hi) <= F.col(lo), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((oc - F.col(lo)) * n_buckets / span).cast("int"),
+            )
         )
     )
     d = d.withColumn(bkt, bucket).drop(lo, hi)
