@@ -357,3 +357,27 @@ def test_dict_rejects_bad_params(spark):
         batched_bpe_train_dict(df, rounds=0, m=2)
     with pytest.raises(ValueError):
         batched_bpe_train_dict(df, rounds=1, m=0)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_dict_mode_randomized_seeds(spark, seed):
+    """Dict-mode Spark ≡ python witness across independent random
+    corpora (beyond the single seeded C1 fixture): alphabet, doc count,
+    doc lengths and merge budget all vary with the seed; every budget
+    exceeds the embedded scheme's 7-slot bound at seed >= 3."""
+    rng = random.Random(987_000 + seed)
+    alphabet = rng.sample(range(1, 100_000), rng.randrange(6, 16))
+    docs = {
+        d: [rng.choice(alphabet) for _ in range(rng.randrange(0, 30))]
+        for d in range(rng.randrange(5, 25))
+    }
+    rounds, m = (2, 3) if seed < 3 else (rng.randrange(3, 5), rng.randrange(3, 5))
+    d = _py_dict(docs)
+    tdocs = {doc: [d[t] for t in ts] for doc, ts in docs.items()}
+    py_enc, py_voc = batched_bpe_py(tdocs, rounds, m, pack=DICT_PACK, vocab_base=len(d))
+    enc, vocab, _ = batched_bpe_train_dict(_spark_df(spark, docs), rounds=rounds, m=m)
+    assert {r["doc_id"]: list(r["th"]) for r in enc.collect()} == py_enc
+    assert sorted(
+        (r["round"], r["rnk"], r["ar"], r["br"], r["nid"], r["cnt"])
+        for r in vocab.collect()
+    ) == sorted(py_voc)
