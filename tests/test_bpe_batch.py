@@ -381,3 +381,75 @@ def test_dict_mode_randomized_seeds(spark, seed):
         (r["round"], r["rnk"], r["ar"], r["br"], r["nid"], r["cnt"])
         for r in vocab.collect()
     ) == sorted(py_voc)
+
+
+# ---------------------------------------------- frozen-dictionary encode
+from wfc3_cte_monitor_spark.operators.bpe_batch import (  # noqa: E402
+    OOV_ID,
+    encode_with_dict,
+)
+
+
+def _py_encode_with_dict(docs, d, vocab_rows, rounds):
+    """python witness for encode_with_dict: translate with OOV, then
+    apply each round's (disjoint) pair batch greedily in round order."""
+    cur = {doc: [d.get(t, OOV_ID) for t in ts] for doc, ts in docs.items()}
+    by_round = {}
+    for (r, _j, ar, br, nid, _c) in vocab_rows:
+        by_round.setdefault(r, {})[ar] = (br, nid)
+    for r in range(rounds):
+        pairs = by_round.get(r, {})
+        nxt = {}
+        for doc, t in cur.items():
+            out, i = [], 0
+            while i < len(t):
+                hit = pairs.get(t[i])
+                if hit is not None and i + 1 < len(t) and t[i + 1] == hit[0]:
+                    out.append(hit[1])
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            nxt[doc] = out
+        cur = nxt
+    return cur
+
+
+def test_encode_with_dict_self_consistent(spark):
+    """Encoding the TRAINING corpus with the frozen artifacts must equal
+    the training run's own encoded output."""
+    docs = {**C1, **C3}
+    rounds, m = 3, 2
+    enc, vocab, dict_df = batched_bpe_train_dict(_spark_df(spark, docs), rounds=rounds, m=m)
+    trained = {r["doc_id"]: list(r["th"]) for r in enc.collect()}
+    re_enc = encode_with_dict(_spark_df(spark, docs), dict_df, vocab, rounds=rounds)
+    assert {r["doc_id"]: list(r["th"]) for r in re_enc.collect()} == trained
+
+
+def test_encode_with_dict_new_docs_and_oov(spark):
+    """The inference path on UNSEEN docs: OOV tokens ride through as
+    OOV_ID, known pairs still merge; cross-checked against the python
+    witness. 999983 and 777777 never appear in the training corpus."""
+    docs = {**C1, **C3}
+    rounds, m = 2, 3
+    _enc, vocab, dict_df = batched_bpe_train_dict(_spark_df(spark, docs), rounds=rounds, m=m)
+    d = _py_dict(docs)
+    vocab_rows = sorted(
+        (r["round"], r["rnk"], r["ar"], r["br"], r["nid"], r["cnt"])
+        for r in vocab.collect()
+    )
+    new_docs = {
+        901: [3, 5, 999983, 3, 5],        # known pair around an OOV token
+        902: [999983, 777777],            # all-OOV
+        903: [],                          # empty doc
+        904: [9, 12, 9, 12, 777777, 9, 12],
+        905: [77, 77 + PAIR_PACK, 5],     # the residue-colliding fixture
+    }
+    got = {
+        r["doc_id"]: list(r["th"])
+        for r in encode_with_dict(_spark_df(spark, new_docs), dict_df, vocab, rounds=rounds).collect()
+    }
+    want = _py_encode_with_dict(new_docs, d, vocab_rows, rounds)
+    assert got == want
+    assert got[902] == [OOV_ID, OOV_ID]  # OOV rides through verbatim
+    assert got[903] == []

@@ -282,27 +282,64 @@ def dense_token_ids(ths: DataFrame) -> DataFrame:
     )
 
 
-def translate_corpus(ths: DataFrame, dict_df: DataFrame) -> DataFrame:
+OOV_ID = -1  # unseen-token id for frozen-dictionary encoding: negative,
+#              so it can never collide with a dictionary or merge id and
+#              every map lookup on it misses (identity under apply)
+
+
+def translate_corpus(
+    ths: DataFrame, dict_df: DataFrame, oov_id: int | None = None
+) -> DataFrame:
     """Rewrite (doc_id, th) token-hash arrays into dictionary-id arrays
     via ``dict_df`` (tok, tid). One posexplode + one equi-join on tok
-    (the dictionary is corpus-vocabulary-sized — it shuffles, it does
-    not broadcast) + one doc_id re-group; empty docs survive via the
-    left join-back."""
+    (the dictionary is vocabulary-sized: Catalyst broadcasts it while it
+    fits, a co-partitioned shuffle join past the threshold) + one doc_id
+    re-group; empty docs survive via the left join-back.
+
+    ``oov_id=None`` (training): every token is by construction in the
+    dictionary — inner join. ``oov_id=k`` (frozen-dictionary encoding):
+    unseen tokens map to ``k`` instead of being dropped."""
     pos = ths.select("doc_id", F.posexplode("th").alias("pos", "tok"))
-    arr = (
-        pos.join(dict_df, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s["tid"],
-            ).alias("th")
+    if oov_id is None:
+        hit = pos.join(dict_df, "tok").select("doc_id", "pos", "tid")
+    else:
+        hit = pos.join(dict_df, "tok", "left").select(
+            "doc_id",
+            "pos",
+            F.coalesce("tid", F.lit(oov_id).cast("bigint")).alias("tid"),
         )
+    arr = hit.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("th")
     )
     return ths.select("doc_id").join(arr, "doc_id", "left").select(
         "doc_id",
         F.coalesce("th", F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias("th"),
     )
+
+
+def encode_with_dict(
+    ths: DataFrame, dict_df: DataFrame, vocab: DataFrame, rounds: int
+) -> DataFrame:
+    """Tokenizer INFERENCE: encode (doc_id, th) token-hash docs with a
+    FROZEN dictionary + merge vocab from ``batched_bpe_train_dict`` —
+    the pass a production pipeline runs over every new corpus shard
+    after training once. Unseen tokens become ``OOV_ID`` (negative —
+    every merge-map lookup on it misses, so it rides through verbatim).
+
+    Per round the vocab slice is pairwise-disjoint BY CONSTRUCTION
+    (that is what compatible_topm guarantees), so each round is one
+    positional pass; batches from different rounds are NOT mutually
+    disjoint and must apply in round order — ``rounds`` passes total,
+    each a row-local rewrite off a broadcast ≤m-entry map. The vocab
+    relation is bounded (≤ rounds·m rows), never corpus-sized."""
+    cur = materialize(translate_corpus(ths, dict_df, oov_id=OOV_ID))
+    for r in range(rounds):
+        batch = vocab.where(F.col("round") == r).select("ar", "br", "nid")
+        cur = materialize(apply_merge_batch(cur, batch, pack=DICT_PACK))
+    return cur
 
 
 def batched_bpe_train_dict(
