@@ -93,6 +93,14 @@ PINNED_TWINS: dict[str, tuple[str, str]] = {
     # so the r8 twin no longer isolates r10's changes. frozen_t01_r9
     # was verified row-identical to live t01 at sf0.001 before any r10
     # edit (tests/test_plan_shape.py keeps the plan importable).
+    #
+    # R11 BUILDER: the live t01 gained 'mergeB' in r10, so THIS pin
+    # stops isolating r11's changes. The r10 snapshot is already taken
+    # and verified (plans/frozen_t01_r10.py, row-identical at sf0.001 +
+    # sf0.01 at the end of r10) — flip this entry to
+    # ("wfc3_cte_monitor_spark.plans.frozen_t01_r10",
+    #  "t01_token_stats_r10"), retire frozen_t01_r9, record in
+    # SCALING.md. Do NOT flip before the driver writes BENCH_r10.
     "t01_token_stats": (
         "wfc3_cte_monitor_spark.plans.frozen_t01_r9",
         "t01_token_stats_r9",
