@@ -99,6 +99,26 @@ def main() -> None:
         "total_tokens": toks,
         "note": "incl. dictionary build + corpus translation (the re-key)",
     }
+
+    # Inference path: encode the whole corpus with the FROZEN artifacts
+    # (dictionary + vocab from the last dict training run above) — the
+    # per-shard cost a production pipeline pays after training once.
+    from wfc3_cte_monitor_spark.operators.bpe_batch import encode_with_dict
+
+    corpus, vocab, dict_df = batched_bpe_train_dict(thd, rounds=3, m=8)
+    vocab = vocab.cache(); vocab.count()
+    dict_df = dict_df.cache(); dict_df.count()
+    best = float("inf")
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        enc = encode_with_dict(thd, dict_df, vocab, rounds=3)
+        toks = enc.select(F.sum(F.size("th"))).collect()[0][0]
+        best = min(best, time.perf_counter() - t0)
+    out["encode_frozen"] = {
+        "sec": round(best, 3),
+        "total_tokens": toks,
+        "note": "one full-corpus inference pass with the frozen dict+vocab",
+    }
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
