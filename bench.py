@@ -88,22 +88,21 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
 # shared-stage ambiguity. Re-pin a NEW module at each future boundary
 # where the query's code changed; SCALING.md records each re-pin.
 PINNED_TWINS: dict[str, tuple[str, str]] = {
-    # re-pinned at the r10 boundary (r9 verdict ask #4): the live t01
-    # changed in r9 (second plant family, kept flag, LEFT-JOIN guard),
-    # so the r8 twin no longer isolates r10's changes. frozen_t01_r9
-    # was verified row-identical to live t01 at sf0.001 before any r10
-    # edit (tests/test_plan_shape.py keeps the plan importable).
+    # re-pinned at the r11 boundary (r10 verdict ask #2): the live t01
+    # gained 'mergeB' in r10, so the r9 twin stopped isolating r11's
+    # changes. frozen_t01_r10 was PRE-pinned at the end of r10 and
+    # verified row-identical to live t01 at sf0.001 + sf0.01 before any
+    # r11 edit; tests/test_plan_shape.py's pin test now imports and
+    # arm-compares THIS pin every run (continuous verification, not
+    # trust-from-pin-time). frozen_t01_r9 retired at the flip.
     #
-    # R11 BUILDER: the live t01 gained 'mergeB' in r10, so THIS pin
-    # stops isolating r11's changes. The r10 snapshot is already taken
-    # and verified (plans/frozen_t01_r10.py, row-identical at sf0.001 +
-    # sf0.01 at the end of r10) — flip this entry to
-    # ("wfc3_cte_monitor_spark.plans.frozen_t01_r10",
-    #  "t01_token_stats_r10"), retire frozen_t01_r9, record in
-    # SCALING.md. Do NOT flip before the driver writes BENCH_r10.
+    # r11 note: the live t01 is UNCHANGED this round (the round's new
+    # BPE work ships as the standalone t03_bpe_dict_train), so
+    # live − pinned this round measures pure twin noise — the recorded
+    # noise band for the sustained-drift instrumentation.
     "t01_token_stats": (
-        "wfc3_cte_monitor_spark.plans.frozen_t01_r9",
-        "t01_token_stats_r9",
+        "wfc3_cte_monitor_spark.plans.frozen_t01_r10",
+        "t01_token_stats_r10",
     ),
 }
 

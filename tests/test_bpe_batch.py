@@ -453,3 +453,38 @@ def test_encode_with_dict_new_docs_and_oov(spark):
     assert got == want
     assert got[902] == [OOV_ID, OOV_ID]  # OOV rides through verbatim
     assert got[903] == []
+
+
+def test_encode_with_dict_rounds_contract(spark):
+    """r10 ADVICE: an explicit `rounds` smaller than the vocab's round
+    count silently under-encoded (later merge rounds skipped with no
+    error). Now: rounds=None derives max(round)+1 from the vocab,
+    an under-covering explicit value raises, an over-covering one
+    stays a harmless identity no-op."""
+    docs = {**C1, **C3}
+    rounds, m = 3, 2
+    _enc, vocab, dict_df = batched_bpe_train_dict(
+        _spark_df(spark, docs), rounds=rounds, m=m
+    )
+    derived = {
+        r["doc_id"]: list(r["th"])
+        for r in encode_with_dict(_spark_df(spark, docs), dict_df, vocab).collect()
+    }
+    explicit = {
+        r["doc_id"]: list(r["th"])
+        for r in encode_with_dict(
+            _spark_df(spark, docs), dict_df, vocab, rounds=rounds
+        ).collect()
+    }
+    assert derived == explicit
+    over = {
+        r["doc_id"]: list(r["th"])
+        for r in encode_with_dict(
+            _spark_df(spark, docs), dict_df, vocab, rounds=rounds + 2
+        ).collect()
+    }
+    assert over == explicit  # extra rounds: empty batch -> identity
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not cover"):
+        encode_with_dict(_spark_df(spark, docs), dict_df, vocab, rounds=rounds - 1)

@@ -322,19 +322,21 @@ def test_contam_eval_side_broadcasts(spark):
 
 
 def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
-    # The bench's cross-version control (plans/frozen_t01_r9.py) must
-    # stay row-identical to live t01 RESTRICTED TO THE PIN'S ARM SET:
-    # the pin shares the stable substrate (functions/text, catalog,
-    # checkpointing) with the live plan on purpose, and a behavior
-    # change there silently corrupts the twin — this test converts that
-    # re-pin rule (pin docstring rule 2) from prose to CI. Arms added
-    # after the r9 boundary (e.g. 'mergeB') are excluded by
-    # construction: the comparison keys on the PIN's own arm set.
+    # The bench's cross-version control (plans/frozen_t01_r10.py, the
+    # r11 flip of the r9 pin) must stay row-identical to live t01
+    # RESTRICTED TO THE PIN'S ARM SET: the pin shares the stable
+    # substrate (functions/text, catalog, checkpointing) with the live
+    # plan on purpose, and a behavior change there silently corrupts
+    # the twin — this test converts that re-pin rule (pin docstring
+    # rule 2) from prose to CI, so the control is continuously verified
+    # rather than trusted from pin time (r10 verdict ask #2). Arms
+    # added after the r10 boundary are excluded by construction: the
+    # comparison keys on the PIN's own arm set.
     from pyspark.sql import functions as F
 
-    from wfc3_cte_monitor_spark.plans.frozen_t01_r9 import t01_token_stats_r9
+    from wfc3_cte_monitor_spark.plans.frozen_t01_r10 import t01_token_stats_r10
 
-    pin = t01_token_stats_r9(spark, SF)
+    pin = t01_token_stats_r10(spark, SF)
     live = load_all()["t01_token_stats"].fn(spark, SF)
     assert live.columns == pin.columns
     pin_rows = sorted(map(tuple, pin.collect()))

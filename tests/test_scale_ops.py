@@ -510,3 +510,22 @@ def test_salted_rank_null_and_type_contract(spark):
     sdf = spark.createDataFrame([("a", "10"), ("a", "15"), ("a", "2")], "k string, v string")
     with pytest.raises(TypeError, match="order-preserving"):
         salted_rank(sdf, "k", "v")
+
+
+def test_salted_rank_rejects_column_collisions(spark):
+    """r10 ADVICE: salted_rank must not silently OVERWRITE an input
+    column named `out`, nor run with inputs carrying its internal
+    temporaries (the rank arithmetic would join/drop the wrong
+    columns) — both are rejected up front with a schema check."""
+    from wfc3_cte_monitor_spark.operators.salting import salted_rank
+
+    df = spark.createDataFrame([("a", 1, 99)], "k string, v int, rnk int")
+    with pytest.raises(ValueError, match="already"):
+        salted_rank(df, "k", "v")  # default out='rnk' collides
+    # a different out name works on the same input
+    ok = salted_rank(df, "k", "v", out="pos").collect()
+    assert [(r.k, r.v, r.rnk, r.pos) for r in ok] == [("a", 1, 99, 1)]
+    # internal temp collision (counts alias) also rejected
+    df2 = spark.createDataFrame([("a", 1, 0)], "k string, v int, _c int")
+    with pytest.raises(ValueError, match="already"):
+        salted_rank(df2, "k", "v")

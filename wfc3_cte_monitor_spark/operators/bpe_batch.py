@@ -321,7 +321,7 @@ def translate_corpus(
 
 
 def encode_with_dict(
-    ths: DataFrame, dict_df: DataFrame, vocab: DataFrame, rounds: int
+    ths: DataFrame, dict_df: DataFrame, vocab: DataFrame, rounds: int | None = None
 ) -> DataFrame:
     """Tokenizer INFERENCE: encode (doc_id, th) token-hash docs with a
     FROZEN dictionary + merge vocab from ``batched_bpe_train_dict`` —
@@ -334,7 +334,25 @@ def encode_with_dict(
     positional pass; batches from different rounds are NOT mutually
     disjoint and must apply in round order — ``rounds`` passes total,
     each a row-local rewrite off a broadcast ≤m-entry map. The vocab
-    relation is bounded (≤ rounds·m rows), never corpus-sized."""
+    relation is bounded (≤ rounds·m rows), never corpus-sized.
+
+    ``rounds=None`` (default) derives the round count from the vocab
+    itself (max(round)+1 — one 1-row scan of the bounded vocab
+    relation). An explicit ``rounds`` smaller than what the vocab
+    carries would SILENTLY skip the later merge rounds
+    (under-encoding with no error — r10 ADVICE), so it is validated
+    and raises; a larger value is a harmless no-op and stays allowed
+    (the extra passes see empty batches → identity)."""
+    max_round = vocab.agg(F.max("round").alias("_mr")).collect()[0]["_mr"]
+    n_rounds = 0 if max_round is None else int(max_round) + 1
+    if rounds is None:
+        rounds = n_rounds
+    elif rounds < n_rounds:
+        raise ValueError(
+            f"encode_with_dict rounds={rounds} does not cover the vocab's "
+            f"{n_rounds} merge rounds — the later rounds would be silently "
+            "skipped (under-encoding); pass rounds=None to derive it"
+        )
     cur = materialize(translate_corpus(ths, dict_df, oov_id=OOV_ID))
     for r in range(rounds):
         batch = vocab.where(F.col("round") == r).select("ar", "br", "nid")
@@ -389,8 +407,69 @@ def batched_bpe_train_dict(
     return cur, vocab, dict_df
 
 
+def _apply_pass_ctes_sql(cur: str, map_cte: str, out_cte: str, pack: int) -> str:
+    """One DuckDB positional-apply pass: rewrite ``cur`` (doc_id, th)
+    through the 1-row aligned-lists map relation ``map_cte`` into
+    ``out_cte``. The map lookup uses ``list_position`` (0 for a miss) +
+    list indexing (``l[0]`` → NULL), so a non-member residue falls
+    through to identity exactly like the Spark twin's try_element_at;
+    an empty batch makes the map lists NULL (DuckDB ``list()`` over
+    zero rows) and the whole pass the identity."""
+    return f"""{out_cte} AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 2 THEN
+               list_filter(list_transform(range(1, len(th) + 1), i -> CASE
+                   WHEN i > 1 AND brs[list_position(ars,
+                            th[greatest(i - 1, 1)] % {pack})]
+                        = th[i] % {pack} THEN NULL
+                   WHEN brs[list_position(ars, th[i] % {pack})]
+                        = th[i + 1] % {pack}
+                        THEN nids[list_position(ars, th[i] % {pack})]
+                   ELSE th[i] END), x -> x IS NOT NULL)
+               ELSE th END AS th
+        FROM {cur} LEFT JOIN {map_cte} ON TRUE
+    )"""
+
+
+def _translate_ctes_sql(
+    src: str, dict_cte: str, prefix: str, oov_id: int | None
+) -> list[str]:
+    """CTEs rewriting ``src`` (doc_id, th) through ``dict_cte``
+    (tok, tid) into ``{prefix}ths0`` — the DuckDB twin of
+    ``translate_corpus``: positional unnest, tok-equi-join (inner when
+    every token is known, left + coalesce(oov) for frozen-dictionary
+    inference), order-preserving list() re-group, left join-back so
+    empty docs survive."""
+    join = (
+        f"JOIN {dict_cte} d ON d.tok = p.tok"
+        if oov_id is None
+        else f"LEFT JOIN {dict_cte} d ON d.tok = p.tok"
+    )
+    tid = "d.tid" if oov_id is None else f"coalesce(d.tid, CAST({oov_id} AS BIGINT))"
+    return [
+        f"""{prefix}pos AS (
+        SELECT doc_id, i, th[i] AS tok
+        FROM {src}, UNNEST(range(1, len(th) + 1)) AS u(i)
+    )""",
+        f"""{prefix}tr AS (
+        SELECT p.doc_id, list({tid} ORDER BY p.i) AS th
+        FROM {prefix}pos p {join}
+        GROUP BY p.doc_id
+    )""",
+        f"""{prefix}ths0 AS (
+        SELECT s.doc_id, coalesce(t.th, CAST([] AS BIGINT[])) AS th
+        FROM {src} s LEFT JOIN {prefix}tr t USING (doc_id)
+    )""",
+    ]
+
+
 def batched_bpe_ctes_sql(
-    src: str, rounds: int, m: int, probe_mult: int = 4, prefix: str = "bb"
+    src: str,
+    rounds: int,
+    m: int,
+    probe_mult: int = 4,
+    prefix: str = "bb",
+    dict_mode: bool = False,
 ) -> str:
     """DuckDB twin as a generated CTE chain (same pattern as
     ``integer_pagerank_ctes_sql``): ``src`` must be a relation with
@@ -403,38 +482,57 @@ def batched_bpe_ctes_sql(
     batch as (round, rnk, ar, br, nid, cnt). Read the encoded corpus
     from ``{prefix}ths{rounds}``.
 
-    The map lookup uses ``list_position`` (0 for a miss) + list
-    indexing (``l[0]`` → NULL), so a non-member residue falls through
-    to identity exactly like the Spark twin's try_element_at; an empty
-    batch makes the map lists NULL (DuckDB ``list()`` over zero rows)
-    and the whole pass the identity — the same inherent degenerate
-    guard."""
+    ``dict_mode=False`` (default): the h-embedded nid scheme
+    (``batched_bpe_train``'s twin — PAIR_PACK packing, 7-slot bound).
+    ``dict_mode=True``: the DICTIONARY-ID scheme, the twin of
+    ``batched_bpe_train_dict`` (r10 verdict ask #1) — additionally
+    emits ``{prefix}dict`` (tok → dense tid 0..V-1 ordered by token
+    value, `row_number()` over the distinct-token relation — the
+    DuckDB equivalent of ``dense_token_ids``), ``{prefix}vbc`` (the
+    1-row dictionary COUNT, the nid allocation base) and
+    ``{prefix}pos/tr/ths0`` (the translate pass), then runs the rounds
+    over dictionary ids with DICT_PACK packing and fresh dense nids
+    ``vb + round·m + rnk − 1`` — no slot bound, true-BPE identity."""
     if rounds < 1:
         raise ValueError(f"batched_bpe_train needs rounds >= 1, got {rounds}")
     if m < 1:
         raise ValueError(f"batch size m must be >= 1, got {m}")
-    if rounds * m > NID_SLOTS_MAX:
+    if not dict_mode and rounds * m > NID_SLOTS_MAX:
         raise ValueError(
             f"rounds*m = {rounds * m} exceeds the {NID_SLOTS_MAX}-slot nid "
             "space (slot*2^60 + h overflows int64 past slot 7)"
         )
+    pack = DICT_PACK if dict_mode else PAIR_PACK
     window = max(probe_mult * m, m + 2)
     parts = []
-    cur = src
+    if dict_mode:
+        parts.append(f"""{prefix}dict AS (
+        SELECT tok,
+               CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS tid
+        FROM (SELECT DISTINCT unnest(th) AS tok FROM {src})
+    )""")
+        parts.append(
+            f"{prefix}vbc AS (SELECT CAST(count(*) AS BIGINT) AS vb "
+            f"FROM {prefix}dict)"
+        )
+        parts.extend(_translate_ctes_sql(src, f"{prefix}dict", prefix, None))
+        cur = f"{prefix}ths0"
+    else:
+        cur = src
     for r in range(rounds):
         parts.append(f"""{prefix}agg{r} AS (
         SELECT h, mx, CAST(count(*) AS BIGINT) AS cnt
         FROM (
-            SELECT (ha % {PAIR_PACK}) * {PAIR_PACK} + hb % {PAIR_PACK} AS h,
+            SELECT (ha % {pack}) * {pack} + hb % {pack} AS h,
                    xor(ha, hb) AS mx
             FROM (SELECT th[i] AS ha, th[i+1] AS hb
                   FROM {cur}, UNNEST(range(1, len(th))) AS u(i))
         ) GROUP BY h, mx
     )""")
         parts.append(f"""{prefix}top{r} AS (
-        SELECT h, mx, cnt, h // {PAIR_PACK} AS ar, h % {PAIR_PACK} AS br,
+        SELECT h, mx, cnt, h // {pack} AS ar, h % {pack} AS br,
                CAST(row_number() OVER (ORDER BY cnt DESC, h, mx) AS INT) AS rnk
-        FROM {prefix}agg{r} WHERE h // {PAIR_PACK} <> h % {PAIR_PACK}
+        FROM {prefix}agg{r} WHERE h // {pack} <> h % {pack}
         ORDER BY cnt DESC, h, mx LIMIT {window}
     )""")
         parts.append(f"""{prefix}keep{r} AS (
@@ -445,12 +543,18 @@ def batched_bpe_ctes_sql(
             WHERE y.rnk < x.rnk AND (y.ar = x.ar OR y.ar = x.br
                                      OR y.br = x.ar OR y.br = x.br))
     )""")
+        nid_sql = (
+            f"vb + {r} * {m} + rnk - 1 AS nid"
+            if dict_mode
+            else f"h + ({r} * {m} + rnk) * (1::BIGINT << 60) AS nid"
+        )
+        vb_from = f", {prefix}vbc" if dict_mode else ""
         parts.append(f"""{prefix}batch{r} AS (
-        SELECT ar, br, h + ({r} * {m} + rnk) * (1::BIGINT << 60) AS nid,
+        SELECT ar, br, {nid_sql},
                rnk, cnt
         FROM (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, h, mx)
                              AS INT) AS rnk
-              FROM {prefix}keep{r})
+              FROM {prefix}keep{r}){vb_from}
         WHERE rnk <= {m}
     )""")
         parts.append(f"""{prefix}map{r} AS (
@@ -458,20 +562,9 @@ def batched_bpe_ctes_sql(
                list(nid ORDER BY rnk) AS nids
         FROM {prefix}batch{r}
     )""")
-        parts.append(f"""{prefix}ths{r + 1} AS (
-        SELECT doc_id,
-               CASE WHEN len(th) >= 2 THEN
-               list_filter(list_transform(range(1, len(th) + 1), i -> CASE
-                   WHEN i > 1 AND brs[list_position(ars,
-                            th[greatest(i - 1, 1)] % {PAIR_PACK})]
-                        = th[i] % {PAIR_PACK} THEN NULL
-                   WHEN brs[list_position(ars, th[i] % {PAIR_PACK})]
-                        = th[i + 1] % {PAIR_PACK}
-                        THEN nids[list_position(ars, th[i] % {PAIR_PACK})]
-                   ELSE th[i] END), x -> x IS NOT NULL)
-               ELSE th END AS th
-        FROM {cur} LEFT JOIN {prefix}map{r} ON TRUE
-    )""")
+        parts.append(
+            _apply_pass_ctes_sql(cur, f"{prefix}map{r}", f"{prefix}ths{r + 1}", pack)
+        )
         cur = f"{prefix}ths{r + 1}"
     parts.append(
         f"{prefix}vocab AS ("
@@ -482,6 +575,32 @@ def batched_bpe_ctes_sql(
         )
         + ")"
     )
+    return ",\n    ".join(parts)
+
+
+def bpe_dict_encode_ctes_sql(
+    src: str, rounds: int, trainer_prefix: str = "bb", prefix: str = "bi"
+) -> str:
+    """DuckDB twin of ``encode_with_dict`` — the frozen-dictionary
+    INFERENCE pass: encode ``src`` (doc_id, th token-hash arrays) with
+    the dictionary and per-round merge maps already emitted by a
+    dict-mode :func:`batched_bpe_ctes_sql` chain under
+    ``trainer_prefix``. Unseen tokens translate to ``OOV_ID`` (left
+    join + coalesce — every map lookup on it misses, so it rides
+    through verbatim), then the rounds apply IN ORDER reusing
+    ``{trainer_prefix}map{r}``. Read the encoded corpus from
+    ``{prefix}ths{rounds}``."""
+    if rounds < 1:
+        raise ValueError(f"bpe_dict_encode needs rounds >= 1, got {rounds}")
+    parts = _translate_ctes_sql(src, f"{trainer_prefix}dict", prefix, OOV_ID)
+    cur = f"{prefix}ths0"
+    for r in range(rounds):
+        parts.append(
+            _apply_pass_ctes_sql(
+                cur, f"{trainer_prefix}map{r}", f"{prefix}ths{r + 1}", DICT_PACK
+            )
+        )
+        cur = f"{prefix}ths{r + 1}"
     return ",\n    ".join(parts)
 
 

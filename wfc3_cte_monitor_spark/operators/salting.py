@@ -81,6 +81,17 @@ def salted_rank(
         )
     lo, hi = f"_{out}_lo", f"_{out}_hi"
     bkt, lrnk, off = f"_{out}_bkt", f"_{out}_lrnk", f"_{out}_off"
+    # r10 ADVICE: withColumn would silently OVERWRITE an input column
+    # named `out`, and an input carrying one of the internal temporaries
+    # (or the counts alias "_c") would corrupt the rank arithmetic —
+    # reject up front instead of silently replacing.
+    clash = {out, lo, hi, bkt, lrnk, off, "_c"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_rank output/temp column(s) {sorted(clash)} already "
+            f"exist in the input; pass a different `out` or rename the "
+            "colliding input columns"
+        )
     oc = (
         F.col(order_col).cast("timestamp").cast("double")
         if isinstance(ot, DateType)

@@ -4,11 +4,10 @@ gained the 'mergeB' arm in r10, so frozen_t01_r9 stops isolating r11's
 changes at the next boundary; pinning now guarantees the snapshot is
 genuinely r10 code no matter when r11 first edits t01).
 
-NOT YET ACTIVE: bench.py PINNED_TWINS still points at frozen_t01_r9 so
-the driver's BENCH_r10 prices ROUND-10 changes against the r9 control.
-The r11 builder flips PINNED_TWINS here (t01_token_stats_r10), retires
-frozen_t01_r9, and records the flip in SCALING.md — that is the whole
-r11 re-pin task.
+ACTIVE since the r11 flip (status note only — the plan body below is
+untouched): bench.py PINNED_TWINS points here (t01_token_stats_r10),
+frozen_t01_r9 is retired, and tests/test_plan_shape.py's pin test
+imports and arm-compares this module every run.
 
 This module is a FROZEN COPY of the r10 plan body, taken verbatim at
 the end of round 10:
