@@ -51,6 +51,7 @@ HEADLINE = [
     "e02_ann_neardup",
     "t01_token_stats",
     "t02_text_profile",
+    "t03_bpe_dict_train",
     "ev01_event_windows",
 ]
 

@@ -488,3 +488,77 @@ def test_encode_with_dict_rounds_contract(spark):
 
     with _pytest.raises(ValueError, match="does not cover"):
         encode_with_dict(_spark_df(spark, docs), dict_df, vocab, rounds=rounds - 1)
+
+
+def test_dict_mode_sql_twin_matches_python_witness():
+    """The dict-mode generated CTE chain (batched_bpe_ctes_sql with
+    dict_mode=True + bpe_dict_encode_ctes_sql) must reproduce the
+    python dict-mode witness end-to-end: dense dictionary (ordered by
+    token value), vocab (fresh nids above the vocab base), training
+    encode, and the frozen-dictionary inference pass over docs with
+    genuinely unseen (OOV) tokens. DuckDB-only — the Spark side is
+    cross-checked by the t03_bpe_dict_train oracle gate."""
+    import duckdb
+
+    from wfc3_cte_monitor_spark.operators.bpe_batch import (
+        batched_bpe_ctes_sql,
+        bpe_dict_encode_ctes_sql,
+    )
+
+    train = {
+        0: [3, 5, 3, 5, 9, 12, 9, 12, 3, 5],
+        2: [9, 12, 9, 12, 7, 7, 7],
+        4: [3, 5, 7, 9, 12],
+        6: [],
+    }
+    full = dict(train)
+    full.update({
+        1: [3, 5, 999983, 3, 5],
+        3: [999983, 777777],
+        5: [],
+        7: [12, 9, 12, 9, 3, 5, 3, 5, 3, 5],
+    })
+    rounds, m = 4, 3
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE thstr (doc_id BIGINT, th BIGINT[])")
+    for d, t in train.items():
+        con.execute("INSERT INTO thstr VALUES (?, ?)", [d, t])
+    con.execute("CREATE TABLE thsall (doc_id BIGINT, th BIGINT[])")
+    for d, t in full.items():
+        con.execute("INSERT INTO thsall VALUES (?, ?)", [d, t])
+    sql = f"""WITH {batched_bpe_ctes_sql('thstr', rounds=rounds, m=m,
+                                          prefix='bd', dict_mode=True)},
+        {bpe_dict_encode_ctes_sql('thsall', rounds=rounds,
+                                  trainer_prefix='bd', prefix='bi')}
+        SELECT 'v', round, rnk, ar, br, nid, cnt, NULL FROM bdvocab
+        UNION ALL SELECT 'e', doc_id, NULL, NULL, NULL, NULL, NULL, th
+        FROM bdths{rounds}
+        UNION ALL SELECT 'i', doc_id, NULL, NULL, NULL, NULL, NULL, th
+        FROM biths{rounds}
+        UNION ALL SELECT 'd', tid, NULL, tok, NULL, NULL, NULL, NULL
+        FROM bddict"""
+    rows = con.execute(sql).fetchall()
+    dvocab = sorted(r[1:7] for r in rows if r[0] == "v")
+    denc = {r[1]: list(r[7]) for r in rows if r[0] == "e"}
+    dinf = {r[1]: list(r[7]) for r in rows if r[0] == "i"}
+    ddict = {r[3]: r[1] for r in rows if r[0] == "d"}
+
+    toks = sorted({t for ts in train.values() for t in ts})
+    pyd = {t: i for i, t in enumerate(toks)}
+    assert ddict == pyd
+    tr_ids = {d: [pyd[t] for t in ts] for d, ts in train.items()}
+    pyenc, pyvocab = batched_bpe_py(
+        tr_ids, rounds, m, pack=DICT_PACK, vocab_base=len(pyd)
+    )
+    assert sorted(pyvocab) == dvocab
+    assert pyenc == denc
+    # inference witness: translate full corpus with OOV, apply in round order
+    want = _py_encode_with_dict(
+        {d: ts for d, ts in full.items()}, pyd,
+        pyvocab, rounds,
+    )
+    assert want == dinf
+    assert dinf[3] == [OOV_ID, OOV_ID]  # all-OOV doc rides through
+    assert dinf[5] == []                # empty doc survives
+    assert len(dvocab) == 5 and all(nid >= len(pyd) for (*_, nid, _c) in dvocab)

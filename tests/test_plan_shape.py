@@ -345,3 +345,22 @@ def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
         map(tuple, live.where(F.col("which").isin(*sorted(pin_arms))).collect())
     )
     assert live_rows == pin_rows
+
+
+def test_t03_dict_bpe_plan_shape(spark):
+    # The dict-form BPE gate's scale posture: no cartesian products;
+    # the only nested-loop joins are the per-round 1-ROW broadcast map
+    # relations (by design — the map is a global agg, always exactly
+    # one row) plus the dict-summary scalar join, so their count is
+    # bounded by rounds+1; the corpus-side translate join on tok rides
+    # a broadcast hash join at gate scale (the dictionary is
+    # vocabulary-sized).
+    import re as _re
+
+    from wfc3_cte_monitor_spark.plans.bpe_dict_queries import T03_ROUNDS
+
+    plan = _plan(spark, "t03_bpe_dict_train")
+    assert "CartesianProduct" not in plan
+    bnlj = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= T03_ROUNDS + 1, f"{len(bnlj)} nested-loop joins"
+    assert "BroadcastHashJoin" in plan

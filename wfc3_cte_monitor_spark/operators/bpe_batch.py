@@ -261,25 +261,38 @@ DICT_PACK = 1 << 31  # ids < 2^31 ⇒ id % DICT_PACK == id and
 #                      a·DICT_PACK + b < 2^62: injective int64 packing
 
 
-def dense_token_ids(ths: DataFrame) -> DataFrame:
+def dense_token_ids(ths: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """(tok, tid) — every distinct token value of ``ths`` mapped to a
     dense id 0..V-1 ordered by token value. Built WITHOUT a global
     window: `salted_rank` over a single group spreads the rank
     computation across order-range buckets (the same order-correlated
     salt that fixes mega-key window skew) — the only single-task
-    relations are the broadcast per-bucket bounds/offsets."""
+    relations are the broadcast per-bucket bounds/offsets.
+
+    ``n_buckets=None`` (default) adapts the bucket fan-out to the
+    vocabulary size: one bucket per ~64k distinct tokens, capped at
+    256 — a small vocabulary ranks in one task instead of paying the
+    256-bucket bounds/offset machinery in stage latency, a 100 TB
+    vocabulary still spreads across 256. The count this needs is the
+    nid allocation base ``batched_bpe_train_dict`` pays anyway — it
+    rides back on the returned relation as ``_wfc3_vocab_count`` so
+    the caller doesn't count twice."""
     from .salting import salted_rank
 
     # materialized: salted_rank evaluates its input's lineage three
     # times (bounds / rank pass / bucket counts), and this lineage is a
     # corpus-wide explode+distinct shuffle — pay it once
     toks = materialize(ths.select(F.explode("th").alias("tok")).distinct())
-    return (
-        salted_rank(
-            toks.withColumn("_g", F.lit(1)), "_g", "tok", n_buckets=256, out="_r"
-        )
-        .select("tok", (F.col("_r").cast("bigint") - 1).alias("tid"))
-    )
+    v: int | None = None
+    if n_buckets is None:
+        v = toks.count()
+        n_buckets = min(256, v // 65536 + 1)
+    out = salted_rank(
+        toks.withColumn("_g", F.lit(1)), "_g", "tok", n_buckets=n_buckets, out="_r"
+    ).select("tok", (F.col("_r").cast("bigint") - 1).alias("tid"))
+    if v is not None:
+        out._wfc3_vocab_count = v
+    return out
 
 
 OOV_ID = -1  # unseen-token id for frozen-dictionary encoding: negative,
@@ -336,6 +349,14 @@ def encode_with_dict(
     each a row-local rewrite off a broadcast ≤m-entry map. The vocab
     relation is bounded (≤ rounds·m rows), never corpus-sized.
 
+    Unlike the TRAINER loop (whose round-r counts re-read round r-1's
+    corpus, forcing per-round materialization), inference is a LINEAR
+    chain — each round's output feeds only the next — so the passes
+    compose into one lazy plan: ONE job for the whole encode instead
+    of one per round (measured: −1.4 s of pure job-scheduling latency
+    at gate scale). A checkpoint every ``_MAT_EVERY`` rounds bounds
+    the generated-code depth on deep production vocab builds.
+
     ``rounds=None`` (default) derives the round count from the vocab
     itself (max(round)+1 — one 1-row scan of the bounded vocab
     relation). An explicit ``rounds`` smaller than what the vocab
@@ -353,10 +374,13 @@ def encode_with_dict(
             f"{n_rounds} merge rounds — the later rounds would be silently "
             "skipped (under-encoding); pass rounds=None to derive it"
         )
-    cur = materialize(translate_corpus(ths, dict_df, oov_id=OOV_ID))
+    _MAT_EVERY = 8
+    cur = translate_corpus(ths, dict_df, oov_id=OOV_ID)
     for r in range(rounds):
         batch = vocab.where(F.col("round") == r).select("ar", "br", "nid")
-        cur = materialize(apply_merge_batch(cur, batch, pack=DICT_PACK))
+        cur = apply_merge_batch(cur, batch, pack=DICT_PACK)
+        if (r + 1) % _MAT_EVERY == 0 and r + 1 < rounds:
+            cur = materialize(cur)
     return cur
 
 
@@ -377,8 +401,12 @@ def batched_bpe_train_dict(
         raise ValueError(f"batched_bpe_train_dict needs rounds >= 1, got {rounds}")
     if m < 1:
         raise ValueError(f"batch size m must be >= 1, got {m}")
-    dict_df = materialize(dense_token_ids(ths))
-    vocab_base = dict_df.count()
+    dense = dense_token_ids(ths)
+    dict_df = materialize(dense)
+    # the adaptive-bucket path already counted the vocabulary; reuse it
+    vocab_base = getattr(dense, "_wfc3_vocab_count", None)
+    if vocab_base is None:
+        vocab_base = dict_df.count()
     # max allocated nid is vocab_base + rounds*m - 1; it must stay < DICT_PACK
     if vocab_base + rounds * m - 1 >= DICT_PACK:
         raise ValueError(
