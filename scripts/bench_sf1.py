@@ -98,19 +98,55 @@ def main() -> None:
     # interleave (all queries at 0.1, then all at 1, twice) so one burst
     # cannot poison a single query's whole sample set — same rationale as
     # bench.py's interleaved passes
-    samples: dict[tuple[str, str], list[tuple[float, float, float]]] = {}
+    samples: dict[tuple[str, str], list[tuple[float, float, float, float]]] = {}
+    teardown_log: dict[tuple[str, str], list[float]] = {}
+
+    def sample(q: str, sf_name: str, sf_dir: str) -> None:
+        # e02/ev01 calibration fix (r10 verdict ask #5): a 10x-scale
+        # Arrow-heavy query's own teardown (worker-pool drain + driver
+        # GC) inflates the probe IMMEDIATELY after it — a deterministic
+        # SELF-effect, not host noise, which is why the same two
+        # python-heavy cells flagged `sf1_clean: false` three rounds
+        # running while every JVM-only neighbor stayed clean. Take a
+        # TEARDOWN probe first (recorded for attribution, excluded from
+        # the gate), then the bracketing probe — the gate now measures
+        # the host, not the query's wake.
+        nonlocal last
+        el = run_once(q, sf_dir)
+        p_teardown = probe()
+        p = probe()
+        samples.setdefault((q, sf_name), []).append((el, last, p, p_teardown))
+        teardown_log.setdefault((q, sf_name), []).append(p_teardown)
+        last = p
+
     for _ in range(PASSES):
         for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
             for q in QUERIES:
                 if q not in specs:
                     continue
-                el = run_once(q, sf_dir)
-                p = probe()
-                samples.setdefault((q, sf_name), []).append((el, last, p))
-                last = p
+                sample(q, sf_name, sf_dir)
 
+    # bounded redo backstop (bench.py's pattern): a cell with no clean
+    # sample after the scheduled passes gets fresh attempts in a later
+    # window — a REAL host burst over both passes is recoverable, and a
+    # cell still flagged after redos is genuinely unmeasurable-quiet.
     pmin = min(probe_log)
     gate = max(1.5 * pmin, pmin + 0.3)
+    redo_budget = 6
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
+        for q in QUERIES:
+            if q not in specs:
+                continue
+            tries = 0
+            while tries < 2 and redo_budget > 0:
+                if any(
+                    max(s[1], s[2]) <= gate for s in samples[(q, sf_name)]
+                ):
+                    break
+                sample(q, sf_name, sf_dir)
+                tries += 1
+                redo_budget -= 1
+
     for q in QUERIES:
         if q not in specs:
             continue
@@ -119,6 +155,9 @@ def main() -> None:
             ss = samples[(q, sf_name)]
             rec[sf_name] = round(min(s[0] for s in ss), 2)
             rec[f"{sf_name}_clean"] = any(max(s[1], s[2]) <= gate for s in ss)
+            rec[f"{sf_name}_teardown_probe"] = round(
+                min(teardown_log[(q, sf_name)]), 3
+            )
         rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 2) if rec["sf0.1"] else None
         stats = plan_stats(specs[q].fn(spark, PROBE_DIR))
         rec.update({f"sf1_{k}": v for k, v in stats.items()})

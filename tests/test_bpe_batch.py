@@ -562,3 +562,71 @@ def test_dict_mode_sql_twin_matches_python_witness():
     assert dinf[3] == [OOV_ID, OOV_ID]  # all-OOV doc rides through
     assert dinf[5] == []                # empty doc survives
     assert len(dvocab) == 5 and all(nid >= len(pyd) for (*_, nid, _c) in dvocab)
+
+
+def test_decode_with_dict_roundtrip(spark):
+    """decode(encode(corpus)) must reproduce the translated-with-OOV
+    corpus EXACTLY (encode is a bijection given the vocab): expansion
+    runs in reverse round order because a later round's nid can carry
+    an earlier round's nid as a member. OOV_ID is a fixpoint."""
+    from wfc3_cte_monitor_spark.operators.bpe_batch import decode_with_dict
+
+    docs = {**C1, **C3}
+    rounds, m = 3, 2
+    _enc, vocab, dict_df = batched_bpe_train_dict(
+        _spark_df(spark, docs), rounds=rounds, m=m
+    )
+    d = _py_dict(docs)
+    full = dict(docs)
+    full.update({901: [3, 5, 999983, 3, 5], 902: [999983, 777777], 903: []})
+    enc_full = encode_with_dict(_spark_df(spark, full), dict_df, vocab)
+    dec = decode_with_dict(enc_full, vocab)  # rounds derived from vocab
+    got = {r["doc_id"]: list(r["th"]) for r in dec.collect()}
+    want = {doc: [d.get(t, OOV_ID) for t in ts] for doc, ts in full.items()}
+    assert got == want
+
+
+def test_decode_sql_twin_matches_spark():
+    """The DuckDB decode chain (bpe_dict_decode_ctes_sql) must undo the
+    encode chain back to the translated corpus — checked against the
+    python translate witness, same fixture as the encode twin test."""
+    import duckdb
+
+    from wfc3_cte_monitor_spark.operators.bpe_batch import (
+        batched_bpe_ctes_sql,
+        bpe_dict_decode_ctes_sql,
+        bpe_dict_encode_ctes_sql,
+    )
+
+    train = {
+        0: [3, 5, 3, 5, 9, 12, 9, 12, 3, 5],
+        2: [9, 12, 9, 12, 7, 7, 7],
+        4: [3, 5, 7, 9, 12],
+        6: [],
+    }
+    full = dict(train)
+    full.update({1: [3, 5, 999983, 3, 5], 3: [999983, 777777], 5: []})
+    rounds, m = 4, 3
+    con = duckdb.connect()
+    con.execute("CREATE TABLE thstr (doc_id BIGINT, th BIGINT[])")
+    for d_, t in train.items():
+        con.execute("INSERT INTO thstr VALUES (?, ?)", [d_, t])
+    con.execute("CREATE TABLE thsall (doc_id BIGINT, th BIGINT[])")
+    for d_, t in full.items():
+        con.execute("INSERT INTO thsall VALUES (?, ?)", [d_, t])
+    sql = f"""WITH {batched_bpe_ctes_sql('thstr', rounds=rounds, m=m,
+                                          prefix='bd', dict_mode=True)},
+        {bpe_dict_encode_ctes_sql('thsall', rounds=rounds,
+                                  trainer_prefix='bd', prefix='bi')},
+        {bpe_dict_decode_ctes_sql(f'biths{rounds}', rounds=rounds,
+                                  trainer_prefix='bd', prefix='bx')}
+        SELECT x.doc_id, x.th, t0.th FROM bxths{rounds} x
+        JOIN biths0 t0 USING (doc_id)"""
+    rows = con.execute(sql).fetchall()
+    toks = sorted({t for ts in train.values() for t in ts})
+    pyd = {t: i for i, t in enumerate(toks)}
+    want = {doc: [pyd.get(t, OOV_ID) for t in ts] for doc, ts in full.items()}
+    got = {r[0]: list(r[1]) for r in rows}
+    translated = {r[0]: list(r[2]) for r in rows}
+    assert got == want            # decode == python translate witness
+    assert got == translated      # and == the chain's own biths0

@@ -352,8 +352,9 @@ def test_t03_dict_bpe_plan_shape(spark):
     # the only nested-loop joins are the per-round 1-ROW broadcast map
     # relations (by design — the map is a global agg, always exactly
     # one row) plus the dict-summary scalar join, so their count is
-    # bounded by rounds+1; the corpus-side translate join on tok rides
-    # a broadcast hash join at gate scale (the dictionary is
+    # bounded by 2·rounds+1 (encode + decode chains; the trainer's own
+    # maps sit behind checkpoints); the corpus-side translate join on
+    # tok rides a broadcast hash join at gate scale (the dictionary is
     # vocabulary-sized).
     import re as _re
 
@@ -362,5 +363,5 @@ def test_t03_dict_bpe_plan_shape(spark):
     plan = _plan(spark, "t03_bpe_dict_train")
     assert "CartesianProduct" not in plan
     bnlj = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
-    assert len(bnlj) <= T03_ROUNDS + 1, f"{len(bnlj)} nested-loop joins"
+    assert len(bnlj) <= 2 * T03_ROUNDS + 1, f"{len(bnlj)} nested-loop joins"
     assert "BroadcastHashJoin" in plan

@@ -145,6 +145,7 @@ def compatible_topm(
         .orderBy(F.desc("cnt"), F.asc("h"), F.asc("mx"))
         .limit(window),
         eager=False,
+        force=True,
     )
     rnk = _rank_small(top).selectExpr(
         "h", "mx", "cnt", "rnk",
@@ -230,13 +231,15 @@ def batched_bpe_train(
     vocab: DataFrame | None = None
     for r in range(rounds):
         batch = materialize(
-            compatible_topm(bigram_counts(cur), m, r, probe_mult), eager=False
+            compatible_topm(bigram_counts(cur), m, r, probe_mult),
+            eager=False,
+            force=True,
         )
         tagged = batch.select(
             F.lit(r).cast("int").alias("round"), "rnk", "ar", "br", "nid", "cnt"
         )
         vocab = tagged if vocab is None else vocab.unionAll(tagged)
-        cur = materialize(apply_merge_batch(cur, batch))
+        cur = materialize(apply_merge_batch(cur, batch), force=True)
     return cur, vocab
 
 
@@ -282,7 +285,9 @@ def dense_token_ids(ths: DataFrame, n_buckets: int | None = None) -> DataFrame:
     # materialized: salted_rank evaluates its input's lineage three
     # times (bounds / rank pass / bucket counts), and this lineage is a
     # corpus-wide explode+distinct shuffle — pay it once
-    toks = materialize(ths.select(F.explode("th").alias("tok")).distinct())
+    toks = materialize(
+        ths.select(F.explode("th").alias("tok")).distinct(), force=True
+    )
     v: int | None = None
     if n_buckets is None:
         v = toks.count()
@@ -364,24 +369,105 @@ def encode_with_dict(
     (under-encoding with no error — r10 ADVICE), so it is validated
     and raises; a larger value is a harmless no-op and stays allowed
     (the extra passes see empty batches → identity)."""
-    max_round = vocab.agg(F.max("round").alias("_mr")).collect()[0]["_mr"]
-    n_rounds = 0 if max_round is None else int(max_round) + 1
-    if rounds is None:
-        rounds = n_rounds
-    elif rounds < n_rounds:
-        raise ValueError(
-            f"encode_with_dict rounds={rounds} does not cover the vocab's "
-            f"{n_rounds} merge rounds — the later rounds would be silently "
-            "skipped (under-encoding); pass rounds=None to derive it"
-        )
+    rounds = _vocab_rounds(vocab, rounds, "encode_with_dict")
     _MAT_EVERY = 8
     cur = translate_corpus(ths, dict_df, oov_id=OOV_ID)
     for r in range(rounds):
         batch = vocab.where(F.col("round") == r).select("ar", "br", "nid")
         cur = apply_merge_batch(cur, batch, pack=DICT_PACK)
         if (r + 1) % _MAT_EVERY == 0 and r + 1 < rounds:
-            cur = materialize(cur)
+            cur = materialize(cur, force=True)
     return cur
+
+
+def _vocab_rounds(vocab: DataFrame, rounds: int | None, who: str) -> int:
+    """Round count for a frozen-vocab pass: derived from the vocab
+    (max(round)+1 — one 1-row scan of the bounded vocab relation) when
+    ``rounds`` is None; an explicit under-covering value raises (it
+    would silently skip merge rounds — r10 ADVICE), a larger one is a
+    harmless identity no-op."""
+    max_round = vocab.agg(F.max("round").alias("_mr")).collect()[0]["_mr"]
+    n_rounds = 0 if max_round is None else int(max_round) + 1
+    if rounds is None:
+        return n_rounds
+    if rounds < n_rounds:
+        raise ValueError(
+            f"{who} rounds={rounds} does not cover the vocab's "
+            f"{n_rounds} merge rounds — the later rounds would be silently "
+            "skipped; pass rounds=None to derive it"
+        )
+    return rounds
+
+
+def expand_merge_batch(ths: DataFrame, batch: DataFrame) -> DataFrame:
+    """Inverse of :func:`apply_merge_batch` for ONE round: every merged
+    token id in ``batch`` (ar, br, nid) expands back to its member pair
+    [ar, br]; all other ids (dictionary ids, OOV_ID, other rounds'
+    nids) ride through. Row-local flatten-transform off a 1-row
+    broadcast nid-keyed map; an empty batch makes the map NULL and the
+    pass the identity (same degenerate guard as apply)."""
+    mp = batch.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("nid"), F.struct("ar", "br")))
+        ).alias("_dmp")
+    )
+    expr = """flatten(transform(th, x -> CASE
+        WHEN try_element_at(_dmp, x) IS NOT NULL
+        THEN array(try_element_at(_dmp, x).ar, try_element_at(_dmp, x).br)
+        ELSE array(x) END))"""
+    return ths.join(F.broadcast(mp), F.lit(True), "left").select(
+        "doc_id", F.expr(expr).alias("th")
+    )
+
+
+def decode_with_dict(
+    enc: DataFrame, vocab: DataFrame, rounds: int | None = None
+) -> DataFrame:
+    """Tokenizer DECODE: invert :func:`encode_with_dict` in id space —
+    expand each round's merges in REVERSE round order (round r's fresh
+    nids may contain earlier rounds' nids as members, so later rounds
+    must unmerge first), recovering the dictionary-id translation of
+    the original corpus exactly. OOV_ID is a fixpoint (never a map
+    key). Lossless by construction: encode is a bijection between the
+    translated corpus and (encoded corpus, vocab).
+
+    Like encode, decode is a LINEAR chain of row-local rewrites — the
+    passes compose into one lazy plan, checkpointed every ``_MAT_EVERY``
+    rounds for codegen depth."""
+    rounds = _vocab_rounds(vocab, rounds, "decode_with_dict")
+    _MAT_EVERY = 8
+    cur = enc
+    for i, r in enumerate(reversed(range(rounds))):
+        batch = vocab.where(F.col("round") == r).select("ar", "br", "nid")
+        cur = expand_merge_batch(cur, batch)
+        if (i + 1) % _MAT_EVERY == 0 and i + 1 < rounds:
+            cur = materialize(cur, force=True)
+    return cur
+
+
+def bpe_dict_decode_ctes_sql(
+    src: str, rounds: int, trainer_prefix: str = "bb", prefix: str = "bx"
+) -> str:
+    """DuckDB twin of :func:`decode_with_dict`: expand ``src``
+    (doc_id, th encoded id arrays) through ``{trainer_prefix}map{r}``
+    in REVERSE round order, nid-keyed. Read the decoded corpus from
+    ``{prefix}ths{rounds}``."""
+    if rounds < 1:
+        raise ValueError(f"bpe_dict_decode needs rounds >= 1, got {rounds}")
+    parts = []
+    cur = src
+    for i, r in enumerate(reversed(range(rounds))):
+        parts.append(f"""{prefix}ths{i + 1} AS (
+        SELECT doc_id,
+               flatten(list_transform(th, x -> CASE
+                   WHEN list_position(nids, x) > 0
+                   THEN [ars[list_position(nids, x)],
+                         brs[list_position(nids, x)]]
+                   ELSE [x] END)) AS th
+        FROM {cur} LEFT JOIN {trainer_prefix}map{r} ON TRUE
+    )""")
+        cur = f"{prefix}ths{i + 1}"
+    return ",\n    ".join(parts)
 
 
 def batched_bpe_train_dict(
@@ -402,7 +488,7 @@ def batched_bpe_train_dict(
     if m < 1:
         raise ValueError(f"batch size m must be >= 1, got {m}")
     dense = dense_token_ids(ths)
-    dict_df = materialize(dense)
+    dict_df = materialize(dense, force=True)
     # the adaptive-bucket path already counted the vocabulary; reuse it
     vocab_base = getattr(dense, "_wfc3_vocab_count", None)
     if vocab_base is None:
@@ -413,7 +499,7 @@ def batched_bpe_train_dict(
             f"dictionary size {vocab_base} + {rounds * m} merges exceeds "
             f"DICT_PACK={DICT_PACK}: ids would no longer pack injectively"
         )
-    cur = materialize(translate_corpus(ths, dict_df))
+    cur = materialize(translate_corpus(ths, dict_df), force=True)
     vocab: DataFrame | None = None
     for r in range(rounds):
         batch = materialize(
@@ -426,12 +512,13 @@ def batched_bpe_train_dict(
                 vocab_base=vocab_base,
             ),
             eager=False,
+            force=True,
         )
         tagged = batch.select(
             F.lit(r).cast("int").alias("round"), "rnk", "ar", "br", "nid", "cnt"
         )
         vocab = tagged if vocab is None else vocab.unionAll(tagged)
-        cur = materialize(apply_merge_batch(cur, batch, pack=DICT_PACK))
+        cur = materialize(apply_merge_batch(cur, batch, pack=DICT_PACK), force=True)
     return cur, vocab, dict_df
 
 

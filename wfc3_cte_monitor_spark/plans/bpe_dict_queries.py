@@ -25,7 +25,11 @@ Shape of the gate:
   fingerprint), 'vocab' (one row per applied merge), 'encode' (the
   training run's own encoded corpus, per-doc before/after lengths +
   sequence fingerprint), 'infer' (the frozen-artifact encode of the
-  FULL corpus — per-doc lengths, OOV count, sequence fingerprint).
+  FULL corpus — per-doc lengths, OOV count, sequence fingerprint),
+  'decode' (the id-space ROUNDTRIP: unmerge the inference output in
+  reverse round order and gate per-doc that it reproduces the
+  translated original exactly — encode is a bijection given the
+  vocab, and both engines must agree it is lossless).
 
 Scale shape (sf-independent argument): the dictionary build is one
 corpus explode + distinct + ``salted_rank`` over order-range buckets
@@ -55,7 +59,11 @@ T03_TRAIN_MOD = 2  # train slice: doc_id % 2 == 0; odd docs are inference-only
 
 
 def _t03_sql() -> str:
-    from ..operators.bpe_batch import batched_bpe_ctes_sql, bpe_dict_encode_ctes_sql
+    from ..operators.bpe_batch import (
+        batched_bpe_ctes_sql,
+        bpe_dict_decode_ctes_sql,
+        bpe_dict_encode_ctes_sql,
+    )
 
     def fp_arr(col: str) -> str:
         return portable_hash64_sql(
@@ -76,7 +84,9 @@ def _t03_sql() -> str:
     {batched_bpe_ctes_sql('thstr', rounds=T03_ROUNDS, m=T03_M,
                           prefix='bd', dict_mode=True)},
     {bpe_dict_encode_ctes_sql('ths', rounds=T03_ROUNDS,
-                              trainer_prefix='bd', prefix='bi')}
+                              trainer_prefix='bd', prefix='bi')},
+    {bpe_dict_decode_ctes_sql(f'biths{T03_ROUNDS}', rounds=T03_ROUNDS,
+                              trainer_prefix='bd', prefix='bx')}
     SELECT 'dict' AS which, CAST(-1 AS BIGINT) AS doc_id,
            CAST(NULL AS INT) AS chunk_id,
            v.vb AS n_tokens, CAST(NULL AS BIGINT) AS n_after,
@@ -100,6 +110,13 @@ def _t03_sql() -> str:
            CAST(len(list_filter(ti.th, x -> x < 0)) AS BIGINT),
            {fp_arr('ti.th')}
     FROM ths t0 JOIN biths{T03_ROUNDS} ti USING (doc_id)
+    UNION ALL
+    SELECT 'decode', t0.doc_id, CAST(NULL AS INT),
+           CAST(len(dx.th) AS BIGINT),
+           CAST(CASE WHEN dx.th = t0.th THEN 1 ELSE 0 END AS BIGINT),
+           CAST(NULL AS BIGINT),
+           {fp_arr('dx.th')}
+    FROM biths0 t0 JOIN bxths{T03_ROUNDS} dx USING (doc_id)
     """
 
 
@@ -118,11 +135,19 @@ def t03_bpe_dict_train(spark, sf_dir):
     fingerprint pinning the dense-id assignment), 'vocab' (one row per
     merge: round/rank/members/count/nid), 'encode' (training corpus
     before/after lengths + encoded-sequence fingerprints), 'infer'
-    (full-corpus lengths, OOV counts, fingerprints). Cross-engine gate:
+    (full-corpus lengths, OOV counts, fingerprints), 'decode' (the
+    reverse-round unmerge roundtrip — per-doc lossless-match flag +
+    decoded fingerprints). Cross-engine gate:
     the DuckDB twin is the dict-mode generated CTE chain
     (operators/bpe_batch.py batched_bpe_ctes_sql(dict_mode=True) +
     bpe_dict_encode_ctes_sql)."""
-    from ..operators.bpe_batch import batched_bpe_train_dict, encode_with_dict
+    from ..operators.bpe_batch import (
+        OOV_ID,
+        batched_bpe_train_dict,
+        decode_with_dict,
+        encode_with_dict,
+        translate_corpus,
+    )
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     thd = materialize(
@@ -137,8 +162,10 @@ def t03_bpe_dict_train(spark, sf_dir):
     train = thd.where(F.col("doc_id") % T03_TRAIN_MOD == 0)
     enc, vocab, dict_df = batched_bpe_train_dict(train, rounds=T03_ROUNDS, m=T03_M)
     # rounds intentionally omitted: derived from the vocab (the r10
-    # ADVICE contract) — the gate exercises the derivation path
-    inf = encode_with_dict(thd, dict_df, vocab)
+    # ADVICE contract) — the gate exercises the derivation path.
+    # materialized at the QUERY level: the encoded corpus feeds two
+    # arms (infer + the decode roundtrip) — pay the lazy chain once
+    inf = materialize(encode_with_dict(thd, dict_df, vocab), force=True)
 
     def _fp(col):
         return portable_hash64(
@@ -206,4 +233,32 @@ def t03_bpe_dict_train(spark, sf_dir):
             _fp("th").alias("fp"),
         )
     )
-    return dict_arm.unionAll(vocab_arm).unionAll(encode_arm).unionAll(infer_arm)
+    # 'decode' arm: id-space roundtrip — unmerging the inference output
+    # in reverse round order must reproduce the translated-with-OOV
+    # original exactly (encode is a bijection given the vocab); the
+    # per-doc match flag is value-gated, so both engines must agree the
+    # roundtrip is lossless, not merely agree on a fingerprint
+    dec = decode_with_dict(inf, vocab)
+    tr0 = translate_corpus(thd, dict_df, oov_id=OOV_ID)
+    decode_arm = (
+        tr0.select("doc_id", F.col("th").alias("_t0"))
+        .join(dec, "doc_id")
+        .select(
+            F.lit("decode").alias("which"),
+            "doc_id",
+            F.lit(None).cast("int").alias("chunk_id"),
+            F.size("th").cast("bigint").alias("n_tokens"),
+            F.when(F.col("th") == F.col("_t0"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n_after"),
+            F.lit(None).cast("bigint").alias("n_aux"),
+            _fp("th").alias("fp"),
+        )
+    )
+    return (
+        dict_arm.unionAll(vocab_arm)
+        .unionAll(encode_arm)
+        .unionAll(infer_arm)
+        .unionAll(decode_arm)
+    )
