@@ -51,7 +51,6 @@ HEADLINE = [
     "e02_ann_neardup",
     "t01_token_stats",
     "t02_text_profile",
-    "t03_bpe_dict_train",
     "ev01_event_windows",
 ]
 
@@ -97,10 +96,13 @@ PINNED_TWINS: dict[str, tuple[str, str]] = {
     # arm-compares THIS pin every run (continuous verification, not
     # trust-from-pin-time). frozen_t01_r9 retired at the flip.
     #
-    # r11 note: the live t01 is UNCHANGED this round (the round's new
-    # BPE work ships as the standalone t03_bpe_dict_train), so
-    # live − pinned this round measures pure twin noise — the recorded
-    # noise band for the sustained-drift instrumentation.
+    # r11 note: the live t01 gains the dictD family (dictionary-form
+    # BPE train/encode/infer/decode, plans/bpe_dict_queries.py) mid-
+    # round, so live − pinned in BENCH_r11 prices exactly those arms.
+    # The twin NOISE BAND was measured first, on code-identical plans,
+    # in this round's pre-change session bench: live − pinned = −0.69 s
+    # (SCALING.md §r11 session bench) — quote the D-arm price against
+    # that ±0.7 s band.
     "t01_token_stats": (
         "wfc3_cte_monitor_spark.plans.frozen_t01_r10",
         "t01_token_stats_r10",

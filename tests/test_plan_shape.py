@@ -347,21 +347,23 @@ def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
     assert live_rows == pin_rows
 
 
-def test_t03_dict_bpe_plan_shape(spark):
-    # The dict-form BPE gate's scale posture: no cartesian products;
-    # the only nested-loop joins are the per-round 1-ROW broadcast map
-    # relations (by design — the map is a global agg, always exactly
-    # one row) plus the dict-summary scalar join, so their count is
-    # bounded by 2·rounds+1 (encode + decode chains; the trainer's own
-    # maps sit behind checkpoints); the corpus-side translate join on
-    # tok rides a broadcast hash join at gate scale (the dictionary is
-    # vocabulary-sized).
+def test_t01_dict_bpe_plan_shape(spark):
+    # The dictD family's scale posture inside t01: no cartesian
+    # products anywhere in the 21-arm plan; every nested-loop join in
+    # t01 is a 1-ROW broadcast by design (the D family's per-round
+    # merge maps — a global agg, always exactly one row — the dict
+    # scalar, and the pre-existing mix/rank scalar relations), so the
+    # count is pinned at its measured value: 5 pre-D + the encode and
+    # decode chains (2·rounds) + the dict-summary scalar. The
+    # corpus-side translate join on tok rides a broadcast hash join at
+    # gate scale (the dictionary is vocabulary-sized; co-partitioned
+    # shuffle join past the threshold at scale).
     import re as _re
 
-    from wfc3_cte_monitor_spark.plans.bpe_dict_queries import T03_ROUNDS
+    from wfc3_cte_monitor_spark.plans.bpe_dict_queries import T01D_ROUNDS
 
-    plan = _plan(spark, "t03_bpe_dict_train")
+    plan = _plan(spark, "t01_token_stats")
     assert "CartesianProduct" not in plan
     bnlj = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
-    assert len(bnlj) <= 2 * T03_ROUNDS + 1, f"{len(bnlj)} nested-loop joins"
+    assert len(bnlj) <= 5 + 2 * T01D_ROUNDS + 1, f"{len(bnlj)} nested-loop joins"
     assert "BroadcastHashJoin" in plan

@@ -81,7 +81,6 @@ def load_all() -> dict[str, QuerySpec]:
         "dedup_queries",
         "similarity_queries",
         "text_queries",
-        "bpe_dict_queries",
         "window_queries",
     ):
         try:

@@ -225,6 +225,29 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
 #                   encoded-corpus rows (chunk_id NULL, before/after
 #                   lengths, fp ≡ encoded-sequence fingerprint — the
 #                   application gate, same render as 'encode').
+#   which='dictD'/'mergeD'/'encodeD'/'inferD'/'decodeD' — the
+#                   DICTIONARY-FORM BPE lifecycle (r11; built in
+#                   plans/bpe_dict_queries.py, hosted here per the
+#                   50-query driver-gate cap): the production re-key
+#                   path the embedded scheme's 7-slot bound points at.
+#                   Trains 4 rounds × m=3 = 12 merges (past the
+#                   embedded refusal) on the even-doc_id half of the
+#                   shared token-hash corpus; dense dictionary ids via
+#                   salted_rank (adaptive bucket fan-out), fresh nids
+#                   above the vocab base. 'dictD': dictionary size +
+#                   bit_xor id-assignment fingerprint; 'mergeD': one
+#                   row per merge (layout as 'mergeB': n_chars≡ar,
+#                   n_unique≡br, fp≡nid); 'encodeD': training-corpus
+#                   before/after lengths + sequence fingerprints;
+#                   'inferD': frozen-dict encode of the FULL corpus
+#                   (odd docs are true OOV → OOV_ID; n_chars≡OOV
+#                   count); 'decodeD': reverse-round unmerge roundtrip
+#                   (n_bpe_tokens≡per-doc lossless-match flag — both
+#                   engines must agree decode∘encode is the identity
+#                   on the translated corpus). EAGER construction
+#                   (dict-count + vocab-rounds scalars), so
+#                   arm-restricted runs without a D arm skip the
+#                   build (the d02 'incr_cc' pattern).
 CHUNK_TOKENS = 50
 PACK_TOKENS = 512
 N_SHARDS = 64
@@ -385,6 +408,7 @@ def _t01_sql() -> str:
     from ..functions.urls import planted_url_sql, url_table_sql
     from ..operators.bpe_batch import batched_bpe_ctes_sql
     from ..operators.pagerank import integer_pagerank_ctes_sql
+    from .bpe_dict_queries import dict_bpe_arms_sql, dict_bpe_ctes_sql
 
     url_tbl = url_table_sql("documents", "doc_id", planted_url_sql())
     pr_ctes = integer_pagerank_ctes_sql("prlinks", k=PR_K)
@@ -483,6 +507,7 @@ def _t01_sql() -> str:
     ),
     {_bpe_ctes_sql()},
     {batched_bpe_ctes_sql('ths', rounds=BB_ROUNDS, m=BB_M)},
+    {dict_bpe_ctes_sql('ths')},
     {_lm_ctes_sql()},
     urlt AS ({url_tbl}),
     prcnt AS (SELECT CAST(count(*) AS BIGINT) AS _c FROM documents),
@@ -673,6 +698,7 @@ def _t01_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            {portable_hash64_sql("coalesce(array_to_string(tb.th, ','), '')")}
     FROM ths t0 JOIN bbths{BB_ROUNDS} tb USING (doc_id)
+    UNION ALL{dict_bpe_arms_sql('ths')}
     UNION ALL{_bpe_arms_sql()}
     """
 
@@ -1506,7 +1532,7 @@ def t01_token_stats(spark, sf_dir):
         .alias("punct_ratio"),
         F.col("score").alias("fp"),
     )
-    return (
+    out = (
         doc_arm.unionAll(chunk_arm).unionAll(pack_arm)
         .unionAll(mix_arm).unionAll(score_arm).unionAll(sample_arm)
         .unionAll(funnel_arm).unionAll(cap_arm).unionAll(url_arm)
@@ -1514,6 +1540,21 @@ def t01_token_stats(spark, sf_dir):
         .unionAll(merge_arm).unionAll(merge2_arm).unionAll(mergek_arm)
         .unionAll(mergeb_arm).unionAll(encode_arm).unionAll(lm_arm)
     )
+    # dictD family (r11): the dictionary-form BPE lifecycle —
+    # train/encode/infer/decode arms (plans/bpe_dict_queries.py). Its
+    # CONSTRUCTION is eager (the dictionary-count scalar + the vocab
+    # max(round) scan run driver-side while the plan is built), so an
+    # arm-restricted run that doesn't ask for any D arm skips the
+    # build entirely — the d02 'incr_cc' pattern.
+    from .registry import active_arms
+
+    _arms = active_arms("t01_token_stats")
+    _D_ARMS = {"dictD", "mergeD", "encodeD", "inferD", "decodeD"}
+    if _arms is None or (_D_ARMS & set(_arms)):
+        from .bpe_dict_queries import dict_bpe_arms
+
+        out = out.unionAll(dict_bpe_arms(thd))
+    return out
 
 
 # T2 — language-ID heuristics, both forms: stopword-profile hit counts
