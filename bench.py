@@ -103,6 +103,14 @@ PINNED_TWINS: dict[str, tuple[str, str]] = {
     # in this round's pre-change session bench: live − pinned = −0.69 s
     # (SCALING.md §r11 session bench) — quote the D-arm price against
     # that ±0.7 s band.
+    #
+    # R12 BUILDER: the r11 snapshot is already taken and verified
+    # (plans/frozen_t01_r11.py, row-identical at sf0.001 + sf0.01 at
+    # the end of r11) — flip this entry to
+    # ("wfc3_cte_monitor_spark.plans.frozen_t01_r11",
+    #  "t01_token_stats_r11"), retire frozen_t01_r10, port the pin
+    # test in tests/test_plan_shape.py, record in SCALING.md. Do NOT
+    # flip before the driver writes BENCH_r11.
     "t01_token_stats": (
         "wfc3_cte_monitor_spark.plans.frozen_t01_r10",
         "t01_token_stats_r10",
