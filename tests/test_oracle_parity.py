@@ -46,3 +46,15 @@ def test_driver_contract_shapes():
     os_ = e.oracle_sql()
     assert qs, "queries() must not be empty"
     assert set(os_) <= set(qs)
+
+
+def test_registry_respects_driver_query_cap():
+    # The driver's correctness gate checks AT MOST 50 registered
+    # queries (the r5 consolidation rule; re-hit in r11 when a
+    # standalone 51st query would have silently dropped one from the
+    # gate). New gated capability must ride an existing query as
+    # tagged arms — this pin turns that rule into CI.
+    assert len(ALL_QUERIES) == 50, (
+        f"{len(ALL_QUERIES)} registered queries; the driver gates at "
+        "most 50 — fold new capability into an existing query's arms"
+    )
