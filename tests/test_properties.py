@@ -553,3 +553,76 @@ def test_salted_rank_property(spark, rows, n_buckets):
         for v, rk in pairs:
             if v in pos:
                 assert rk == pos[v], (g, v, rk, pos[v])
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 30),
+        st.lists(st.integers(1, 9), min_size=0, max_size=24),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(1, 4),
+    st.integers(1, 3),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_dict_bpe_lifecycle_property(docs, rounds, m):
+    """Property form of the dict-BPE cross-engine gate, DuckDB-only (no
+    Spark jobs — runs in milliseconds per example): for ARBITRARY small
+    corpora, the generated dict-mode CTE chain must agree with the
+    pure-python witness on the dictionary, the vocab, and the training
+    encode; the encode→decode roundtrip over a corpus with injected
+    OOV docs must be lossless back to the translated original. Extends
+    the five fixed-seed cases with hypothesis-driven shapes (empty
+    docs, single-token docs, all-identical corpora, m larger than the
+    candidate pool)."""
+    import duckdb
+
+    from wfc3_cte_monitor_spark.operators.bpe_batch import (
+        DICT_PACK,
+        OOV_ID,
+        batched_bpe_ctes_sql,
+        batched_bpe_py,
+        bpe_dict_decode_ctes_sql,
+        bpe_dict_encode_ctes_sql,
+    )
+
+    # train needs at least one bigram somewhere or every round is the
+    # identity — that case is legal and must ALSO hold, so no filtering
+    full = dict(docs)
+    full[999] = [3, 5, 10**6 + 7]  # guaranteed-OOV token rides through
+    con = duckdb.connect()
+    con.execute("CREATE TABLE thstr (doc_id BIGINT, th BIGINT[])")
+    for d_, t in docs.items():
+        con.execute("INSERT INTO thstr VALUES (?, ?)", [d_, t])
+    con.execute("CREATE TABLE thsall (doc_id BIGINT, th BIGINT[])")
+    for d_, t in full.items():
+        con.execute("INSERT INTO thsall VALUES (?, ?)", [d_, t])
+    sql = f"""WITH {batched_bpe_ctes_sql('thstr', rounds=rounds, m=m,
+                                          prefix='bd', dict_mode=True)},
+        {bpe_dict_encode_ctes_sql('thsall', rounds=rounds,
+                                  trainer_prefix='bd', prefix='bi')},
+        {bpe_dict_decode_ctes_sql(f'biths{rounds}', rounds=rounds,
+                                  trainer_prefix='bd', prefix='bx')}
+        SELECT 'v', round, rnk, ar, br, nid, cnt, NULL FROM bdvocab
+        UNION ALL SELECT 'e', doc_id, NULL, NULL, NULL, NULL, NULL, th
+        FROM bdths{rounds}
+        UNION ALL SELECT 'x', doc_id, NULL, NULL, NULL, NULL, NULL, th
+        FROM bxths{rounds}
+        UNION ALL SELECT 'd', tid, NULL, tok, NULL, NULL, NULL, NULL
+        FROM bddict"""
+    rows = con.execute(sql).fetchall()
+    ddict = {r[3]: r[1] for r in rows if r[0] == "d"}
+    toks = sorted({t for ts in docs.values() for t in ts})
+    pyd = {t: i for i, t in enumerate(toks)}
+    assert ddict == pyd
+    tr_ids = {d_: [pyd[t] for t in ts] for d_, ts in docs.items()}
+    py_enc, py_voc = batched_bpe_py(
+        tr_ids, rounds, m, pack=DICT_PACK, vocab_base=len(pyd)
+    )
+    assert sorted(py_voc) == sorted(r[1:7] for r in rows if r[0] == "v")
+    assert py_enc == {r[1]: list(r[7]) for r in rows if r[0] == "e"}
+    # decode(encode(full)) == translate-with-OOV(full), exactly
+    want = {d_: [pyd.get(t, OOV_ID) for t in ts] for d_, ts in full.items()}
+    assert want == {r[1]: list(r[7]) for r in rows if r[0] == "x"}
