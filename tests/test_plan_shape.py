@@ -367,3 +367,20 @@ def test_t01_dict_bpe_plan_shape(spark):
     bnlj = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(bnlj) <= 5 + 2 * T01D_ROUNDS + 1, f"{len(bnlj)} nested-loop joins"
     assert "BroadcastHashJoin" in plan
+
+
+def test_prepinned_t01_r11_twin_matches_live_exactly(spark):
+    # The r12 control (plans/frozen_t01_r11.py, PRE-pinned at the r11
+    # close) must stay importable AND row-identical to live t01 until
+    # the r12 flip — the r10 verdict's "trusted from pin time" gap,
+    # closed for the pre-pin as well. The pin snapshots the FULL r11
+    # arm set, so this is exact equality, no arm restriction. When r12
+    # changes t01, this test moves to the arm-restricted form (the
+    # active-pin test above shows the pattern) as part of the flip.
+    from wfc3_cte_monitor_spark.plans.frozen_t01_r11 import t01_token_stats_r11
+
+    pin = sorted(map(tuple, t01_token_stats_r11(spark, SF).collect()))
+    live = sorted(
+        map(tuple, load_all()["t01_token_stats"].fn(spark, SF).collect())
+    )
+    assert live == pin
