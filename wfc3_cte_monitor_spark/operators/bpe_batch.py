@@ -332,6 +332,19 @@ def translate_corpus(
             lambda s: s["tid"],
         ).alias("th")
     )
+    # Output width note (r11, measured): AQE's byte-targeted coalescing
+    # collapses this tiny-at-gate-scale relation (dense ints compress
+    # hard) to ONE partition, so the downstream training rounds run
+    # single-task at sf0.1. That is the RIGHT call and is deliberately
+    # kept: post-translate rows are int arrays whose per-row cost is
+    # proportional to their bytes — exactly the cost model AQE's
+    # heuristic assumes — so at 100 TB the same heuristic keeps full
+    # width. Forcing an explicit 32-way repartition here was tried and
+    # REVERTED: it made t01 ~3 s slower at sf0.1 (32 tasks × ~12
+    # stages/round of scheduling overhead against milliseconds of
+    # actual work) while buying nothing at scale. Contrast `spread`
+    # (sources/catalog.py), which exists for RAW-TEXT relations whose
+    # per-row cost (regex + md5 per char) is far above their bytes.
     return ths.select("doc_id").join(arr, "doc_id", "left").select(
         "doc_id",
         F.coalesce("th", F.expr("CAST(array() AS ARRAY<BIGINT>)")).alias("th"),
