@@ -69,13 +69,14 @@ HEADLINE = [
 # TOTAL (82.852 raw on a host_ratio-1.309 window) — both numbers
 # measure the full r9 arm set; host drift reads off the sentinels.
 FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
-    # r10 boundary: EMPTY on purpose. The one arm-set delta this round
-    # (t01 gains 'mergeB', the batched-merge BPE) is carried by the
-    # PINNED r9 code twin below — pinned code has no mergeB arm, so
-    # t01#frozen is exactly the r9 arm set on r9 code, which dominates
-    # an arm-restriction on current code (and a FROZEN_ARMS entry would
-    # SHADOW the pinned twin in the builder wiring). The machinery
-    # stays for rounds where a changed query has no pinned twin.
+    # r11 boundary: EMPTY on purpose (same reasoning as r10). The one
+    # arm-set delta this round (t01 gains the dictD family) is carried
+    # by the PINNED r10 code twin below — pinned code has no D arms,
+    # so t01#frozen is exactly the r10 arm set on r10 code, which
+    # dominates an arm-restriction on current code (and a FROZEN_ARMS
+    # entry would SHADOW the pinned twin in the builder wiring). The
+    # machinery stays for rounds where a changed query has no pinned
+    # twin.
 }
 
 # PINNED-CODE twins (r8 verdict ask #2): the r8 frozen twin restricted
