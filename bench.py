@@ -89,32 +89,19 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
 # shared-stage ambiguity. Re-pin a NEW module at each future boundary
 # where the query's code changed; SCALING.md records each re-pin.
 PINNED_TWINS: dict[str, tuple[str, str]] = {
-    # re-pinned at the r11 boundary (r10 verdict ask #2): the live t01
-    # gained 'mergeB' in r10, so the r9 twin stopped isolating r11's
-    # changes. frozen_t01_r10 was PRE-pinned at the end of r10 and
-    # verified row-identical to live t01 at sf0.001 + sf0.01 before any
-    # r11 edit; tests/test_plan_shape.py's pin test now imports and
+    # re-pinned at the r12 boundary (r11 verdict ask #1): the live t01
+    # gained the dictD family in r11, so the r10 twin stopped isolating
+    # r12's changes. frozen_t01_r11 was PRE-pinned at the end of r11
+    # and verified row-identical to live t01 at sf0.001 + sf0.01 before
+    # any r12 edit; tests/test_plan_shape.py's pin test imports and
     # arm-compares THIS pin every run (continuous verification, not
-    # trust-from-pin-time). frozen_t01_r9 retired at the flip.
-    #
-    # r11 note: the live t01 gains the dictD family (dictionary-form
-    # BPE train/encode/infer/decode, plans/bpe_dict_queries.py) mid-
-    # round, so live − pinned in BENCH_r11 prices exactly those arms.
-    # The twin NOISE BAND was measured first, on code-identical plans,
-    # in this round's pre-change session bench: live − pinned = −0.69 s
-    # (SCALING.md §r11 session bench) — quote the D-arm price against
-    # that ±0.7 s band.
-    #
-    # R12 BUILDER: the r11 snapshot is already taken and verified
-    # (plans/frozen_t01_r11.py, row-identical at sf0.001 + sf0.01 at
-    # the end of r11) — flip this entry to
-    # ("wfc3_cte_monitor_spark.plans.frozen_t01_r11",
-    #  "t01_token_stats_r11"), retire frozen_t01_r10, port the pin
-    # test in tests/test_plan_shape.py, record in SCALING.md. Do NOT
-    # flip before the driver writes BENCH_r11.
+    # trust-from-pin-time). frozen_t01_r10 retired at the flip.
+    # In BENCH_r12, live − pinned prices exactly ROUND-12's t01 code
+    # changes; pinned_r12 vs BENCH_r11's live t01 (21.04 s driver
+    # window) is pure host drift on code-identical plans.
     "t01_token_stats": (
-        "wfc3_cte_monitor_spark.plans.frozen_t01_r10",
-        "t01_token_stats_r10",
+        "wfc3_cte_monitor_spark.plans.frozen_t01_r11",
+        "t01_token_stats_r11",
     ),
 }
 

@@ -322,21 +322,22 @@ def test_contam_eval_side_broadcasts(spark):
 
 
 def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
-    # The bench's cross-version control (plans/frozen_t01_r10.py, the
-    # r11 flip of the r9 pin) must stay row-identical to live t01
+    # The bench's cross-version control (plans/frozen_t01_r11.py, the
+    # r12 flip of the r10 pin) must stay row-identical to live t01
     # RESTRICTED TO THE PIN'S ARM SET: the pin shares the stable
     # substrate (functions/text, catalog, checkpointing) with the live
     # plan on purpose, and a behavior change there silently corrupts
     # the twin — this test converts that re-pin rule (pin docstring
     # rule 2) from prose to CI, so the control is continuously verified
-    # rather than trusted from pin time (r10 verdict ask #2). Arms
-    # added after the r10 boundary are excluded by construction: the
+    # rather than trusted from pin time (r10 verdict ask #2; ported to
+    # the r11 pin at the r12 flip per r11 verdict ask #1). Arms added
+    # after the r11 boundary are excluded by construction: the
     # comparison keys on the PIN's own arm set.
     from pyspark.sql import functions as F
 
-    from wfc3_cte_monitor_spark.plans.frozen_t01_r10 import t01_token_stats_r10
+    from wfc3_cte_monitor_spark.plans.frozen_t01_r11 import t01_token_stats_r11
 
-    pin = t01_token_stats_r10(spark, SF)
+    pin = t01_token_stats_r11(spark, SF)
     live = load_all()["t01_token_stats"].fn(spark, SF)
     assert live.columns == pin.columns
     pin_rows = sorted(map(tuple, pin.collect()))
@@ -369,18 +370,7 @@ def test_t01_dict_bpe_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_prepinned_t01_r11_twin_matches_live_exactly(spark):
-    # The r12 control (plans/frozen_t01_r11.py, PRE-pinned at the r11
-    # close) must stay importable AND row-identical to live t01 until
-    # the r12 flip — the r10 verdict's "trusted from pin time" gap,
-    # closed for the pre-pin as well. The pin snapshots the FULL r11
-    # arm set, so this is exact equality, no arm restriction. When r12
-    # changes t01, this test moves to the arm-restricted form (the
-    # active-pin test above shows the pattern) as part of the flip.
-    from wfc3_cte_monitor_spark.plans.frozen_t01_r11 import t01_token_stats_r11
-
-    pin = sorted(map(tuple, t01_token_stats_r11(spark, SF).collect()))
-    live = sorted(
-        map(tuple, load_all()["t01_token_stats"].fn(spark, SF).collect())
-    )
-    assert live == pin
+# (the interim exact-equality pre-pin test for frozen_t01_r11 was
+# absorbed into the arm-restricted active-pin test above at the r12
+# flip; while live t01 is unchanged in r12 the arm-restricted compare
+# IS exact equality, and it stays valid once r12 adds arms.)

@@ -4,12 +4,10 @@ gained the dictD arm family in r11, so frozen_t01_r10 stops isolating
 r12's changes at the next boundary; pinning now guarantees the
 snapshot is genuinely r11 code no matter when r12 first edits t01).
 
-NOT YET ACTIVE: bench.py PINNED_TWINS still points at frozen_t01_r10
-so the driver's BENCH_r11 prices ROUND-11 changes (the dictD family)
-against the r10 control. The r12 builder flips PINNED_TWINS here
-(t01_token_stats_r11), retires frozen_t01_r10, ports the pin test in
-tests/test_plan_shape.py to this module, and records the flip in
-SCALING.md — do NOT flip before the driver writes BENCH_r11.
+ACTIVE since the r12 flip (status note only — plan body untouched):
+bench.py PINNED_TWINS points here, frozen_t01_r10 is retired, and
+tests/test_plan_shape.py arm-compares this pin against live t01 every
+CI run. In BENCH_r12, live − pinned prices round-12 t01 changes.
 
 This module is a FROZEN COPY of the r11 plan body: the full r10 pin
 content (21-arm t01 incl. 'mergeB', urls, integer_pagerank, the
