@@ -529,3 +529,67 @@ def test_salted_rank_rejects_column_collisions(spark):
     df2 = spark.createDataFrame([("a", 1, 0)], "k string, v int, _c int")
     with pytest.raises(ValueError, match="already"):
         salted_rank(df2, "k", "v")
+
+def test_should_salt_decision_both_sides_of_break_even(spark):
+    """r10 verdict ask #6 (carried as r11 ask #2): the measured
+    3x-rows/cores break-even (SCALING.md §salted_rank wall-clock A/B)
+    as an executable decision, judged on BOTH sides using the drill's
+    own fixtures.
+
+    Side A (salt): the mega-domain drill corpus — 50% of 60k rows in
+    one registered domain. At cores=32 the threshold is 3*60000/32 =
+    5625 rows; the hot key carries 30000, deep past it.
+    Side B (plain): the SAME corpus without the mega domain — 60k rows
+    uniform over 500 domains, hottest key 120 rows, far under 5625.
+    """
+    from wfc3_cte_monitor_spark.operators.salting import (
+        SALT_BREAK_EVEN_MULTIPLIER,
+        should_salt,
+    )
+
+    n = 60_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("mega.example"))
+        .otherwise(F.concat(F.lit("site"), (F.col("id") % 500).cast("string"), F.lit(".example")))
+        .alias("reg_domain"),
+    )
+    pops = skewed.groupBy("reg_domain").count()
+    d = should_salt(pops, cores=32)
+    assert d.salt and bool(d)
+    assert d.hot_rows == n // 2 and d.total_rows == n
+    assert d.threshold_rows == SALT_BREAK_EVEN_MULTIPLIER * n / 32
+    assert abs(d.hot_share - 0.5) < 1e-12
+
+    uniform = spark.range(n).select(
+        F.concat(F.lit("site"), (F.col("id") % 500).cast("string"), F.lit(".example"))
+        .alias("reg_domain"),
+    )
+    d2 = should_salt(uniform.groupBy("reg_domain").count(), cores=32)
+    assert not d2.salt and not bool(d2)
+    assert d2.hot_rows == n // 500 and d2.total_rows == n
+
+
+def test_should_salt_threshold_is_strict_and_contracts(spark):
+    """Boundary semantics + input contracts: a key at EXACTLY the
+    threshold stays on the plain window (strict >, matching the A/B's
+    'exceeds ~3x'); one row past it salts. The monitoring-relation
+    form (a non-default count column, the url arm's n_pop) is accepted
+    via count_col; bad cores / missing column are rejected up front."""
+    from wfc3_cte_monitor_spark.operators.salting import should_salt
+
+    # 4 cores, total 1200 -> threshold 3*1200/4 = 900 exactly
+    at = spark.createDataFrame(
+        [("hot", 900), ("a", 150), ("b", 150)], "k string, n_pop int"
+    )
+    d = should_salt(at, cores=4, count_col="n_pop")
+    assert d.threshold_rows == 900.0 and d.hot_rows == 900
+    assert not d.salt
+    over = spark.createDataFrame(
+        [("hot", 901), ("a", 150), ("b", 149)], "k string, n_pop int"
+    )
+    assert should_salt(over, cores=4, count_col="n_pop").salt
+
+    with pytest.raises(ValueError, match="cores"):
+        should_salt(at, cores=0, count_col="n_pop")
+    with pytest.raises(ValueError, match="count column"):
+        should_salt(at, cores=4)  # default 'count' absent -> explicit error

@@ -16,9 +16,90 @@ a retried task would re-scatter rows differently).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Measured break-even for plain-window vs salted_rank (SCALING.md
+# §"salted_rank wall-clock A/B"): plain wall ≈ max(hot_rows,
+# rows/cores) × sort cost — one task sorts the whole hot key — while
+# salted wall ≈ 3 full map passes (bounds agg + counts agg + bucketed
+# window) × rows/cores. The passes cross when the hottest key exceeds
+# ~3× rows/cores; measured 8M/50% plain wins (+15%), 8M/94% salted
+# 1.6×, 32M/94% salted 2.4× and widening.
+SALT_BREAK_EVEN_MULTIPLIER = 3.0
+
+
+class SaltDecision(NamedTuple):
+    """Outcome of :func:`should_salt` — truthy iff salting wins.
+
+    Carries the measured figures so callers can log the decision the
+    way a pipeline operator should (hot key population, the threshold
+    it was judged against, and its share of the relation).
+    """
+
+    salt: bool
+    hot_rows: int
+    total_rows: int
+    threshold_rows: float
+    hot_share: float
+
+    def __bool__(self) -> bool:  # `if should_salt(...):` reads naturally
+        return self.salt
+
+
+def should_salt(
+    populations: DataFrame,
+    cores: int,
+    count_col: str = "count",
+    multiplier: float = SALT_BREAK_EVEN_MULTIPLIER,
+) -> SaltDecision:
+    """Decide plain-window vs :func:`salted_rank` from per-key
+    populations, per the measured ~3×-rows/cores break-even
+    (SCALING.md §"salted_rank wall-clock A/B").
+
+    ``populations`` is a per-key population relation — typically
+    ``df.groupBy(key).count()`` (default ``count_col``), or an already
+    maintained monitoring relation such as t01's 'url' arm ``n_pop``
+    column (pass ``count_col="n_pop"``). ``cores`` is the parallelism
+    the window would otherwise spread across (executor cores on a
+    cluster, ``local[N]``'s N in tests).
+
+    Decision: salt iff ``max(key_rows) > multiplier * total_rows /
+    cores``. Below the threshold the hot key's straggler task is
+    cheaper than salted_rank's three map passes; above it the straggler
+    dominates and grows linearly while salted stays parallel — and past
+    task-memory bounds the plain window OOMs rather than straggles, so
+    at 1000-executor scale any key above ~0.3% of the relation belongs
+    on the salted path (a true mega-domain is deep inside it).
+
+    Cost: ONE bounded 1-row aggregate over the (|keys|-sized)
+    population relation — this helper is driver-side by design; call it
+    on the monitoring relation, not the corpus.
+    """
+    if cores <= 0:
+        raise ValueError(f"cores must be positive, got {cores}")
+    if count_col not in populations.columns:
+        raise ValueError(
+            f"count column {count_col!r} not in population relation "
+            f"columns {populations.columns}; pass count_col= explicitly "
+            "(e.g. 'n_pop' for the url-arm monitoring relation)"
+        )
+    row = populations.agg(
+        F.max(F.col(count_col).cast("long")).alias("hot"),
+        F.sum(F.col(count_col).cast("long")).alias("total"),
+    ).collect()[0]
+    hot = int(row["hot"] or 0)
+    total = int(row["total"] or 0)
+    threshold = multiplier * total / cores
+    return SaltDecision(
+        salt=hot > threshold,
+        hot_rows=hot,
+        total_rows=total,
+        threshold_rows=threshold,
+        hot_share=(hot / total) if total else 0.0,
+    )
 
 
 def salted_rank(
