@@ -130,8 +130,14 @@ def main() -> None:
     # sample after the scheduled passes gets fresh attempts in a later
     # window — a REAL host burst over both passes is recoverable, and a
     # cell still flagged after redos is genuinely unmeasurable-quiet.
-    pmin = min(probe_log)
-    gate = max(1.5 * pmin, pmin + 0.3)
+    # pmin/gate are recomputed after EVERY redo attempt and once more
+    # before the final flags (r11 ADVICE): redo-window probes can lower
+    # pmin, and judging redo samples against the stale pre-redo gate
+    # could mark cells clean at up to ~1.5x the true quiet floor.
+    def _gate() -> float:
+        pmin = min(probe_log)
+        return max(1.5 * pmin, pmin + 0.3)
+
     redo_budget = 6
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
         for q in QUERIES:
@@ -140,12 +146,13 @@ def main() -> None:
             tries = 0
             while tries < 2 and redo_budget > 0:
                 if any(
-                    max(s[1], s[2]) <= gate for s in samples[(q, sf_name)]
+                    max(s[1], s[2]) <= _gate() for s in samples[(q, sf_name)]
                 ):
                     break
                 sample(q, sf_name, sf_dir)
                 tries += 1
                 redo_budget -= 1
+    gate = _gate()
 
     for q in QUERIES:
         if q not in specs:
@@ -169,7 +176,7 @@ def main() -> None:
         "round": rnd,
         "passes": PASSES,
         "calibration": {
-            "probe_min": round(pmin, 4),
+            "probe_min": round(min(probe_log), 4),
             "probe_max": round(max(probe_log), 4),
             "gate": round(gate, 4),
         },

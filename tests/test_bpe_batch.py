@@ -488,6 +488,56 @@ def test_encode_with_dict_rounds_contract(spark):
 
     with _pytest.raises(ValueError, match="does not cover"):
         encode_with_dict(_spark_df(spark, docs), dict_df, vocab, rounds=rounds - 1)
+    # r11 ADVICE: an explicit TRUSTED rounds (validate_rounds=False)
+    # skips the eager vocab scan — the builder stays lazy — and must
+    # encode identically to the validated path
+    trusted = {
+        r["doc_id"]: list(r["th"])
+        for r in encode_with_dict(
+            _spark_df(spark, docs), dict_df, vocab,
+            rounds=rounds, validate_rounds=False,
+        ).collect()
+    }
+    assert trusted == explicit
+    from wfc3_cte_monitor_spark.operators.bpe_batch import decode_with_dict
+
+    enc_df = encode_with_dict(_spark_df(spark, docs), dict_df, vocab)
+    dec_trusted = {
+        r["doc_id"]: list(r["th"])
+        for r in decode_with_dict(
+            enc_df, vocab, rounds=rounds, validate_rounds=False
+        ).collect()
+    }
+    dec_derived = {
+        r["doc_id"]: list(r["th"])
+        for r in decode_with_dict(enc_df, vocab).collect()
+    }
+    assert dec_trusted == dec_derived
+
+
+def test_dense_token_ids_with_count_returns_count_explicitly(spark):
+    """r11 ADVICE: the vocabulary count used to ride back on the
+    relation as a monkey-patched attribute that any intermediate
+    transformation silently dropped. The tuple form is the contract:
+    count present when the adaptive-bucket path counted (n_buckets
+    None), None when an explicit n_buckets made counting unnecessary;
+    the relation itself is unchanged either way."""
+    from wfc3_cte_monitor_spark.operators.bpe_batch import (
+        dense_token_ids,
+        dense_token_ids_with_count,
+    )
+
+    df = _spark_df(spark, C1)
+    rel, v = dense_token_ids_with_count(df)
+    distinct_toks = {t for th in C1.values() for t in th}
+    assert v == len(distinct_toks)
+    assert rel.count() == v
+    rel2, v2 = dense_token_ids_with_count(df, n_buckets=4)
+    assert v2 is None
+    got = {(r["tok"], r["tid"]) for r in rel2.collect()}
+    assert got == {(r["tok"], r["tid"]) for r in rel.collect()}
+    # the convenience wrapper returns just the relation
+    assert {(r["tok"], r["tid"]) for r in dense_token_ids(df).collect()} == got
 
 
 def test_dict_mode_sql_twin_matches_python_witness():
@@ -497,7 +547,10 @@ def test_dict_mode_sql_twin_matches_python_witness():
     token value), vocab (fresh nids above the vocab base), training
     encode, and the frozen-dictionary inference pass over docs with
     genuinely unseen (OOV) tokens. DuckDB-only — the Spark side is
-    cross-checked by the t03_bpe_dict_train oracle gate."""
+    cross-checked by t01_token_stats' dictD/mergeD/encodeD/inferD/
+    decodeD oracle-gated arms (plans/bpe_dict_queries.py; the
+    standalone t03 query was folded into t01 under the 50-query
+    driver cap)."""
     import duckdb
 
     from wfc3_cte_monitor_spark.operators.bpe_batch import (

@@ -58,3 +58,27 @@ def test_registry_respects_driver_query_cap():
         f"{len(ALL_QUERIES)} registered queries; the driver gates at "
         "most 50 — fold new capability into an existing query's arms"
     )
+
+
+def test_arms_requested_understands_complement_token():
+    """r11 ADVICE: eager-construction gates that intersected the raw
+    active_arms set treated bench.py's pseudo-arm complement token
+    ('__all_but__<pv>') as 'none of my arms' and would silently skip an
+    eager family, misattributing its cost to the pseudo-arm.
+    arms_requested is the one interpreter every gate now uses."""
+    from wfc3_cte_monitor_spark.plans.registry import arms_requested
+
+    D = {"dictD", "mergeD", "encodeD", "inferD", "decodeD"}
+    # no restriction -> build
+    assert arms_requested(None, D)
+    # plain sets: intersection semantics
+    assert arms_requested(frozenset({"doc", "dictD"}), D)
+    assert not arms_requested(frozenset({"doc", "url"}), D)
+    # complement token for a NON-member pseudo-arm -> the family IS in
+    # the complement -> build (the bug case)
+    assert arms_requested(frozenset({"__all_but__tri"}), D)
+    assert arms_requested(frozenset({"__all_but__tri"}), {"incr_cc"}) is True
+    # complement of one family member -> other members still requested
+    assert arms_requested(frozenset({"__all_but__dictD"}), D)
+    # complement of a single-arm family's own arm -> skip
+    assert not arms_requested(frozenset({"__all_but__incr_cc"}), {"incr_cc"})

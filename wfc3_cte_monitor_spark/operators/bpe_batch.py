@@ -76,8 +76,14 @@ def bigram_counts(ths: DataFrame, pack: int = PAIR_PACK) -> DataFrame:
     trainer ranks on (cnt, h, mx) only). ``pack`` parameterizes the
     pair key base: PAIR_PACK (2^30 residues, the gate-traceable
     h-embedded scheme) or DICT_PACK (2^31, dense dictionary ids where
-    ``id % pack == id`` — injective packing, true-BPE identity)."""
-    return materialize(
+    ``id % pack == id`` — injective packing, true-BPE identity).
+
+    NOT materialized (r12): both trainers consume the counts exactly
+    once (compatible_topm's ordered limit, which IS checkpointed), so
+    a checkpoint here was a pure extra job barrier per training round
+    — part of the ~30 sequential-job construction the r11 verdict's
+    dictD price-spread hypothesis points at."""
+    return (
         ths.where(F.size("th") >= 2)
         .select(
             F.explode(
@@ -264,22 +270,27 @@ DICT_PACK = 1 << 31  # ids < 2^31 ⇒ id % DICT_PACK == id and
 #                      a·DICT_PACK + b < 2^62: injective int64 packing
 
 
-def dense_token_ids(ths: DataFrame, n_buckets: int | None = None) -> DataFrame:
-    """(tok, tid) — every distinct token value of ``ths`` mapped to a
-    dense id 0..V-1 ordered by token value. Built WITHOUT a global
-    window: `salted_rank` over a single group spreads the rank
-    computation across order-range buckets (the same order-correlated
-    salt that fixes mega-key window skew) — the only single-task
-    relations are the broadcast per-bucket bounds/offsets.
+def dense_token_ids_with_count(
+    ths: DataFrame, n_buckets: int | None = None
+) -> tuple[DataFrame, int | None]:
+    """((tok, tid) relation, vocabulary count) — every distinct token
+    value of ``ths`` mapped to a dense id 0..V-1 ordered by token
+    value. Built WITHOUT a global window: `salted_rank` over a single
+    group spreads the rank computation across order-range buckets (the
+    same order-correlated salt that fixes mega-key window skew) — the
+    only single-task relations are the broadcast per-bucket
+    bounds/offsets.
 
     ``n_buckets=None`` (default) adapts the bucket fan-out to the
     vocabulary size: one bucket per ~64k distinct tokens, capped at
     256 — a small vocabulary ranks in one task instead of paying the
     256-bucket bounds/offset machinery in stage latency, a 100 TB
-    vocabulary still spreads across 256. The count this needs is the
-    nid allocation base ``batched_bpe_train_dict`` pays anyway — it
-    rides back on the returned relation as ``_wfc3_vocab_count`` so
-    the caller doesn't count twice."""
+    vocabulary still spreads across 256. The count that adaptation
+    needs is the nid allocation base ``batched_bpe_train_dict`` pays
+    anyway, so it is returned EXPLICITLY as the tuple's second element
+    (None when an explicit ``n_buckets`` made counting unnecessary) —
+    r11 ADVICE: the former dynamic-attribute channel silently dropped
+    the count across any intermediate transformation."""
     from .salting import salted_rank
 
     # materialized: salted_rank evaluates its input's lineage three
@@ -295,9 +306,13 @@ def dense_token_ids(ths: DataFrame, n_buckets: int | None = None) -> DataFrame:
     out = salted_rank(
         toks.withColumn("_g", F.lit(1)), "_g", "tok", n_buckets=n_buckets, out="_r"
     ).select("tok", (F.col("_r").cast("bigint") - 1).alias("tid"))
-    if v is not None:
-        out._wfc3_vocab_count = v
-    return out
+    return out, v
+
+
+def dense_token_ids(ths: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Relation-only convenience form of
+    :func:`dense_token_ids_with_count` (same plan, count discarded)."""
+    return dense_token_ids_with_count(ths, n_buckets)[0]
 
 
 OOV_ID = -1  # unseen-token id for frozen-dictionary encoding: negative,
@@ -352,7 +367,11 @@ def translate_corpus(
 
 
 def encode_with_dict(
-    ths: DataFrame, dict_df: DataFrame, vocab: DataFrame, rounds: int | None = None
+    ths: DataFrame,
+    dict_df: DataFrame,
+    vocab: DataFrame,
+    rounds: int | None = None,
+    validate_rounds: bool = True,
 ) -> DataFrame:
     """Tokenizer INFERENCE: encode (doc_id, th) token-hash docs with a
     FROZEN dictionary + merge vocab from ``batched_bpe_train_dict`` —
@@ -381,8 +400,12 @@ def encode_with_dict(
     carries would SILENTLY skip the later merge rounds
     (under-encoding with no error — r10 ADVICE), so it is validated
     and raises; a larger value is a harmless no-op and stays allowed
-    (the extra passes see empty batches → identity)."""
-    rounds = _vocab_rounds(vocab, rounds, "encode_with_dict")
+    (the extra passes see empty batches → identity).
+    ``validate_rounds=False`` with an explicit ``rounds`` skips that
+    1-row validation scan so the builder stays fully lazy (r11
+    ADVICE) — only safe when ``rounds`` comes from the code path that
+    built the vocab."""
+    rounds = _vocab_rounds(vocab, rounds, "encode_with_dict", validate_rounds)
     _MAT_EVERY = 8
     cur = translate_corpus(ths, dict_df, oov_id=OOV_ID)
     for r in range(rounds):
@@ -393,12 +416,21 @@ def encode_with_dict(
     return cur
 
 
-def _vocab_rounds(vocab: DataFrame, rounds: int | None, who: str) -> int:
+def _vocab_rounds(
+    vocab: DataFrame, rounds: int | None, who: str, validate: bool = True
+) -> int:
     """Round count for a frozen-vocab pass: derived from the vocab
     (max(round)+1 — one 1-row scan of the bounded vocab relation) when
     ``rounds`` is None; an explicit under-covering value raises (it
     would silently skip merge rounds — r10 ADVICE), a larger one is a
-    harmless identity no-op."""
+    harmless identity no-op. ``validate=False`` with an explicit
+    ``rounds`` skips the scan entirely (r11 ADVICE: the eager 1-row
+    collect turns a lazy plan builder into a driver-blocking call) —
+    opt out only when ``rounds`` comes from the same code path that
+    built the vocab, because an under-covering value then under-encodes
+    SILENTLY."""
+    if rounds is not None and not validate:
+        return rounds
     max_round = vocab.agg(F.max("round").alias("_mr")).collect()[0]["_mr"]
     n_rounds = 0 if max_round is None else int(max_round) + 1
     if rounds is None:
@@ -434,7 +466,10 @@ def expand_merge_batch(ths: DataFrame, batch: DataFrame) -> DataFrame:
 
 
 def decode_with_dict(
-    enc: DataFrame, vocab: DataFrame, rounds: int | None = None
+    enc: DataFrame,
+    vocab: DataFrame,
+    rounds: int | None = None,
+    validate_rounds: bool = True,
 ) -> DataFrame:
     """Tokenizer DECODE: invert :func:`encode_with_dict` in id space —
     expand each round's merges in REVERSE round order (round r's fresh
@@ -446,8 +481,10 @@ def decode_with_dict(
 
     Like encode, decode is a LINEAR chain of row-local rewrites — the
     passes compose into one lazy plan, checkpointed every ``_MAT_EVERY``
-    rounds for codegen depth."""
-    rounds = _vocab_rounds(vocab, rounds, "decode_with_dict")
+    rounds for codegen depth. ``rounds``/``validate_rounds`` semantics
+    as in :func:`encode_with_dict` (an explicit trusted ``rounds`` with
+    ``validate_rounds=False`` keeps the builder lazy — r11 ADVICE)."""
+    rounds = _vocab_rounds(vocab, rounds, "decode_with_dict", validate_rounds)
     _MAT_EVERY = 8
     cur = enc
     for i, r in enumerate(reversed(range(rounds))):
@@ -500,10 +537,9 @@ def batched_bpe_train_dict(
         raise ValueError(f"batched_bpe_train_dict needs rounds >= 1, got {rounds}")
     if m < 1:
         raise ValueError(f"batch size m must be >= 1, got {m}")
-    dense = dense_token_ids(ths)
+    dense, vocab_base = dense_token_ids_with_count(ths)
     dict_df = materialize(dense, force=True)
     # the adaptive-bucket path already counted the vocabulary; reuse it
-    vocab_base = getattr(dense, "_wfc3_vocab_count", None)
     if vocab_base is None:
         vocab_base = dict_df.count()
     # max allocated nid is vocab_base + rounds*m - 1; it must stay < DICT_PACK

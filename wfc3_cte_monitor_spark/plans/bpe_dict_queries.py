@@ -240,7 +240,12 @@ def dict_bpe_arms(thd: DataFrame) -> DataFrame:
     # must reproduce the translated-with-OOV original exactly; the
     # per-doc match flag is value-gated, so both engines must agree the
     # roundtrip is lossless, not merely agree on a fingerprint
-    dec = decode_with_dict(inf, vocab)
+    # rounds passed TRUSTED (validate_rounds=False): the vocab was
+    # built with T01D_ROUNDS three lines up, and encode_with_dict above
+    # already exercised (and gated) the derivation path — a second
+    # eager max(round) scan here was one more sequential construction
+    # job for zero information (r11 ADVICE / ask #3 barrier diet)
+    dec = decode_with_dict(inf, vocab, rounds=T01D_ROUNDS, validate_rounds=False)
     tr0 = translate_corpus(thd, dict_df, oov_id=OOV_ID)
     decode_arm = (
         tr0.select("doc_id", F.col("th").alias("_t0"))

@@ -411,10 +411,14 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
         "rep_id",
         F.when(F.col("doc_id") == F.col("rep_id"), 1).otherwise(0).cast("bigint").alias("keep"),
     )
-    if arms is not None and "incr_cc" not in arms:
+    from .registry import arms_requested
+
+    if not arms_requested(arms, {"incr_cc"}):
         # frozen-arm bench pass: the incremental arm's construction is
         # EAGER (driver-side convergence probes), so a post-hoc Catalyst
         # union-branch prune can't skip its cost — skip building it.
+        # arms_requested (r11 ADVICE) so a future second pseudo-arm's
+        # __all_but__ complement run still builds this one.
         return full_arm
 
     # 'incr_cc' — incremental cluster-store maintenance OF THE DECISION,

@@ -771,10 +771,10 @@ def n03_model_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `which` column, so the filter acts here at construction.
     from pyspark.sql import Window as W
 
-    from .registry import active_arms
+    from .registry import active_arms, arms_requested
 
     arms = active_arms("n03_model_backtest")
-    if arms is not None and "anom" not in arms:
+    if not arms_requested(arms, {"anom"}):
         return backtest.select(
             "*",
             F.lit(None).cast("double").alias("zscore"),

@@ -60,6 +60,28 @@ def active_arms(name: str) -> frozenset[str] | None:
     return None if _ARM_FILTER is None else _ARM_FILTER.get(name)
 
 
+_ALL_BUT = "__all_but__"
+
+
+def arms_requested(arms: frozenset[str] | None, names) -> bool:
+    """True iff an :func:`active_arms` set requests ANY of ``names`` —
+    the ONE interpreter for every eager-construction gate.
+
+    Understands bench.py's complement token ``__all_but__<arm>`` (the
+    pseudo-arm pricing run: "every arm EXCEPT <arm>"): such a set
+    requests ``names`` unless every one of them is excluded. r11
+    ADVICE: gates that intersected the raw set treated the complement
+    token as "none of my arms" and would silently skip an eager family
+    — misattributing its cost to the pseudo-arm — the moment the
+    host query gained a PSEUDO_ARMS entry."""
+    if arms is None:
+        return True
+    excluded = {a[len(_ALL_BUT):] for a in arms if a.startswith(_ALL_BUT)}
+    if excluded:
+        return any(n not in excluded for n in names)
+    return bool(set(names) & arms)
+
+
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # decorator
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:

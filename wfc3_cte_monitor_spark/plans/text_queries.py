@@ -1546,11 +1546,13 @@ def t01_token_stats(spark, sf_dir):
     # max(round) scan run driver-side while the plan is built), so an
     # arm-restricted run that doesn't ask for any D arm skips the
     # build entirely — the d02 'incr_cc' pattern.
-    from .registry import active_arms
+    from .registry import active_arms, arms_requested
 
-    _arms = active_arms("t01_token_stats")
     _D_ARMS = {"dictD", "mergeD", "encodeD", "inferD", "decodeD"}
-    if _arms is None or (_D_ARMS & set(_arms)):
+    # arms_requested (not a raw intersection) so bench's pseudo-arm
+    # complement token __all_but__<pv> still builds the D family unless
+    # the D arms themselves are what's excluded (r11 ADVICE).
+    if arms_requested(active_arms("t01_token_stats"), _D_ARMS):
         from .bpe_dict_queries import dict_bpe_arms
 
         out = out.unionAll(dict_bpe_arms(thd))
@@ -1920,7 +1922,9 @@ def t02_text_profile(spark, sf_dir):
     # 234 s at sf0.1 unbound vs sub-second bound; CollapseProject keeps
     # multi-referenced aliases un-inlined, which is what makes the
     # binding stick). Skipped under the frozen-arm pass ('tri' arm).
-    if arms is None or "tri" in arms:
+    from .registry import arms_requested
+
+    if arms_requested(arms, {"tri"}):
         langs = sorted(LANG_TRIGRAMS)
         docs_tri = (
             docs.withColumn(
