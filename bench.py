@@ -689,16 +689,27 @@ def main() -> None:
     # while fn() constructs the DataFrame: d02's incremental-CC store
     # build, t01's dictD training rounds) are invisible to the per-arm
     # noop timer above — the arm manifest priced the dictD family's lazy
-    # arms at ~2.9 s and left ~2.8 s attributable only by subtraction.
-    # construction_s times the fn() CALL ITSELF with the family's arms
-    # requested (the construction gates consult active_arms, so exactly
-    # that family's eager work runs); the lazy residue of the same build
-    # is sub-ms of Python, so the fn wall IS the construction price.
+    # arms at ~2.9 s and left the eager slice attributable only by
+    # subtraction. construction_s times the fn() CALL ITSELF with the
+    # family's arms requested (the construction gates consult
+    # active_arms, so exactly that family's eager work runs), plus a
+    # "__none__" baseline with every eager gate closed (pure lazy plan
+    # assembly). SEMANTICS: a family's eager scans EXECUTE their shared
+    # lazy prerequisites (t01's tokenize+hash checkpoint, d02's shingle
+    # pipeline), so construction_s[fam] is "when the wall is paid"
+    # (query wall ≈ construction + noop-write residue; the write then
+    # reuses the checkpoints), NOT the family's marginal price — that
+    # stays full-vs-excluded (the twin / dictd_price_probe numbers).
     EAGER_FAMILIES: dict[str, dict[str, frozenset[str]]] = {
         "t01_token_stats": {
             "dictD": frozenset({"dictD", "mergeD", "encodeD", "inferD", "decodeD"}),
+            # any single lazy arm name closes every eager gate
+            "__none__": frozenset({"doc"}),
         },
-        "d02_lsh_dedup_pipeline": {"incr_cc": frozenset({"incr_cc"})},
+        "d02_lsh_dedup_pipeline": {
+            "incr_cc": frozenset({"incr_cc"}),
+            "__none__": frozenset({"full"}),
+        },
     }
     construction_s: dict[str, dict[str, float]] = {}
     if n_passes >= 3:
