@@ -370,7 +370,19 @@ def test_t01_dict_bpe_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
-# (the interim exact-equality pre-pin test for frozen_t01_r11 was
-# absorbed into the arm-restricted active-pin test above at the r12
-# flip; while live t01 is unchanged in r12 the arm-restricted compare
-# IS exact equality, and it stays valid once r12 adds arms.)
+def test_prepinned_t01_r12_twin_matches_live_exactly(spark):
+    # The r13 control (plans/frozen_t01_r12.py, PRE-pinned at the r12
+    # close via scripts/gen_frozen_t01_r12.py) must stay importable AND
+    # row-identical to live t01 until the r13 flip — the continuous
+    # verification the r10 verdict required for the active pin, applied
+    # to the pre-pin as well. The pin snapshots the FULL r12 arm set,
+    # so this is exact equality, no arm restriction. When r13 changes
+    # t01, this test moves to the arm-restricted form (the active-pin
+    # test above shows the pattern) as part of the flip.
+    from wfc3_cte_monitor_spark.plans.frozen_t01_r12 import t01_token_stats_r12
+
+    pin = sorted(map(tuple, t01_token_stats_r12(spark, SF).collect()))
+    live = sorted(
+        map(tuple, load_all()["t01_token_stats"].fn(spark, SF).collect())
+    )
+    assert live == pin
