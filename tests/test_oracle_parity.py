@@ -82,3 +82,44 @@ def test_arms_requested_understands_complement_token():
     assert arms_requested(frozenset({"__all_but__dictD"}), D)
     # complement of a single-arm family's own arm -> skip
     assert not arms_requested(frozenset({"__all_but__incr_cc"}), {"incr_cc"})
+
+
+def test_bench_eager_families_consistent_with_gates():
+    """bench.py's construction_s instrument must agree with the
+    construction gates: each family's filter requests exactly its own
+    family's eager work, and the __none__ baseline closes EVERY eager
+    gate of that query (otherwise the baseline silently prices a
+    family and the decomposition double-counts). EAGER_FAMILIES is
+    scoped inside bench's run, so it is read statically."""
+    import ast
+    import inspect
+
+    import bench
+    from wfc3_cte_monitor_spark.plans.registry import arms_requested
+
+    fams = None
+    for node in ast.walk(ast.parse(inspect.getsource(bench))):
+        targets = (
+            node.targets
+            if isinstance(node, ast.Assign)
+            else [node.target] if isinstance(node, ast.AnnAssign) else []
+        )
+        if node.__class__.__name__ in ("Assign", "AnnAssign") and any(
+            getattr(t, "id", "") == "EAGER_FAMILIES" for t in targets
+        ):
+            expr = ast.Expression(body=node.value)
+            ast.fix_missing_locations(expr)
+            fams = eval(compile(expr, "<bench.EAGER_FAMILIES>", "eval"))
+            break
+    assert fams, "EAGER_FAMILIES not found in bench.py"
+
+    for q, entry in fams.items():
+        none_filter = entry.get("__none__")
+        assert none_filter, f"{q} needs a __none__ baseline"
+        for fam, arms in entry.items():
+            if fam == "__none__":
+                continue
+            assert arms_requested(arms, arms), (q, fam)
+            assert not arms_requested(none_filter, arms), (
+                f"{q} __none__ baseline does not close the {fam} gate"
+            )
