@@ -89,28 +89,38 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
 # shared-stage ambiguity. Re-pin a NEW module at each future boundary
 # where the query's code changed; SCALING.md records each re-pin.
 PINNED_TWINS: dict[str, tuple[str, str]] = {
-    # re-pinned at the r12 boundary (r11 verdict ask #1): the live t01
-    # gained the dictD family in r11, so the r10 twin stopped isolating
-    # r12's changes. frozen_t01_r11 was PRE-pinned at the end of r11
-    # and verified row-identical to live t01 at sf0.001 + sf0.01 before
-    # any r12 edit; tests/test_plan_shape.py's pin test imports and
+    # re-pinned at the r13 boundary (r12 verdict ask #2): the live t01
+    # changed in r12 (construction barrier diet + advice fixes), so the
+    # r11 twin stopped isolating r13's changes. frozen_t01_r12 was
+    # PRE-pinned at the end of r12 (scripts/gen_frozen_t01_r12.py) and
+    # verified row-identical to live t01 at sf0.001 + sf0.01 before any
+    # r13 edit; tests/test_plan_shape.py's pin test imports and
     # arm-compares THIS pin every run (continuous verification, not
-    # trust-from-pin-time). frozen_t01_r10 retired at the flip.
-    # In BENCH_r12, live − pinned prices exactly ROUND-12's t01 code
-    # changes; pinned_r12 vs BENCH_r11's live t01 (21.04 s driver
-    # window) is pure host drift on code-identical plans.
+    # trust-from-pin-time). frozen_t01_r11 retired at the flip.
+    # In BENCH_r13, live − pinned prices exactly ROUND-13's t01 code
+    # changes (the planning-tax shave); pinned_r13 vs BENCH_r12's live
+    # t01 (24.16 s driver window) is pure host drift on code-identical
+    # plans.
     #
-    # R13 BUILDER: the r12 snapshot is already taken and verified
-    # (plans/frozen_t01_r12.py, generated by
-    # scripts/gen_frozen_t01_r12.py, row-identical at sf0.001 + sf0.01
-    # at the end of r12) — flip this entry to
-    # ("wfc3_cte_monitor_spark.plans.frozen_t01_r12",
-    #  "t01_token_stats_r12"), retire frozen_t01_r11, port the pin
-    # test in tests/test_plan_shape.py, record in SCALING.md. Do NOT
-    # flip before the driver writes BENCH_r12.
+    # R14 BUILDER: if round 13 changed t01 (it did — planning-tax
+    # shave), a fresh pre-pin plans/frozen_t01_r13.py exists at the r13
+    # close (gen script pattern) — flip this entry to it, retire
+    # frozen_t01_r12, port the pin test, record in SCALING.md. Do NOT
+    # flip before the driver writes BENCH_r13.
     "t01_token_stats": (
-        "wfc3_cte_monitor_spark.plans.frozen_t01_r11",
-        "t01_token_stats_r11",
+        "wfc3_cte_monitor_spark.plans.frozen_t01_r12",
+        "t01_token_stats_r12",
+    ),
+    # SECOND pin (r12 verdict ask #3): an I/O-shaped control. The r12
+    # window's io_ratio 1.34 moved zero-code-change queries +26-48%
+    # (s01 +48%, the most I/O-shaped query) with no per-query control
+    # outside t01; this pin gives `live − pinned` coverage at the
+    # I/O-shaped end of the suite. Pinned at the r13 boundary from the
+    # r12-close body (s01 unchanged at pin time), verified
+    # row-identical at sf0.001 + sf0.01.
+    "s01_header_derivations": (
+        "wfc3_cte_monitor_spark.plans.frozen_s01_r12",
+        "s01_header_derivations_r12",
     ),
 }
 
@@ -185,6 +195,19 @@ def _frozen_builder(specs, name: str, col: str, vals: tuple[str, ...]):
             set_arm_filter(None)
 
     return build
+
+
+def _t01_salt_decision() -> dict | None:
+    """The url-arm SaltDecision t01's build recorded this session
+    (plans/text_queries.LAST_URL_SALT_DECISION), or None if t01 never
+    built. Copied so later builds can't mutate the artifact."""
+    try:
+        from wfc3_cte_monitor_spark.plans.text_queries import (
+            LAST_URL_SALT_DECISION,
+        )
+    except Exception:
+        return None
+    return dict(LAST_URL_SALT_DECISION) or None
 
 
 def main() -> None:
@@ -721,23 +744,55 @@ def main() -> None:
         },
     }
     construction_s: dict[str, dict[str, float]] = {}
+    construction_samples: dict[str, dict[str, int]] = {}
     if n_passes >= 3:
-        for qname, fams in EAGER_FAMILIES.items():
-            if qname not in specs:
-                continue
-            if time.perf_counter() - bench_t0 > ARM_PRICE_TOTAL_BUDGET_S:
-                construction_s.setdefault("_truncated", {})[qname] = -1.0
-                continue
-            for fam, fam_arms in fams.items():
-                set_arm_filter({qname: fam_arms})
-                try:
-                    t0 = time.perf_counter()
-                    specs[qname].fn(spark, sf_dir)
+        # min of 2 INTERLEAVED samples (r12 ADVICE: every other bench
+        # number is best-of-N across sweeps; a single-sample
+        # construction_s put one host burst directly in the artifact).
+        # The budget gate runs per FAMILY, not per query, so a slow
+        # first family can't blow the wall mid-query; families cut
+        # short carry an explicit sample count for the reader.
+        _cons_raw: dict[str, dict[str, list[float]]] = {}
+        for _rep in range(2):
+            for qname, fams in EAGER_FAMILIES.items():
+                if qname not in specs:
+                    continue
+                for fam, fam_arms in fams.items():
+                    got = _cons_raw.setdefault(qname, {}).setdefault(fam, [])
+                    if time.perf_counter() - bench_t0 > ARM_PRICE_TOTAL_BUDGET_S:
+                        if not got:
+                            construction_s.setdefault("_truncated", {})[qname] = -1.0
+                        continue
+                    set_arm_filter({qname: fam_arms})
+                    try:
+                        t0 = time.perf_counter()
+                        specs[qname].fn(spark, sf_dir)
+                        got.append(time.perf_counter() - t0)
+                    finally:
+                        set_arm_filter(None)
+        for qname, fams in _cons_raw.items():
+            for fam, samples in fams.items():
+                if samples:
                     construction_s.setdefault(qname, {})[fam] = round(
-                        time.perf_counter() - t0, 3
+                        min(samples), 3
                     )
-                finally:
-                    set_arm_filter(None)
+                    construction_samples.setdefault(qname, {})[fam] = len(samples)
+
+    # Self-describing marginal (r12 verdict ask #5): construction_s[fam]
+    # INCLUDES the shared lazy prerequisites the family's eager scans
+    # execute (t01's tokenize+hash checkpoint), so the readable marginal
+    # is family − __none__ — emitted here so BENCH_DETAIL can't be
+    # misread without SCALING.md in hand.
+    construction_marginal_s: dict[str, dict[str, float]] = {}
+    for qname, fams in construction_s.items():
+        if qname.startswith("_") or "__none__" not in fams:
+            continue
+        base = fams["__none__"]
+        for fam, v in fams.items():
+            if fam != "__none__":
+                construction_marginal_s.setdefault(qname, {})[fam] = round(
+                    v - base, 3
+                )
 
     # --- arm-placement policy hook (r11 verdict ask #5) -------------------
     # COVERAGE.md §"Arm-placement policy" sets a per-arm price ceiling:
@@ -880,7 +935,18 @@ def main() -> None:
         "a mixed workload has no single drift ratio",
         "arm_prices": arm_prices,
         "construction_s": construction_s,
+        "construction_samples": construction_samples,
+        "construction_marginal_s": construction_marginal_s,
+        "construction_semantics": "construction_s[fam] = wall of the fn() "
+        "build with only that family's eager gates open, INCLUDING the "
+        "shared lazy prerequisites its scans execute; the family's "
+        "readable marginal price is construction_marginal_s[fam] = "
+        "family - __none__ (min of 2 interleaved samples; "
+        "construction_samples records how many landed)",
         "arm_ceiling_flags": arm_ceiling_flags,
+        # r12 verdict ask #7: the url-arm SaltDecision recorded by t01's
+        # build (log-only; see plans/text_queries.LAST_URL_SALT_DECISION)
+        "t01_url_salt_decision": _t01_salt_decision(),
         "frozen_arms": {n: list(v[1]) for n, v in FROZEN_ARMS.items()},
         "pinned_twins": {n: f"{m}.{f}" for n, (m, f) in PINNED_TWINS.items()},
         "queries_best": timings_best,

@@ -139,19 +139,29 @@ def main() -> None:
         return max(1.5 * pmin, pmin + 0.3)
 
     redo_budget = 6
-    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
-        for q in QUERIES:
-            if q not in specs:
-                continue
-            tries = 0
-            while tries < 2 and redo_budget > 0:
-                if any(
-                    max(s[1], s[2]) <= _gate() for s in samples[(q, sf_name)]
-                ):
-                    break
-                sample(q, sf_name, sf_dir)
-                tries += 1
-                redo_budget -= 1
+    # outer loop (r12 ADVICE): the break-check uses the gate AS OF THAT
+    # MOMENT, and later probes can lower pmin — a cell judged clean
+    # early in the sweep can be unclean under the final, tighter gate
+    # after its redo opportunity passed. After each full sweep, re-scan
+    # under the recomputed gate and spend any remaining budget on cells
+    # that lost their clean sample; stop when a sweep adds nothing.
+    while redo_budget > 0:
+        spent_before = redo_budget
+        for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
+            for q in QUERIES:
+                if q not in specs:
+                    continue
+                tries = 0
+                while tries < 2 and redo_budget > 0:
+                    if any(
+                        max(s[1], s[2]) <= _gate() for s in samples[(q, sf_name)]
+                    ):
+                        break
+                    sample(q, sf_name, sf_dir)
+                    tries += 1
+                    redo_budget -= 1
+        if redo_budget == spent_before:
+            break
     gate = _gate()
 
     for q in QUERIES:

@@ -64,8 +64,17 @@ def main() -> None:
     from wfc3_cte_monitor_spark.plans.registry import load_all, set_arm_filter
     from wfc3_cte_monitor_spark.session import get_spark
 
-    spark = get_spark("dictd-price-probe")
+    # job census caveat (r12 ADVICE): getJobIdsForGroup only sees jobs
+    # the status store retained (spark.ui.retainedJobs, default 1000) —
+    # a full-shape t01 build launches ~230 jobs per run and PASSES runs
+    # accumulate, so raise the cap well past the session's lifetime
+    # total at BUILD time; the effective value is recorded in the
+    # artifact so any undercount is diagnosable.
+    spark = get_spark(
+        "dictd-price-probe", extra_conf={"spark.ui.retainedJobs": "200000"}
+    )
     sc = spark.sparkContext
+    retained_jobs = int(sc.getConf().get("spark.ui.retainedJobs", "1000"))
     specs = load_all()
     fn = specs["t01_token_stats"].fn
 
@@ -82,7 +91,9 @@ def main() -> None:
             el = time.perf_counter() - t0
         finally:
             set_arm_filter(None)
-            sc.setJobGroup("", "")
+            # truly clear the group (r12 ADVICE: setJobGroup("", "")
+            # makes later ungrouped jobs share the "" group)
+            sc._jsc.sc().clearJobGroup()
         jobs = len(sc.statusTracker().getJobIdsForGroup(group))
         sc._jvm.System.gc()
         return el, jobs
@@ -130,6 +141,7 @@ def main() -> None:
         "sf_dir": SRC,
         "passes": PASSES,
         "burners": BURNERS,
+        "retained_jobs_cap": retained_jobs,
         "quiet": quiet,
         "loaded": loaded,
         "inflation_best": {t: infl(t) for t in ("full", "noD")},

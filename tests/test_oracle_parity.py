@@ -84,6 +84,24 @@ def test_arms_requested_understands_complement_token():
     assert not arms_requested(frozenset({"__all_but__incr_cc"}), {"incr_cc"})
 
 
+def test_arms_requested_rejects_mixed_filter_sets():
+    """r12 ADVICE: a mixed filter like {'doc', '__all_but__dictD'} used
+    to short-circuit to pure complement semantics, silently ignoring
+    the plain names. bench.py only ever emits a SINGLETON complement
+    set (bench.py:683), so anything mixed — or multiple complement
+    tokens — is a caller bug and must fail loudly."""
+    import pytest
+
+    from wfc3_cte_monitor_spark.plans.registry import arms_requested
+
+    with pytest.raises(ValueError, match="mixes plain arms"):
+        arms_requested(frozenset({"doc", "__all_but__dictD"}), {"dictD"})
+    with pytest.raises(ValueError, match="complement tokens"):
+        arms_requested(
+            frozenset({"__all_but__dictD", "__all_but__doc"}), {"dictD"}
+        )
+
+
 def test_bench_eager_families_consistent_with_gates():
     """bench.py's construction_s instrument must agree with the
     construction gates: each family's filter requests exactly its own

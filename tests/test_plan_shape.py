@@ -322,22 +322,22 @@ def test_contam_eval_side_broadcasts(spark):
 
 
 def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
-    # The bench's cross-version control (plans/frozen_t01_r11.py, the
-    # r12 flip of the r10 pin) must stay row-identical to live t01
+    # The bench's cross-version control (plans/frozen_t01_r12.py, the
+    # r13 flip of the r11 pin) must stay row-identical to live t01
     # RESTRICTED TO THE PIN'S ARM SET: the pin shares the stable
     # substrate (functions/text, catalog, checkpointing) with the live
     # plan on purpose, and a behavior change there silently corrupts
     # the twin — this test converts that re-pin rule (pin docstring
     # rule 2) from prose to CI, so the control is continuously verified
     # rather than trusted from pin time (r10 verdict ask #2; ported to
-    # the r11 pin at the r12 flip per r11 verdict ask #1). Arms added
-    # after the r11 boundary are excluded by construction: the
+    # the r12 pin at the r13 flip per r12 verdict ask #2). Arms added
+    # after the r12 boundary are excluded by construction: the
     # comparison keys on the PIN's own arm set.
     from pyspark.sql import functions as F
 
-    from wfc3_cte_monitor_spark.plans.frozen_t01_r11 import t01_token_stats_r11
+    from wfc3_cte_monitor_spark.plans.frozen_t01_r12 import t01_token_stats_r12
 
-    pin = t01_token_stats_r11(spark, SF)
+    pin = t01_token_stats_r12(spark, SF)
     live = load_all()["t01_token_stats"].fn(spark, SF)
     assert live.columns == pin.columns
     pin_rows = sorted(map(tuple, pin.collect()))
@@ -346,6 +346,25 @@ def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
         map(tuple, live.where(F.col("which").isin(*sorted(pin_arms))).collect())
     )
     assert live_rows == pin_rows
+
+
+def test_pinned_s01_twin_matches_live_exactly(spark):
+    # The SECOND bench control (plans/frozen_s01_r12.py, added at r13
+    # per r12 verdict ask #3 — an I/O-shaped pin: the r12 window's
+    # io_ratio 1.34 moved zero-code-change queries +26-48% with no
+    # per-query control outside t01). s01 has no arm column and the pin
+    # snapshots the full r12-close body, so this is exact row equality;
+    # if a future round changes s01, re-pin (never edit) and port this
+    # test the way the t01 pin tests were ported.
+    from wfc3_cte_monitor_spark.plans.frozen_s01_r12 import (
+        s01_header_derivations_r12,
+    )
+
+    pin = sorted(map(tuple, s01_header_derivations_r12(spark, SF).collect()))
+    live = sorted(
+        map(tuple, load_all()["s01_header_derivations"].fn(spark, SF).collect())
+    )
+    assert live == pin
 
 
 def test_t01_dict_bpe_plan_shape(spark):
@@ -370,19 +389,3 @@ def test_t01_dict_bpe_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_prepinned_t01_r12_twin_matches_live_exactly(spark):
-    # The r13 control (plans/frozen_t01_r12.py, PRE-pinned at the r12
-    # close via scripts/gen_frozen_t01_r12.py) must stay importable AND
-    # row-identical to live t01 until the r13 flip — the continuous
-    # verification the r10 verdict required for the active pin, applied
-    # to the pre-pin as well. The pin snapshots the FULL r12 arm set,
-    # so this is exact equality, no arm restriction. When r13 changes
-    # t01, this test moves to the arm-restricted form (the active-pin
-    # test above shows the pattern) as part of the flip.
-    from wfc3_cte_monitor_spark.plans.frozen_t01_r12 import t01_token_stats_r12
-
-    pin = sorted(map(tuple, t01_token_stats_r12(spark, SF).collect()))
-    live = sorted(
-        map(tuple, load_all()["t01_token_stats"].fn(spark, SF).collect())
-    )
-    assert live == pin

@@ -78,6 +78,17 @@ def arms_requested(arms: frozenset[str] | None, names) -> bool:
         return True
     excluded = {a[len(_ALL_BUT):] for a in arms if a.startswith(_ALL_BUT)}
     if excluded:
+        # complement sets must be PURE: a mixed filter like
+        # {'doc', '__all_but__dictD'} has no defined semantics (the
+        # plain names would be silently ignored — r12 ADVICE), and
+        # bench.py never emits one; fail loudly instead of widening.
+        plain = {a for a in arms if not a.startswith(_ALL_BUT)}
+        if plain or len(excluded) != 1:
+            raise ValueError(
+                f"arm filter mixes plain arms {sorted(plain)} with "
+                f"complement tokens {sorted(excluded)}; use one "
+                f"__all_but__<arm> token alone"
+            )
         return any(n not in excluded for n in names)
     return bool(set(names) & arms)
 

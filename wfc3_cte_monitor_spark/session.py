@@ -40,8 +40,17 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "wfc3_cte_monitor_spark", cpus: int | None = None) -> SparkSession:
-    """Create (or get) a tuned local SparkSession."""
+def get_spark(
+    app_name: str = "wfc3_cte_monitor_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a tuned local SparkSession.
+
+    ``extra_conf`` entries are applied at BUILD time, for confs that are
+    read once at context start (e.g. ``spark.ui.retainedJobs`` for the
+    job-census probes); they have no effect if a session already exists.
+    """
     n = cpus or default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -56,6 +65,8 @@ def get_spark(app_name: str = "wfc3_cte_monitor_spark", cpus: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
