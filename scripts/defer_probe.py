@@ -43,6 +43,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CHECK_SF = "/root/testdata/sf0.001"
 PASSES = int(os.environ.get("DEFER_PROBE_PASSES", "3"))
+# Optional arm restriction (comma-separated, e.g. "doc"): times the
+# BENCH ARM-SWEEP shape, where defer's pruning effect is structural —
+# un-requested arms' deferred subtrees are never executed (the which-
+# filter prunes their union branches), while the default AQE path
+# executes every truncation point's stages at build regardless.
+ARMS = os.environ.get("DEFER_PROBE_ARMS", "")
 
 
 def main() -> None:
@@ -111,8 +117,14 @@ def main() -> None:
             mod.materialize = patched
 
     try:
+        from wfc3_cte_monitor_spark.plans.registry import set_arm_filter
+
         specs = load_all()
         fn = specs["t01_token_stats"].fn
+        if ARMS:
+            set_arm_filter(
+                {"t01_token_stats": frozenset(ARMS.split(","))}
+            )
 
         # cheap row-identity gate first
         mode["name"] = "baseline"
@@ -157,8 +169,11 @@ def main() -> None:
                 summary[m]["best_total_s"] - summary["baseline"]["best_total_s"], 3
             )
         print(json.dumps({"metric": "defer_probe", "sf_dir": SRC,
-                          "passes": PASSES, "summary": summary}), flush=True)
+                          "passes": PASSES, "arms": ARMS or None,
+                          "summary": summary}), flush=True)
     finally:
+        if ARMS:
+            set_arm_filter(None)
         for mod in mods:
             mod.materialize = real
 

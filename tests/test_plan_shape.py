@@ -348,6 +348,24 @@ def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
     assert live_rows == pin_rows
 
 
+def test_prepinned_t01_r13_twin_matches_live_exactly(spark):
+    # The r14 control (plans/frozen_t01_r13.py, PRE-pinned at the r13
+    # close via scripts/gen_frozen_t01_r13.py) must stay importable AND
+    # row-identical to live t01 until the r14 flip — the continuous
+    # verification the r10 verdict required for the active pin, applied
+    # to the pre-pin as well. The pin snapshots the FULL r13 arm set,
+    # so this is exact equality, no arm restriction. When r14 changes
+    # t01, this test moves to the arm-restricted form (the active-pin
+    # test below shows the pattern) as part of the flip.
+    from wfc3_cte_monitor_spark.plans.frozen_t01_r13 import t01_token_stats_r13
+
+    pin = sorted(map(tuple, t01_token_stats_r13(spark, SF).collect()))
+    live = sorted(
+        map(tuple, load_all()["t01_token_stats"].fn(spark, SF).collect())
+    )
+    assert live == pin
+
+
 def test_pinned_s01_twin_matches_live_exactly(spark):
     # The SECOND bench control (plans/frozen_s01_r12.py, added at r13
     # per r12 verdict ask #3 — an I/O-shaped pin: the r12 window's

@@ -217,14 +217,24 @@ def apply_merge_batch(ths: DataFrame, batch: DataFrame, pack: int = PAIR_PACK) -
 
 
 def batched_bpe_train(
-    ths: DataFrame, rounds: int, m: int, probe_mult: int = 4
+    ths: DataFrame, rounds: int, m: int, probe_mult: int = 4,
+    counts0: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``rounds`` batched rounds of up to ``m`` merges each over
     ``ths`` (doc_id, th). Returns (encoded corpus, vocab) where vocab is
     one row per applied winner: (round, rnk, ar, br, nid, cnt) — cnt is
     the pair's bigram count at selection time, gateable against the SQL
     twin. Fully lazy; the corpus relation is materialized per round so
-    round r's plan never re-embeds rounds 1..r-1."""
+    round r's plan never re-embeds rounds 1..r-1.
+
+    ``counts0`` (r13): an optional precomputed round-0 pair-count
+    relation — any superset projection of ``bigram_counts(ths)``'s
+    (h, mx, cnt) with identical packing/tiebreak columns. A caller that
+    already aggregated the corpus's pair vocabulary (t01's sequential
+    trainer materializes exactly this as its iteration-1 relation)
+    passes it here and the round-0 corpus-wide explode+count — one of
+    the two corpus passes a cold training round costs — is skipped
+    entirely. Later rounds always recount (the corpus changed)."""
     if rounds < 1:
         raise ValueError(f"batched_bpe_train needs rounds >= 1, got {rounds}")
     if rounds * m > NID_SLOTS_MAX:
@@ -236,8 +246,11 @@ def batched_bpe_train(
     cur = ths
     vocab: DataFrame | None = None
     for r in range(rounds):
+        counts = (
+            counts0 if r == 0 and counts0 is not None else bigram_counts(cur)
+        )
         batch = materialize(
-            compatible_topm(bigram_counts(cur), m, r, probe_mult),
+            compatible_topm(counts, m, r, probe_mult),
             eager=False,
             force=True,
         )

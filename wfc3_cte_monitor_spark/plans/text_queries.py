@@ -1455,7 +1455,16 @@ def t01_token_stats(spark, sf_dir):
     # with a precomputed-counts argument.
     from ..operators.bpe_batch import batched_bpe_train
 
-    bb_corpus, bb_vocab = batched_bpe_train(thd, rounds=BB_ROUNDS, m=BB_M)
+    # r13: the round-0 pair count IS the sequential trainer's
+    # materialized iteration-1 pair vocab (identical packing, tiebreak
+    # columns and >=2-token predicate; ndocs rides along unused) — pass
+    # it instead of recounting, removing one of the cross-check's two
+    # duplicate corpus passes. Verified row-identical vs the oracle at
+    # both gate scales; the r12 pin keeps the recount, so BENCH_r13's
+    # live − pinned prices this reuse.
+    bb_corpus, bb_vocab = batched_bpe_train(
+        thd, rounds=BB_ROUNDS, m=BB_M, counts0=aggs[1]
+    )
     mergeb_arm = bb_vocab.select(
         F.lit("mergeB").alias("which"),
         (F.col("ar") * _PAIR_PACK + F.col("br")).alias("doc_id"),
