@@ -98,13 +98,16 @@ PINNED_TWINS: dict[str, tuple[str, str]] = {
     # arm-compares THIS pin every run (continuous verification, not
     # trust-from-pin-time). frozen_t01_r11 retired at the flip.
     # In BENCH_r13, live − pinned prices exactly ROUND-13's t01 code
-    # changes (the planning-tax shave); pinned_r13 vs BENCH_r12's live
-    # t01 (24.16 s driver window) is pure host drift on code-identical
-    # plans.
+    # changes — the counts0 round-0 pair-count reuse plus the url-arm
+    # SaltDecision aggregate (cached per dataset); the planning-tax
+    # SHAVE hypothesis was refuted and NOT adopted (SCALING.md
+    # §Round-13 planning-tax experiment). pinned_r13 vs BENCH_r12's
+    # live t01 (24.16 s driver window) is pure host drift on
+    # code-identical plans.
     #
-    # R14 BUILDER: if round 13 changed t01 (it did — planning-tax
-    # shave), a fresh pre-pin plans/frozen_t01_r13.py exists at the r13
-    # close (gen script pattern) — flip this entry to it, retire
+    # R14 BUILDER: round 13 changed t01 (counts0 reuse + salt call), so
+    # a fresh pre-pin plans/frozen_t01_r13.py exists at the r13 close
+    # (gen script pattern) — flip this entry to it, retire
     # frozen_t01_r12, port the pin test, record in SCALING.md. Do NOT
     # flip before the driver writes BENCH_r13.
     "t01_token_stats": (
@@ -772,11 +775,13 @@ def main() -> None:
                         set_arm_filter(None)
         for qname, fams in _cons_raw.items():
             for fam, samples in fams.items():
+                # a family cut to ZERO samples is still NAMED (count 0)
+                # so the reader can tell skipped from never-defined
+                construction_samples.setdefault(qname, {})[fam] = len(samples)
                 if samples:
                     construction_s.setdefault(qname, {})[fam] = round(
                         min(samples), 3
                     )
-                    construction_samples.setdefault(qname, {})[fam] = len(samples)
 
     # Self-describing marginal (r12 verdict ask #5): construction_s[fam]
     # INCLUDES the shared lazy prerequisites the family's eager scans

@@ -83,11 +83,17 @@ def arms_requested(arms: frozenset[str] | None, names) -> bool:
         # plain names would be silently ignored — r12 ADVICE), and
         # bench.py never emits one; fail loudly instead of widening.
         plain = {a for a in arms if not a.startswith(_ALL_BUT)}
-        if plain or len(excluded) != 1:
+        if plain:
             raise ValueError(
                 f"arm filter mixes plain arms {sorted(plain)} with "
                 f"complement tokens {sorted(excluded)}; use one "
                 f"__all_but__<arm> token alone"
+            )
+        if len(excluded) != 1:
+            raise ValueError(
+                f"arm filter carries {len(excluded)} complement tokens "
+                f"{sorted(excluded)}; exactly one __all_but__<arm> token "
+                "is allowed (bench.py only ever emits a singleton)"
             )
         return any(n not in excluded for n in names)
     return bool(set(names) & arms)
