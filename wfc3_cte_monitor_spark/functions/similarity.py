@@ -203,11 +203,44 @@ def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
     (table_id, bucket), never all-pairs — and exact cosine ≥ tau is
     evaluated on candidates only. Returns (id_a, id_b, sim).
 
-    The quadratic work is confined to buckets (n/256 expected occupancy
-    per table), so the plan survives a 100 TB corpus; at scale the index
-    is written bucketed by (table_id, bucket) so the self-join is
-    co-located, shuffle-free."""
-    idx = lsh_index(embeddings, id_col, emb_col, dim,
+    EXACT-COLLAPSE-FIRST (r13 sf10 ladder finding): the bucket
+    self-join is quadratic in the size of an exact-duplicate cluster —
+    k byte-identical vectors share EVERY bucket of every table, so a
+    100-clone group contributes C(100,2)·L rows to the join output
+    before the pair dedup (at sf10 this spilled past 80 GB of disk and
+    killed the session; SCALING.md §sf10 ladder). Remedy: group
+    byte-identical vectors first (one linear, co-partitioned shuffle
+    keyed by the vector), run the ENTIRE index → self-join → cosine
+    pipeline at unique-content granularity, and expand membership
+    afterwards. Provably output-identical: identical vectors get
+    identical bucket arrays (deterministic function of v), so the
+    doc-level candidate set is exactly {expanded rep-level candidates}
+    ∪ {intra-group pairs} (clones always share all buckets), and sim is
+    a deterministic function of the vector pair, which the expansion
+    preserves. The quadratic work that remains — emitting the
+    intra-group pairs themselves — is output-sized, not join-inflated
+    by the L-table index.
+
+    The remaining quadratic work is confined to buckets of DISTINCT
+    vectors (n_unique/256 expected occupancy per table), so the plan
+    survives a 100 TB corpus; at scale the index is written bucketed by
+    (table_id, bucket) so the self-join is co-located, shuffle-free."""
+    from pyspark.sql import Window
+
+    src = embeddings.select(F.col(id_col).alias("vec_id"),
+                            F.col(emb_col).cast("array<double>").alias("v"))
+    # gid = min id per byte-identical vector group: ONE hash-partitioned
+    # window pass (the collapse's only corpus-wide shuffle); materialized
+    # because reps + membership + the intra self-join all read it.
+    gw = Window.partitionBy("v")
+    tagged = (
+        src.select("vec_id", "v", F.min("vec_id").over(gw).alias("gid"))
+        .transform(materialize)
+    )
+    reps = tagged.where(F.col("vec_id") == F.col("gid")).select("vec_id", "v")
+    members = tagged.select("vec_id", "gid")
+
+    idx = lsh_index(reps, "vec_id", "v", dim,
                     n_tables=ND_TABLES, n_planes=ND_PLANES, seed=_ND_SEED)
     # the index feeds both sides of the bucket self-join — materialize the
     # pruned (id, table, bucket) layout once (lazily) so the Arrow bucket
@@ -225,16 +258,44 @@ def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"),
-                           F.col(emb_col).cast("array<double>").alias("va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"),
-                           F.col(emb_col).cast("array<double>").alias("vb"))
+    va = reps.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = reps.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cos = cosine_pd()
-    return (
+    gpairs = (
         cands.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", F.round(cos(F.col("va"), F.col("vb")), 6).alias("sim"))
         .where(F.col("sim") >= tau)
     )
+    # INTER-group expansion: every member pair across two near-dup rep
+    # groups, re-ordered on the ORIGINAL ids (group id ranges interleave,
+    # so least/greatest — not the gid order — restores id_a < id_b). Each
+    # doc belongs to exactly one group, so no pair is emitted twice.
+    inter = (
+        gpairs
+        .join(members.select(F.col("gid").alias("id_a"),
+                             F.col("vec_id").alias("ia")), "id_a")
+        .join(members.select(F.col("gid").alias("id_b"),
+                             F.col("vec_id").alias("ib")), "id_b")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "sim")
+    )
+    # INTRA-group pairs: clones share every bucket, so every intra-group
+    # pair was a candidate in the un-collapsed plan; its sim is
+    # cosine(v, v) — computed ONCE per group with the same kernel the
+    # pair path uses (one linear Arrow pass over reps), then attached to
+    # the C(k,2) member pairs, which are output-sized by definition.
+    gsim = reps.select(
+        F.col("vec_id").alias("gid"),
+        F.round(cos(F.col("v"), F.col("v")), 6).alias("sim"),
+    ).where(F.col("sim") >= tau)
+    intra = (
+        members.select("gid", F.col("vec_id").alias("id_a"))
+        .join(members.select("gid", F.col("vec_id").alias("id_b")), "gid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(gsim, "gid")
+        .select("id_a", "id_b", "sim")
+    )
+    return inter.unionByName(intra)
 
 
 def neardup_pairs_sql(source: str, tau: float, id_col: str = "vec_id",

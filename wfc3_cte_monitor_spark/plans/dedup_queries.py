@@ -346,7 +346,29 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     arms = active_arms("d02_lsh_dedup_pipeline")
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    # EXACT-COLLAPSE-FIRST (r13 sf10 ladder finding): byte-identical
+    # texts get identical shingles → signatures → band keys → token
+    # sets, so the band self-join inflates every k-clone group into
+    # C(k,2)×n_bands candidate rows and the verify stage recomputes
+    # Jaccard(t, t) = 1 for each of them. Group by full text first (one
+    # linear, co-partitioned shuffle), run shingle → minhash → band →
+    # verify at UNIQUE-CONTENT granularity, and expand afterwards:
+    # doc-level verified edges = expanded group pairs ∪ intra-group
+    # all-pairs (identical token sets verify at exactly 1.0 ≥ 0.8 by
+    # construction — size(t)/(2·size(t) − size(t)) — so no Jaccard is
+    # computed for them). Everything downstream (CC, election, the
+    # incremental decision store) is unchanged and stays doc-keyed;
+    # the output is provably identical.
+    gw = Window.partitionBy("text")
+    tagged = (
+        docs.select("doc_id", "text", F.min("doc_id").over(gw).alias("gid"))
+        .transform(materialize)
+    )
+    ureps = tagged.where(F.col("doc_id") == F.col("gid")).select(
+        F.col("gid").alias("doc_id"), "text"
+    )
+    members = tagged.select("doc_id", "gid")
+    sh = exploded_shingles(ureps, "doc_id", "text", 3)
     sig = minhash_signature_pairs(sh, "doc_id")
     from ..functions.dedup import lsh_bands
 
@@ -359,7 +381,7 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     bands = lsh_bands(sig, "doc_id").transform(materialize)
     cands = candidate_pairs(bands, "doc_id")
 
-    toks = docs.select(
+    toks = ureps.select(
         "doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("t")
     ).transform(materialize)
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
@@ -368,7 +390,36 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
         "_inter", F.size(F.array_intersect("ta", "tb"))
     )
     jac = F.col("_inter").cast("double") / (F.size("ta") + F.size("tb") - F.col("_inter"))
-    verified = joined.where(jac >= JACCARD_THRESHOLD).select("id_a", "id_b")
+    gverified = joined.where(jac >= JACCARD_THRESHOLD).select("id_a", "id_b")
+    # Expansion back to doc granularity. Group id ranges interleave, so
+    # least/greatest on the ORIGINAL ids restores id_a < id_b; each doc
+    # belongs to exactly one group, so no pair is emitted twice.
+    inter = (
+        gverified
+        .join(members.select(F.col("gid").alias("id_a"),
+                             F.col("doc_id").alias("ia")), "id_a")
+        .join(members.select(F.col("gid").alias("id_b"),
+                             F.col("doc_id").alias("ib")), "id_b")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"))
+    )
+    intra = (
+        members.select("gid", F.col("doc_id").alias("id_a"))
+        .join(members.select("gid", F.col("doc_id").alias("id_b")), "gid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    verified = inter.unionByName(intra)
+    # per-doc distinct-token count for representative election: nu is a
+    # pure function of the text, so expand the group-level size through
+    # the membership relation (a narrow bigint join) instead of
+    # tokenizing every clone.
+    nu_rel = (
+        members.join(
+            toks.select(F.col("doc_id").alias("gid"),
+                        F.size("t").cast("bigint").alias("nu")), "gid")
+        .select("doc_id", "nu")
+    )
 
     edges = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
         verified.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -397,9 +448,7 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     # undefined on both engines. One cluster-keyed agg + one join; the
     # token sets themselves never ride either shuffle (nu is a bigint).
     reps = (
-        labels.join(
-            toks.select("doc_id", F.size("t").cast("bigint").alias("nu")), "doc_id"
-        )
+        labels.join(nu_rel, "doc_id")
         .groupBy("label")
         .agg((-F.max(F.struct(F.col("nu"), (-F.col("doc_id")).alias("nid")))["nid"]).alias("rep_id"))
     )
@@ -446,7 +495,6 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
         connected_components(docs.select("doc_id"), edges.where(~is_delta_edge)),
         force=True,
     )
-    nu_rel = toks.select("doc_id", F.size("t").cast("bigint").alias("nu"))
     base_reps = (
         base_labels.join(nu_rel, "doc_id")
         .groupBy("label")
@@ -973,22 +1021,70 @@ def d03_minhash_lsh(spark, sf_dir):
                 F.expr("substring(p_name, 2)").alias("name"),
             )
         )
-        .transform(materialize)  # feeds the signature explode AND both verify sides
+        # single consumer since the r13 collapse (the fz_tagged window
+        # below, which is itself materialized) — no checkpoint needed
     )
     from ..functions.dedup import fuzzy_candidates
 
-    fz_cands = fuzzy_candidates(
-        fz_corpus, "id", "name", pair_filter=F.col("id_b") >= F.lit(foff)
+    # EXACT-COLLAPSE-FIRST for the fuzzy arm (r13): part names are
+    # MASSIVELY repeated (sf0.1: 20,000 parts, 64 distinct names — mean
+    # clone group ≈ 312), and byte-identical names emit identical
+    # deletion signatures, so every signature block holds whole clone
+    # groups and the block self-join + the per-pair levenshtein verify
+    # pay C(k,2)-shaped work for pairs whose distance is 0 by
+    # construction. Group names first (one linear shuffle of the
+    # (id, name) relation), run signature-join + levenshtein at
+    # UNIQUE-NAME granularity (~128 names incl. plants), and expand
+    # membership afterwards; the plant restriction (id_b >= foff) is
+    # applied AFTER expansion because a group may in principle mix
+    # originals and plants (the filter is id-level, the group is
+    # name-level). Provably output-identical: identical names ⇒
+    # identical signatures ⇒ the doc-level candidate set is exactly
+    # {expanded rep pairs} ∪ {intra-group pairs}, and levenshtein is a
+    # function of the two names, which expansion preserves (intra
+    # pairs: levenshtein(n, n) = 0 ≤ 1, v = '0').
+    from pyspark.sql import Window as _W
+
+    fzw = _W.partitionBy("name")
+    fz_tagged = (
+        fz_corpus.select("id", "name", F.min("id").over(fzw).alias("gid"))
+        .transform(materialize)
     )
-    fuzzy_arm = (
-        fz_cands.join(
-            fz_corpus.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a"
+    fz_reps = fz_tagged.where(F.col("id") == F.col("gid")).select(
+        F.col("gid").alias("id"), "name"
+    )
+    fz_members = fz_tagged.select("id", "gid")
+    g_cands = fuzzy_candidates(fz_reps, "id", "name")
+    g_verified = (
+        g_cands.join(
+            fz_reps.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a"
         )
         .join(
-            fz_corpus.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b"
+            fz_reps.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b"
         )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+    fz_inter = (
+        g_verified
+        .join(fz_members.select(F.col("gid").alias("id_a"),
+                                F.col("id").alias("ia")), "id_a")
+        .join(fz_members.select(F.col("gid").alias("id_b"),
+                                F.col("id").alias("ib")), "id_b")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"),
+                "dist")
+    )
+    fz_intra = (
+        fz_members.select("gid", F.col("id").alias("id_a"))
+        .join(fz_members.select("gid", F.col("id").alias("id_b")), "gid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("dist"))
+    )
+    fuzzy_arm = (
+        fz_inter.unionByName(fz_intra)
+        .where(F.col("id_b") >= F.lit(foff))
         .select(
             F.lit("fuzzy").alias("which"),
             F.col("id_a").cast("bigint").alias("k1"),
