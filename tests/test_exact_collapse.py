@@ -41,6 +41,30 @@ def _clone_table(src: str, dst: str, id_col: str, mod: int, offsets) -> None:
     pq.write_table(pa.concat_tables(parts), dst)
 
 
+def _append_short_doc_clones(dst: str) -> None:
+    """Append a clone GROUP whose text has fewer than k=3 tokens: such
+    a group produces zero 3-gram shingles, hence no MinHash signature
+    and no LSH bands, so under the band-candidate semantics the oracle
+    mirrors its clone pairs are NOT near-dup edges. Regression for the
+    r13 collapse: the intra-group expansion must not synthesize them
+    (caught live — the unguarded expansion merged the clones into one
+    cluster while the oracle kept three singletons)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(dst)
+    mx = max(t["doc_id"].to_pylist())
+    txt = "alpha beta"
+    extra = pa.table({
+        "doc_id": pa.array([mx + 1, mx + 1000, mx + 2000], type=pa.int64()),
+        "text": pa.array([txt] * 3),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["clone-test"] * 3),
+        "n_chars": pa.array([len(txt)] * 3, type=pa.int64()),
+    }).select(t.schema.names).cast(t.schema)
+    pq.write_table(pa.concat_tables([t, extra]), dst)
+
+
 @pytest.fixture(scope="module")
 def clone_dir(tmp_path_factory) -> str:
     """sf0.001 with clone clusters: every 5th document and every 4th
@@ -54,6 +78,7 @@ def clone_dir(tmp_path_factory) -> str:
         dst = table_path(str(d), t)
         if t == "documents":
             _clone_table(src, dst, "doc_id", 5, (1_000_000, 2_000_000))
+            _append_short_doc_clones(dst)
         elif t == "embeddings":
             _clone_table(src, dst, "vec_id", 4, (1_000_000, 2_000_000))
         else:

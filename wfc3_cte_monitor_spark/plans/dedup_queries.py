@@ -403,9 +403,22 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
         .select(F.least("ia", "ib").alias("id_a"),
                 F.greatest("ia", "ib").alias("id_b"))
     )
+    # Intra pairs are candidates in the un-collapsed plan ONLY when the
+    # group's text yields at least one shingle band (raw token count >=
+    # k: exploded_shingles emits a k-gram iff lead(k-1) exists) — a
+    # <3-token clone group has no signature, no bands, and therefore NO
+    # edge in the band-candidate semantics the oracle mirrors. The
+    # guard is a row-local predicate on the materialized reps (raw
+    # tokens(), not the distinct set in toks: 'a a a' has 3 raw tokens
+    # -> one shingle, but |distinct| = 1), no extra shuffle.
+    banded_gids = (
+        ureps.where(F.size(tokens("text")) >= 3)
+        .select(F.col("doc_id").alias("gid"))
+    )
+    bmembers = members.join(banded_gids, "gid", "leftsemi")
     intra = (
-        members.select("gid", F.col("doc_id").alias("id_a"))
-        .join(members.select("gid", F.col("doc_id").alias("id_b")), "gid")
+        bmembers.select("gid", F.col("doc_id").alias("id_a"))
+        .join(bmembers.select("gid", F.col("doc_id").alias("id_b")), "gid")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
