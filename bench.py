@@ -89,30 +89,26 @@ FROZEN_ARMS: dict[str, tuple[str, tuple[str, ...]]] = {
 # shared-stage ambiguity. Re-pin a NEW module at each future boundary
 # where the query's code changed; SCALING.md records each re-pin.
 PINNED_TWINS: dict[str, tuple[str, str]] = {
-    # re-pinned at the r13 boundary (r12 verdict ask #2): the live t01
-    # changed in r12 (construction barrier diet + advice fixes), so the
-    # r11 twin stopped isolating r13's changes. frozen_t01_r12 was
-    # PRE-pinned at the end of r12 (scripts/gen_frozen_t01_r12.py) and
-    # verified row-identical to live t01 at sf0.001 + sf0.01 before any
-    # r13 edit; tests/test_plan_shape.py's pin test imports and
-    # arm-compares THIS pin every run (continuous verification, not
-    # trust-from-pin-time). frozen_t01_r11 retired at the flip.
-    # In BENCH_r13, live − pinned prices exactly ROUND-13's t01 code
-    # changes — the counts0 round-0 pair-count reuse plus the url-arm
-    # SaltDecision aggregate (cached per dataset); the planning-tax
-    # SHAVE hypothesis was refuted and NOT adopted (SCALING.md
-    # §Round-13 planning-tax experiment). pinned_r13 vs BENCH_r12's
-    # live t01 (24.16 s driver window) is pure host drift on
-    # code-identical plans.
+    # re-pinned at the r14 boundary (r13 verdict ask #4): the live t01
+    # changed in r13 (counts0 round-0 pair-count reuse + the url-arm
+    # SaltDecision aggregate), so the r12 twin stopped isolating r14's
+    # changes. frozen_t01_r13 was PRE-pinned at the END of r13
+    # (scripts/gen_frozen_t01_r13.py) and verified row-identical to
+    # live t01 at sf0.001 + sf0.01 before any r14 edit;
+    # tests/test_plan_shape.py's pin test imports and compares THIS pin
+    # every run (continuous verification, not trust-from-pin-time).
+    # frozen_t01_r12 retired at the flip. In BENCH_r14, live − pinned
+    # prices exactly ROUND-14's t01 code changes; pinned_r14 vs
+    # BENCH_r13's live t01 (23.65 s driver window) is pure host drift
+    # on code-identical plans.
     #
-    # R14 BUILDER: round 13 changed t01 (counts0 reuse + salt call), so
-    # a fresh pre-pin plans/frozen_t01_r13.py exists at the r13 close
-    # (gen script pattern) — flip this entry to it, retire
-    # frozen_t01_r12, port the pin test, record in SCALING.md. Do NOT
-    # flip before the driver writes BENCH_r13.
+    # R15 BUILDER: if round 14 changes t01, pre-pin a fresh
+    # plans/frozen_t01_r14.py at the r14 close (gen script pattern),
+    # flip this entry, retire frozen_t01_r13, port the pin test, record
+    # in SCALING.md. Do NOT flip before the driver writes BENCH_r14.
     "t01_token_stats": (
-        "wfc3_cte_monitor_spark.plans.frozen_t01_r12",
-        "t01_token_stats_r12",
+        "wfc3_cte_monitor_spark.plans.frozen_t01_r13",
+        "t01_token_stats_r13",
     ),
     # SECOND pin (r12 verdict ask #3): an I/O-shaped control. The r12
     # window's io_ratio 1.34 moved zero-code-change queries +26-48%

@@ -321,42 +321,20 @@ def test_contam_eval_side_broadcasts(spark):
     assert m, "contam eval-shingle semi-join must be broadcast"
 
 
-def test_pinned_t01_twin_matches_live_on_pinned_arms(spark):
-    # The bench's cross-version control (plans/frozen_t01_r12.py, the
-    # r13 flip of the r11 pin) must stay row-identical to live t01
-    # RESTRICTED TO THE PIN'S ARM SET: the pin shares the stable
-    # substrate (functions/text, catalog, checkpointing) with the live
-    # plan on purpose, and a behavior change there silently corrupts
-    # the twin — this test converts that re-pin rule (pin docstring
-    # rule 2) from prose to CI, so the control is continuously verified
-    # rather than trusted from pin time (r10 verdict ask #2; ported to
-    # the r12 pin at the r13 flip per r12 verdict ask #2). Arms added
-    # after the r12 boundary are excluded by construction: the
-    # comparison keys on the PIN's own arm set.
-    from pyspark.sql import functions as F
-
-    from wfc3_cte_monitor_spark.plans.frozen_t01_r12 import t01_token_stats_r12
-
-    pin = t01_token_stats_r12(spark, SF)
-    live = load_all()["t01_token_stats"].fn(spark, SF)
-    assert live.columns == pin.columns
-    pin_rows = sorted(map(tuple, pin.collect()))
-    pin_arms = {r[0] for r in pin_rows}
-    live_rows = sorted(
-        map(tuple, live.where(F.col("which").isin(*sorted(pin_arms))).collect())
-    )
-    assert live_rows == pin_rows
-
-
-def test_prepinned_t01_r13_twin_matches_live_exactly(spark):
-    # The r14 control (plans/frozen_t01_r13.py, PRE-pinned at the r13
-    # close via scripts/gen_frozen_t01_r13.py) must stay importable AND
-    # row-identical to live t01 until the r14 flip — the continuous
-    # verification the r10 verdict required for the active pin, applied
-    # to the pre-pin as well. The pin snapshots the FULL r13 arm set,
-    # so this is exact equality, no arm restriction. When r14 changes
-    # t01, this test moves to the arm-restricted form (the active-pin
-    # test below shows the pattern) as part of the flip.
+def test_pinned_t01_twin_matches_live_exactly(spark):
+    # The bench's cross-version control (plans/frozen_t01_r13.py, the
+    # r14 flip of the r12 pin) must stay row-identical to live t01: the
+    # pin shares the stable substrate (functions/text, catalog,
+    # checkpointing) with the live plan on purpose, and a behavior
+    # change there silently corrupts the twin — this test converts that
+    # re-pin rule (pin docstring rule 2) from prose to CI, so the
+    # control is continuously verified rather than trusted from pin
+    # time (r10 verdict ask #2; ported to the r13 pin at the r14 flip
+    # per r13 verdict ask #4). The pin snapshots the FULL r13 arm set
+    # and r14 adds no arms (optimization round), so this is exact
+    # equality; if a future round adds arms to t01, restrict the live
+    # side to the pin's arm set (`which.isin(pin_arms)`) as the r13
+    # flip's test did.
     from wfc3_cte_monitor_spark.plans.frozen_t01_r13 import t01_token_stats_r13
 
     pin = sorted(map(tuple, t01_token_stats_r13(spark, SF).collect()))
