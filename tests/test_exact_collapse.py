@@ -104,6 +104,46 @@ def test_collapsed_queries_match_oracle_on_clone_corpus(spark, clone_dir, name):
     assert res.spark_rows > 0
 
 
+_ADAPTIVE = ("d02_lsh_dedup_pipeline", "d03_minhash_lsh", "e02_ann_neardup")
+
+
+@pytest.mark.parametrize("name", _ADAPTIVE)
+def test_direct_branch_matches_oracle_on_clone_corpus(spark, clone_dir, name):
+    # r14 duplication-adaptive collapse: the DIRECT (pre-collapse)
+    # branch must stay correct on clone-heavy data too — it is the
+    # plan the probe would never pick there, but both branches carry
+    # the full semantics and forcing it proves branch equivalence on
+    # the data where the branches actually diverge in shape.
+    from wfc3_cte_monitor_spark.functions import dedup as fd
+    from wfc3_cte_monitor_spark.testing.oracle import compare_query
+
+    old = fd.FORCE_COLLAPSE
+    fd.FORCE_COLLAPSE = False
+    try:
+        res = compare_query(spark, name, clone_dir)
+    finally:
+        fd.FORCE_COLLAPSE = old
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
+@pytest.mark.parametrize("name", _ADAPTIVE)
+def test_collapsed_branch_matches_oracle_on_unique_corpus(spark, name):
+    # ... and the COLLAPSED branch must stay correct on duplicate-free
+    # data (identity groups: every expansion degenerates to a no-op).
+    from wfc3_cte_monitor_spark.functions import dedup as fd
+    from wfc3_cte_monitor_spark.testing.oracle import compare_query
+
+    old = fd.FORCE_COLLAPSE
+    fd.FORCE_COLLAPSE = True
+    try:
+        res = compare_query(spark, name, "/root/testdata/sf0.001")
+    finally:
+        fd.FORCE_COLLAPSE = old
+    assert res.ok, str(res)
+    assert res.spark_rows > 0
+
+
 def test_neardup_pairs_clone_clusters_match_numpy(spark):
     # Pure-function check of the collapsed neardup_pairs against an
     # independent numpy recomputation (LSH candidate pairs ∩ cosine >=

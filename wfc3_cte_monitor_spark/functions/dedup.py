@@ -30,6 +30,106 @@ MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
+# Second-seed discriminator for fingerprint128 (any fixed literal works;
+# xxhash64 folds every argument into one stream, so prepending a
+# distinct constant yields an independent second 64-bit hash).
+_FP_SEED2 = 0x9E3779B9
+
+
+def fingerprint128(col: str | Column) -> tuple[Column, Column]:
+    """Two independent 64-bit ``xxhash64`` fingerprints of a column —
+    the exact-collapse group key (r13 verdict ask #1).
+
+    The r13 collapses keyed the group id with ``min(id) OVER (PARTITION
+    BY <content>)``: WindowExec has no map-side combine, so every
+    clone's FULL payload (text / vector) rode the exchange and a
+    mega-clone group landed on one reducer — the collapse's own shuffle
+    inherited the hot key it exists to remove. Grouping on this
+    fingerprint instead lets ``groupBy(fp).agg(min(id), min_by(...))``
+    partially aggregate map-side (one row per distinct content per map
+    partition crosses the wire) and keeps membership joins on bigints.
+
+    128 bits, not 64: at 100 TB corpus sizes (~5e10 documents) a single
+    64-bit hash collides by the birthday bound (expected at ~2^32
+    rows); two independent xxhash64 values push the collision
+    probability below 1e-17 at that scale, so grouping by the pair is
+    grouping by content. xxhash64 handles strings and arrays alike
+    (arrays hash element-wise), which covers text, names and embedding
+    vectors with one definition.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c), F.xxhash64(F.lit(_FP_SEED2), c)
+
+
+# Test hook for the duplication-adaptive collapse decision below:
+# None = decide from the data; True/False = force the branch. Both
+# branches of every call site compute identical results on any input
+# (the collapse is purely a performance choice), so forcing is safe —
+# tests use it to run each branch on the other branch's natural data.
+FORCE_COLLAPSE: bool | None = None
+
+
+# Break-even thresholds for has_dup_groups (first-principles, guide
+# §1.2): the collapse's machinery costs ~2 extra corpus-linear passes
+# (fingerprint group agg + membership join) plus a fixed set of small
+# expansion joins, so it pays when EITHER
+#   (a) the candidate inflation it removes is itself at least a
+#       corpus-pass worth of rows: Σ_g C(k_g, 2) ≥ n/4 (each surviving
+#       clone pair re-enters every band/bucket self-join, ×L ≈ 4
+#       tables/bands, hence the /4), or
+#   (b) the substrate it avoids recomputing shrinks materially:
+#       duplicate rows (n − groups) ≥ n/4.
+# Mega-clone corpora (the sf10 ladder's 100-clone groups, a real
+# crawl's boilerplate clusters) trip (a) by orders of magnitude; a
+# trace level of duplication (sf0.1 ships 8 duplicate pairs in 5000
+# docs) trips neither and keeps the cheap direct plan.
+COLLAPSE_PAIRS_FRACTION = 0.25
+COLLAPSE_DUP_FRACTION = 0.25
+
+
+def has_dup_groups(df: DataFrame, content_col: str) -> bool:
+    """True iff byte-identical ``content_col`` duplication in ``df`` is
+    heavy enough that the exact-collapse rewrite pays — the
+    DUPLICATION-ADAPTIVE collapse decision (r14). The
+    exact-collapse-first rewrite (d02/d03/e02) is what lets the
+    fuzzy-dedup self-joins survive clone-heavy corpora, but on a
+    (nearly) duplicate-free corpus its group/membership machinery is
+    pure fixed overhead; this probe picks the cheaper plan per run — a
+    stats-driven plan choice, the same move AQE makes one level down.
+    BOTH plans are semantically complete, so the decision can only
+    affect speed, never results. Cost: one fingerprint aggregate over
+    BIGINTS (no payload on the exchange, map-side combinable — the
+    fingerprint pass is the collapse's own first step), executed when
+    the plan is built, recomputed from the parquet input on every run,
+    never cached across runs."""
+    if FORCE_COLLAPSE is not None:
+        return FORCE_COLLAPSE
+    f1, f2 = fingerprint128(content_col)
+    # ONE job: per-group partial counts map-side, then a 1-row reduce —
+    # deliberately not where(c >= 2).take(1), whose CollectLimit runs
+    # incremental partial jobs over the agg (measured 0.5-1.5 s of
+    # build wall at sf0.1 vs ~0.2 s for this form). The pair sum runs
+    # in doubles: exact near the threshold (tiny counts), and a
+    # mega-group far past it cannot be mis-ranked by fp error.
+    c = F.col("_c")
+    row = (
+        df.select(f1.alias("_f1"), f2.alias("_f2"))
+        .groupBy("_f1", "_f2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(c).alias("_n"),
+            F.count(F.lit(1)).alias("_g"),
+            F.sum(c.cast("double") * (c - 1) / 2.0).alias("_sp"),
+        )
+        .first()
+    )
+    if not row or row["_n"] is None or row["_n"] == 0:
+        return False
+    n, g, sp = row["_n"], row["_g"], row["_sp"]
+    return (sp >= COLLAPSE_PAIRS_FRACTION * n) or (
+        (n - g) >= COLLAPSE_DUP_FRACTION * n
+    )
+
 
 def _perm_params(n: int = N_HASHES) -> list[tuple[int, int]]:
     """Deterministic (a, b) for h_i(x) = (a*x + b) mod M — integer
@@ -49,11 +149,17 @@ def minhash_signature(df: DataFrame, id_col: str, shingle_col: Column,
 
 
 def minhash_signature_pairs(pairs: DataFrame, id_col: str, shingle_col: str = "shingle",
-                            n_hashes: int = N_HASHES) -> DataFrame:
+                            n_hashes: int = N_HASHES,
+                            hash_col: str | None = None) -> DataFrame:
     """MinHash from pre-exploded (id, shingle) rows — the hot path used
     with text.exploded_shingles (codegen shingling, no per-element
-    lambda)."""
-    h31 = (portable_hash64(F.col(shingle_col)) % MERSENNE31).alias("_h")
+    lambda). ``hash_col`` names a column already holding
+    ``portable_hash64(shingle)`` — callers whose shingle relation
+    carries the 60-bit hash anyway (d03 materializes it for the
+    dupfrac count) skip a duplicate md5 pass over every
+    (id, shingle) row."""
+    base = F.col(hash_col) if hash_col else portable_hash64(F.col(shingle_col))
+    h31 = (base % MERSENNE31).alias("_h")
     hashed = pairs.select(id_col, h31)
     aggs = [
         F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31).alias(f"mh_{i}")

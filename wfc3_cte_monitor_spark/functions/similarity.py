@@ -224,21 +224,54 @@ def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
     The remaining quadratic work is confined to buckets of DISTINCT
     vectors (n_unique/256 expected occupancy per table), so the plan
     survives a 100 TB corpus; at scale the index is written bucketed by
-    (table_id, bucket) so the self-join is co-located, shuffle-free."""
-    from pyspark.sql import Window
+    (table_id, bucket) so the self-join is co-located, shuffle-free.
+
+    RE-KEYED on a 128-bit content fingerprint (r13 verdict ask #1): the
+    r13 form (min(vec_id) OVER (PARTITION BY v)) shuffled the full
+    array<double> payload with no map-side combine, so a mega-clone
+    group landed on ONE reducer holding every clone's vector — the
+    collapse's own shuffle inherited the hot key it exists to remove.
+    groupBy(fingerprint) + min/min_by partially aggregates map-side
+    (one row per distinct vector per map partition crosses the wire)
+    and the membership join-back moves bigints only. See
+    functions/dedup.fingerprint128 for the collision argument.
+
+    DUPLICATION-ADAPTIVE (r14): the collapse engages only when the
+    corpus actually contains byte-identical vector groups
+    (functions/dedup.has_dup_groups — one bigint fingerprint aggregate
+    at plan build); on a duplicate-free corpus the pre-collapse plan
+    runs (membership would be the identity and the group/expansion
+    machinery pure fixed overhead). Both branches compute identical
+    results on any input."""
+    from .dedup import fingerprint128, has_dup_groups
 
     src = embeddings.select(F.col(id_col).alias("vec_id"),
                             F.col(emb_col).cast("array<double>").alias("v"))
-    # gid = min id per byte-identical vector group: ONE hash-partitioned
-    # window pass (the collapse's only corpus-wide shuffle); materialized
-    # because reps + membership + the intra self-join all read it.
-    gw = Window.partitionBy("v")
-    tagged = (
-        src.select("vec_id", "v", F.min("vec_id").over(gw).alias("gid"))
-        .transform(materialize)
-    )
-    reps = tagged.where(F.col("vec_id") == F.col("gid")).select("vec_id", "v")
-    members = tagged.select("vec_id", "gid")
+    collapsed = has_dup_groups(src.select("v"), "v")
+    if collapsed:
+        f1, f2 = fingerprint128("v")
+        sfp = src.select("vec_id", "v", f1.alias("_f1"), f2.alias("_f2"))
+        # groups: one row per distinct vector, gid = min member id;
+        # materialized because the index, both verify vector fetches
+        # and the intra gsim pass all read the reps projection.
+        groups = (
+            sfp.groupBy("_f1", "_f2")
+            .agg(F.min("vec_id").alias("gid"), F.min_by("v", "vec_id").alias("v"))
+            .transform(materialize)
+        )
+        reps = groups.select(F.col("gid").alias("vec_id"), "v")
+        # membership (vec_id → gid): a narrow bigint join, materialized
+        # — four downstream consumers (two inter-expansion sides, the
+        # intra self-join's two sides). Vectors never ride it.
+        members = (
+            sfp.select("vec_id", "_f1", "_f2")
+            .join(groups.select("_f1", "_f2", "gid"), ["_f1", "_f2"])
+            .select("vec_id", "gid")
+            .transform(materialize)
+        )
+    else:
+        # duplicate-free corpus: every vector is its own group
+        reps = src
 
     idx = lsh_index(reps, "vec_id", "v", dim,
                     n_tables=ND_TABLES, n_planes=ND_PLANES, seed=_ND_SEED)
@@ -266,6 +299,9 @@ def neardup_pairs(embeddings: DataFrame, tau: float, id_col: str = "vec_id",
         .select("id_a", "id_b", F.round(cos(F.col("va"), F.col("vb")), 6).alias("sim"))
         .where(F.col("sim") >= tau)
     )
+    if not collapsed:
+        # identity membership: the rep-level pairs ARE the output
+        return gpairs
     # INTER-group expansion: every member pair across two near-dup rep
     # groups, re-ordered on the ORIGINAL ids (group id ranges interleave,
     # so least/greatest — not the gid order — restores id_a < id_b). Each

@@ -162,11 +162,12 @@ def salted_rank(
         )
     lo, hi = f"_{out}_lo", f"_{out}_hi"
     bkt, lrnk, off = f"_{out}_bkt", f"_{out}_lrnk", f"_{out}_off"
+    yp, yb, yc = f"_{out}_yp", f"_{out}_yb", f"_{out}_yc"
     # r10 ADVICE: withColumn would silently OVERWRITE an input column
     # named `out`, and an input carrying one of the internal temporaries
     # (or the counts alias "_c") would corrupt the rank arithmetic —
     # reject up front instead of silently replacing.
-    clash = {out, lo, hi, bkt, lrnk, off, "_c"} & set(df.columns)
+    clash = {out, lo, hi, bkt, lrnk, off, yp, yb, yc, "_c"} & set(df.columns)
     if clash:
         raise ValueError(
             f"salted_rank output/temp column(s) {sorted(clash)} already "
@@ -198,17 +199,33 @@ def salted_rank(
         lrnk, F.row_number().over(Window.partitionBy(part_col, bkt).orderBy(order_col))
     )
     counts = d.groupBy(part_col, bkt).agg(F.count(F.lit(1)).alias("_c"))
-    offsets = counts.withColumn(
-        off,
-        F.coalesce(
-            F.sum("_c").over(
-                Window.partitionBy(part_col)
-                .orderBy(bkt)
-                .rowsBetween(Window.unboundedPreceding, -1)
+    # Per-bucket offsets = Σ counts of strictly-lower buckets in the
+    # same group — computed as a broadcast predecessor-count equi-join
+    # (hash on part_col, residual bkt inequality) instead of a
+    # cumulative window. Why not the window: when the caller's
+    # part_col is a CONSTANT (dense_token_ids' single-group rank),
+    # Catalyst folds the foldable key out of the window spec and plans
+    # an unpartitioned WindowExec — the "No Partition Defined" warning
+    # the bench log carried 12× per t01 build (r13 verdict ask #5),
+    # undermining the repo invariant that the warning always marks a
+    # real defect. The join form is bounded by construction: offsets
+    # is broadcast downstream, so counts is broadcast-sized, and the
+    # per-key pair work is ≤ (n_buckets+1)² rows per group, map-side.
+    offsets = (
+        counts.join(
+            F.broadcast(
+                counts.select(
+                    F.col(part_col).alias(yp), F.col(bkt).alias(yb),
+                    F.col("_c").alias(yc),
+                )
             ),
-            F.lit(0),
-        ),
-    ).select(part_col, bkt, off)
+            (F.col(part_col) == F.col(yp)) & (F.col(yb) < F.col(bkt)),
+            "left",
+        )
+        .groupBy(part_col, bkt)
+        .agg(F.coalesce(F.sum(yc), F.lit(0)).alias(off))
+        .select(part_col, bkt, off)
+    )
     return (
         local.join(F.broadcast(offsets), [part_col, bkt])
         .withColumn(out, (F.col(lrnk) + F.col(off)).cast("int"))
