@@ -386,8 +386,13 @@ def d02_lsh_dedup_pipeline(spark, sf_dir):
     # granularity plan runs (membership would be the identity). Both
     # branches compute identical results on any input — the probe
     # (functions/dedup.has_dup_groups, one bigint aggregate at plan
-    # build) only picks the cheaper plan.
-    collapsed = has_dup_groups(docs.select("text"), "text")
+    # build) only picks the cheaper plan. It reads the RAW scan, not
+    # the spread() relation: spread's repartition would put a full
+    # text exchange inside the probe for nothing (the duplication
+    # structure is partitioning-invariant).
+    collapsed = has_dup_groups(
+        load_table(spark, sf_dir, "documents").select("text"), "text"
+    )
     if collapsed:
         f1, f2 = fingerprint128("text")
         dfp = docs.select("doc_id", "text", f1.alias("_f1"), f2.alias("_f2"))
@@ -1496,8 +1501,15 @@ def d03_minhash_lsh(spark, sf_dir):
     # machinery is pure fixed overhead (measured +1.6 s at sf0.1 —
     # OPTIMIZATION_r14.md); on a clone-heavy corpus the direct plan is
     # super-linear (the r13 sf10 ladder read 16.66x/decade from the
-    # band/half-block self-joins inflating over clone groups).
-    collapsed = has_dup_groups(corpus, "text")
+    # band/half-block self-joins inflating over clone groups). The
+    # probe reads the RAW document scan, not the spread()+plants
+    # corpus: spread's repartition would put a full text exchange
+    # inside the probe, and the plants' duplication structure mirrors
+    # their sources' (a plant text duplicates iff its source text
+    # does), so probing originals decides for the whole corpus.
+    collapsed = has_dup_groups(
+        load_table(spark, sf_dir, "documents").select("text"), "text"
+    )
     (
         band_arm, plant_arm, ngram_arm, simdup_arm, contam_arm,
         dupfrac_arm,
